@@ -1,0 +1,93 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed as a full plan execution materialized via a
+count-style action that still computes every output column (we hash a
+concat of columns into an aggregate so Catalyst can't prune the work
+away, but nothing is collected to the driver beyond one row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.plans.registry import load_all
+from firstamerican_etl_spark.session import get_spark
+
+# Headline set: the flagship FA merge + one representative per operator
+# family (scan, agg, multiway join, window, dedup, text, vector, events).
+HEADLINE = [
+    "fa_flagship_merged",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_dedup_top1",
+    "window_analytics",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "token_count",
+    "cosine_topk_bruteforce",
+    "events_session_window",
+    "events_tumbling_window",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting results: xxhash every
+    column into one aggregated value (prevents column pruning of the
+    measured work) and fetch the single-row result."""
+    cols = [F.col(c) for c in df.columns]
+    row = df.select(
+        F.sum(F.xxhash64(*[c.cast("string") for c in cols])).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    return int(row[0]["n"]) if row else 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT/class-loading
+    registry["q1_pricing_summary"].spark(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        n = _force(spec.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Relational operators (SURVEY.md §2.2-§2.6: P/J/W/A series).
+
+Projection, filter, and predicate ops (P1-P6) are plain DataFrame
+methods — Catalyst pushes them into the parquet scan, so no wrappers
+are needed. This module supplies the ops that carry semantics:
+
+- W1/W2: deterministic top-1-per-group dedup (the reference's
+  ``rank(method='random', seed=1).over(...)`` at fa-etl.py:99-105).
+- J1-J5: left equi-joins incl. asymmetric key names (fa-etl.py:459-476).
+- A1: cheap emptiness probe (fa-etl.py:13-18 runs a full ``describe()``
+  — here it's ``limit(1)``; never scan everything to ask "any rows?").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_top1_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """W1 — exactly one row per group, deterministically.
+
+    The reference uses ``rank(method='random', seed=1, descending=True)``
+    over (RecordingYear, PropertyID) on RecordingDate and keeps rank 1
+    (fa-etl.py:99-105): contract = "one arbitrary-but-deterministic row
+    among ties". The faithful distributed idiom is ``row_number`` with a
+    *stable* tie-break key — ``F.rand(seed)`` is NOT stable across
+    partitionings/retries on a cluster, so callers pass stable id
+    columns as ``tiebreak``. Plain ``rank()`` would keep all tied rows
+    and break the dedup.
+
+    One shuffle on ``partition_by``; reuse the same keys in downstream
+    joins so AQE can avoid re-shuffling.
+    """
+    order = list(order_by) + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Generalized W1: top-k rows per group with the rank kept."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1-J3 — left equi-join on shared key names (fa-etl.py:357-361,
+    459-465). ``broadcast_right`` replaces the reference's
+    ``force_parallel=True`` knob: for small dims it eliminates the
+    shuffle entirely; otherwise AQE picks sort-merge/shuffled-hash."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on), how="left")
+
+
+def asymmetric_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_map: dict[str, str],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J4/J5 — left join where key *names* differ per side
+    (``left_on=['PropertyID','Year'], right_on=['PropertyID','TaxYear']``,
+    fa-etl.py:467-476). Joins on equality expressions, then drops the
+    right-side key columns so the output keeps only the left names —
+    matching Polars' left_on/right_on output shape.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    cond = None
+    for lk, rk in key_map.items():
+        c = left[lk] == r[rk]
+        cond = c if cond is None else (cond & c)
+    joined = left.join(r, on=cond, how="left")
+    for rk in key_map.values():
+        joined = joined.drop(r[rk])
+    return joined
+
+
+def is_empty(df: DataFrame) -> bool:
+    """A1 — emptiness probe. The reference computes a full
+    ``describe()`` and reads the count (fa-etl.py:13-18) — a whole-table
+    scan; here it's limit(1), which stops at the first row produced."""
+    return df.isEmpty()

@@ -1,0 +1,343 @@
+"""Deduplication operators over ``documents`` (training-data pipeline
+extensions): exact hash dedup (SQL-oracled), MinHash+LSH, SimHash, and
+n-gram Jaccard near-dup (deterministic, rows-only checks where the
+semantics aren't ANSI-SQL-expressible).
+
+Scale design: every variant is shuffle-bounded by design —
+- exact: one groupBy on a 128-bit hash (map-side partial agg);
+- MinHash/LSH: signatures are a pure map; candidate generation
+  shuffles on (band_id, band_hash) buckets only, never all-pairs;
+- SimHash: pure map to a 64-bit key, then bucket groupBy.
+All-pairs O(n²) comparison never happens; that is the entire point of
+LSH at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+_NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on a normalized content hash, keep the
+    smallest doc_id per group. At scale this is one hash-partitioned
+    groupBy on a 128-bit key — no text comparison, no skew (hashes are
+    uniform)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(_NORM(F.col("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    tags=("dedup", "exact", "W1"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor form: the W1 window idiom applied to
+    content hashes — keep the lowest-id copy of each distinct text."""
+    from firstamerican_etl_spark.operators.relational import dedup_top1_per_group
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.md5(_NORM(F.col("text")))
+    )
+    return dedup_top1_per_group(
+        d, partition_by=["content_hash"], order_by=[F.col("doc_id")]
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "ngram_shingles",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) - 4 AS n_shingles,
+       md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS first_shingle_hash
+FROM documents
+WHERE len(string_split(text, ' ')) >= 5
+""",
+    tags=("dedup", "shingle"),
+)
+def ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram word shingling (the input representation for MinHash /
+    Jaccard): per-doc shingle count + hash of the first shingle.
+    Pure map stage; shingle arrays stay distributed, never collected."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    return (
+        d.filter(F.size(F.split(F.col("text"), " ", -1)) >= 5)
+        .select(
+            "doc_id",
+            (F.size(words) - 4).alias("n_shingles"),
+            F.md5(F.concat_ws(" ", F.slice(words, 1, 5))).alias("first_shingle_hash"),
+        )
+    )
+
+
+# golden-ratio / murmur-finalizer constants; (2i+1)·φ is odd → a bijection
+# of Z/2^64, so each "permutation" a·h+b is a universal-hash rehash of the
+# base shingle hash. Signed-64 wraparound is fine for hashing.
+_M64 = 1 << 64
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    a = ((2 * i + 1) * 0x9E3779B97F4A7C15) % _M64
+    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _M64
+    # to signed
+    a = a - _M64 if a >= _M64 // 2 else a
+    b = b - _M64 if b >= _M64 // 2 else b
+    return a, b
+
+
+def shingle_hashes_col(words_col, shingle_len: int = 5):
+    """Hash every ``shingle_len``-word shingle into array<long>.
+
+    ``words_col`` MUST be a bound attribute (a real column), not an
+    inline ``split(...)`` expression: higher-order lambdas are
+    interpreted without subexpression elimination, so an inline split
+    would re-tokenize the document once per shingle. Use
+    ``exploded_words`` to bind it."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    n = F.size(w) - (shingle_len - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, shingle_len)))
+    )
+
+
+def exploded_words(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Tokenize once and bind the words array as a real attribute.
+
+    ``explode(array(split(...)))`` is a 1:1 Generate — a no-op on rows,
+    but a projection-collapse *barrier*: downstream higher-order
+    lambdas then reference a bound array instead of re-inlining (and
+    re-evaluating) the split per array element. Zero shuffle."""
+    return df.select(
+        *keep, F.explode(F.array(F.split(F.col(text_col), " ", -1))).alias("words")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+                       num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures as columns mh0..mh{k-1}, one row per key.
+
+    Formulation matters for throughput: higher-order array functions
+    (aggregate/zip_with lambdas) are *interpreted* in Spark — no
+    whole-stage codegen, boxing per element. So instead of folding
+    arrays, explode the shingle hashes to rows and compute
+    ``min(a_i·h + b_i)`` as plain aggregates: fully codegen'd hash
+    aggregation. All shingles of a doc sit in the same input partition,
+    so map-side partial aggregation reduces to one row per doc before
+    the shuffle — at scale the exchange carries |docs| rows, not
+    |shingles|.
+    """
+    words = exploded_words(df, text_col, keep=(key,))
+    exploded = words.select(
+        key, F.explode(shingle_hashes_col("words")).alias("h")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm_consts(i)
+        aggs.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"mh{i}"))
+    return exploded.groupBy(key).agg(*aggs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures aren't ANSI-SQL-expressible
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    32-hash signature split into 8 bands × 4 rows; docs sharing any
+    band hash become a candidate pair. The only shuffle is the
+    groupBy on (band_id, band_hash) — O(n·bands) rows, never O(n²).
+    Returns candidate pairs (doc_a < doc_b) with the number of
+    colliding bands. Exact-dup texts collide on all 8 bands.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_sig = minhash_signatures(d)  # doc_id, mh0..mh31
+    # band hash = xxhash64 over the band's 4 signature columns (plain
+    # column refs — trivially re-inlinable, no recomputation concern)
+    bands = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{i}") for i in range(b * 4, b * 4 + 4)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    # Join-free candidate generation: bucket docs per (band, hash) and
+    # expand intra-bucket pairs with an indexed transform. One shuffle,
+    # and the signature pipeline runs ONCE (a self-join would recompute
+    # it for each side). Bucket sizes are near-dup cluster sizes —
+    # small — so the quadratic expansion is bounded per bucket.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(
+                    F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-level simhash over xxhash64 → rows-only check
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64: per-token 64-bit hashes vote per bit position; the
+    sign of each vote forms the fingerprint. Near-dups differ in few
+    bits (Hamming). Output: doc_id, simhash, plus a 16-bit prefix
+    bucket (the blocking key for Hamming-neighbor search at scale).
+
+    Formulation: explode tokens to rows and compute the 64 bit-vote
+    counters as plain sum(getbit(h, b)) aggregates — everything stays
+    inside whole-stage codegen (higher-order array folds are
+    interpreted + boxing, ~10x slower). Map-side partial aggregation
+    collapses each doc to one 64-counter row before the shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", _NORM(F.col("text")).alias("ntext"))
+        .select("doc_id", F.explode(F.split(F.col("ntext"), " ", -1)).alias("w"))
+        .select("doc_id", F.xxhash64(F.col("w")).alias("h"))
+    )
+    aggs = [
+        F.sum(F.getbit(F.col("h"), F.lit(b))).alias(f"c{b}") for b in range(64)
+    ] + [F.count(F.lit(1)).alias("n_tok")]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    # bit b set iff count_b > n_tok/2; distinct bit values sum without
+    # overlap (b=63 is the sign bit: use the signed long min-value)
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    sim = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"c{b}") * 2 > F.col("n_tok"), F.lit(bit_vals[b])
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    sim_df = per_doc.select("doc_id", sim.alias("simhash"))
+    return sim_df.select(
+        "doc_id",
+        "simhash",
+        F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket16"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=None,  # pairwise set-similarity via hashed shingles → rows-only
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on LSH-blocked candidates: inverted-index
+    join on shingle hashes → |A∩B| per pair → Jaccard via
+    |A∪B| = |A|+|B|-|A∩B|. The shuffle is bounded by shingle-hash
+    buckets (inverted index), not all pairs. Returns pairs with
+    jaccard >= 0.5.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wdf = exploded_words(d).filter(F.size("words") >= 5)
+    # second explode(array(...)) barrier binds sh so n_sh doesn't
+    # re-evaluate the shingle hashing
+    docs = wdf.select(
+        "doc_id",
+        F.explode(F.array(F.array_distinct(shingle_hashes_col("words")))).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # inverted index: posting list per shingle, join-free pair
+    # expansion (same pattern as dedup_minhash_lsh — the upstream
+    # shingle pipeline runs once, not per join side)
+    postings = (
+        docs.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(
+                    F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
+                    F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
+                    F.when(a["doc_id"] < b["doc_id"], a["n_sh"])
+                    .otherwise(b["n_sh"])
+                    .alias("n_a"),
+                    F.when(a["doc_id"] < b["doc_id"], b["n_sh"])
+                    .otherwise(a["n_sh"])
+                    .alias("n_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)

@@ -1,0 +1,157 @@
+"""Event-time window operators over the ``events`` table — the batch
+expressions of the streaming semantics (tumbling / sliding / session
+windows, JSON extraction). The Structured Streaming counterparts (same
+logical windows over readStream, with watermarks) live in
+firstamerican_etl_spark/streaming/.
+
+Oracle parity notes: tumbling = date_trunc; sliding windows (1h width,
+30m slide) are expressed as an explode into the exactly-2 covering
+windows per event — identical to Spark's epoch-aligned F.window
+assignment; sessions use the classic lag/gap/cumsum islands idiom so
+both engines compute identical session boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window", "tumbling"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Uses F.window (the same
+    operator the streaming path uses) and projects window.start —
+    epoch-aligned, so it equals date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+)
+SELECT window_start, count(*) AS n_events, floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM assigned
+GROUP BY 1
+""",
+    tags=("events", "window", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour width, 30-minute slide. Every event
+    falls in exactly 2 windows (width/slide); Spark's F.window emits
+    both assignments, the oracle reproduces them by exploding the two
+    epoch-aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER w2 AS session_id
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("events", "window", "session"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the islands
+    idiom (lag → gap flag → running sum = session id). Batch-mode
+    equivalent of session_window(ts, '30 minutes'); the streaming
+    module uses the native operator. Two window specs over one
+    partitioning → a single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double epoch-seconds keeps sub-second precision (long would
+    # truncate and disagree with the oracle's exact interval compare)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wcum).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON-ish props column
+    (get_json_object — JVM-side JSON path)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )

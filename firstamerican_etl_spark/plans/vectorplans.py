@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k as the exact baseline, plus an
+LSH-bucketed variant as the scale path.
+
+All vector math is built-in array expressions (``zip_with`` +
+``aggregate`` fold) — JVM-side, no Python per row. Arrays are cast to
+double before arithmetic so the fold matches the oracle's
+double-precision result bit-for-bit after rounding.
+
+Scale design: brute force is O(Q·N) — fine when Q (query set) is
+small and broadcast; the LSH variant buckets by random-hyperplane
+signs so candidate generation is an equi-join on bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential left fold — deterministic order, so
+    bit-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       floor(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x * x), 'sum')) * 10000 + 0.5) / 10000 AS l2
+FROM embeddings
+""",
+    tags=("vector", "norm"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing check: dimension + L2 norm per embedding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        stable_round(l2_norm(v), 4).alias("l2"),
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT q_id, c_id,
+         floor(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               * 10000 + 0.5) / 10000 AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q_id <> c_id
+)
+SELECT q_id, c_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, c_id
+  ) AS rn
+  FROM sims
+) WHERE rn <= 3
+""",
+    tags=("vector", "knn", "bruteforce"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-3 cosine neighbors for each query vector
+    (vec_id < 5). The small query side is broadcast, so the corpus
+    streams through one map stage — no corpus shuffle; top-k per query
+    via window. Deterministic tie-break on candidate id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            stable_round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        sims,
+        partition_by=["q_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("c_id")],
+        k=3,
+        rank_col="__rn",
+    ).select("q_id", "c_id", "cos_sim")
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=None,  # random-hyperplane LSH buckets aren't ANSI-SQL-expressible
+    tags=("vector", "knn", "lsh"),
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane (sign) LSH.
+
+    8 deterministic pseudo-random hyperplanes (seeded per-index via
+    xxhash64 of (dim_index, plane)) → 8-bit bucket signature; vectors
+    meet only within a bucket. Candidate generation = equi-join on
+    bucket, so cost is Σ bucket² instead of N². Returns per-bucket
+    occupancy plus intra-bucket top-1 neighbor for vec_id < 5.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+
+    def plane_proj(vec: Column, plane: int) -> Column:
+        # pseudo-random ±1 weights per (position, plane), derived from
+        # xxhash64 — deterministic across runs and partitionings
+        weighted = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x
+            * F.when(F.xxhash64(i, F.lit(plane)).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = sum(
+        (F.when(plane_proj(v, p) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(1, 8)),
+        F.when(plane_proj(v, 0) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bucketed = e.select("vec_id", v.alias("vd"), sig.alias("bucket"))
+    a = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("c_id"), F.col("vd").alias("cv"), "bucket"
+    )
+    sims = (
+        a.join(b, on="bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "bucket",
+            stable_round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        sims,
+        partition_by=["q_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("c_id")],
+        k=1,
+        rank_col="__rn",
+    ).select("q_id", "c_id", "bucket", "cos_sim")

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference runs one Polars process on a 32-task / 175 GB node
+(reference: fa-etl.sbatch:3-13). Here the equivalent "engine bring-up" is
+a SparkSession tuned for either local[N] testing or a real cluster:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  replaces the reference's hand-tuned ``low_memory`` / ``force_parallel``
+  knobs (fa-etl.py:60, 459-465) with Catalyst runtime adaptivity.
+- shuffle.partitions sized to cores locally; at cluster scale AQE
+  coalesces from a high initial number, so the same code scales.
+- UTC session timezone so results are byte-comparable with a
+  timezone-naive oracle (DuckDB) and across clusters.
+- Arrow enabled for the pandas-UDF extension operators.
+- ANSI off: casts/date-parses must yield NULL on malformed input, not
+  error, to match the reference's ``ignore_errors``/``strict=False``
+  CSV semantics (fa-etl.py:60, 70-72).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "firstamerican_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    On a real cluster, pass ``master=None`` with spark-submit providing
+    the master URL; locally this defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # files.maxPartitionBytes default 128m is right for the 100 TB
+        # target (one task per row-group-ish split); leave it alone.
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

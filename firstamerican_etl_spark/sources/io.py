@@ -1,0 +1,137 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S8).
+
+Reference behavior re-expressed Spark-first:
+
+- S1 zip prep: the reference extracts ``.txt.zip`` driver-side before
+  scanning (fa-etl.py:53-55 etc.). Spark has no zip codec (gzip would be
+  transparent), so we keep driver-side extraction — ``extract_zips``.
+- S2 CSV scan: ``pl.scan_csv(sep='|', ignore_errors=True,
+  truncate_ragged_lines=True, infer_schema_length=1000)`` (fa-etl.py:60)
+  → ``spark.read.csv`` with an *explicit* schema and PERMISSIVE mode.
+  Explicit schemas beat inference at 100 TB (inference is an extra pass
+  over the data); PERMISSIVE nulls malformed cells like ``ignore_errors``.
+- S3/S4 parquet scan/sink: row-group parallel scans, statistics pruning
+  and partition discovery are automatic in Spark's parquet source; sinks
+  stream from executors (never through the driver) with snappy.
+- S5: the reference's eager ``collect(streaming=True)`` +
+  ``write_parquet`` split (fa-etl.py:107-110) is a Polars memory
+  workaround — in Spark a single ``df.write`` is already distributed
+  and out-of-core; never collect to the driver.
+- S6 idempotent skip: path-exists guards (fa-etl.py:45-47; note the
+  precedence bug at fa-etl.py:323 which we fix, not replicate) →
+  ``output_exists`` checks the parquet dir ``_SUCCESS`` marker.
+- S7 rollback: Spark's FileOutputCommitter makes partial task output
+  invisible; ``mode=overwrite`` covers re-runs.
+- S8 temp-file dataflow: not needed — plans stay lazy end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical test tables (driver-provided, /root/repo/TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table from a scale-factor dir.
+
+    The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long (runtime conf) and convert to a
+    microsecond timestamp — integer division, never double (epoch-nanos
+    exceed 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "|",
+    header: bool = True,
+) -> DataFrame:
+    """Pipe-delimited CSV scan with null-on-malformed semantics.
+
+    Mirrors ``pl.scan_csv(separator='|', ignore_errors=True,
+    truncate_ragged_lines=True)`` (fa-etl.py:60): PERMISSIVE mode turns
+    unparseable cells into NULL and drops extra tokens on ragged rows.
+    """
+    return (
+        spark.read.options(sep=sep, header=str(header).lower(), mode="PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Streaming parquet sink (fa-etl.py:84 et al. → df.write).
+
+    ``partition_by`` enables hive-style layout (e.g. by FIPS/county for
+    the 100 TB national run) so later scans get partition pruning.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def output_exists(path: str) -> bool:
+    """Idempotent-resume guard: a parquet dir is complete iff _SUCCESS
+    exists (fixes the operator-precedence bug at fa-etl.py:323 instead of
+    replicating bare os.path.exists)."""
+    p = Path(path)
+    return p.is_dir() and (p / "_SUCCESS").exists()
+
+
+def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
+    """Driver-side ``.txt.zip`` extraction (fa-etl.py:53-55).
+
+    Zip is not a splittable/transparent codec for Spark's text source, so
+    extraction stays out-of-band. At cluster scale this step belongs in
+    the ingest layer (or a binaryFile + mapInPandas decompressor); for
+    the reference's per-county files, driver-side unzip matches.
+    Returns the list of extracted file paths.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    extracted: list[str] = []
+    for zp in zip_paths:
+        with zipfile.ZipFile(zp) as zf:
+            for member in zf.namelist():
+                zf.extract(member, out_dir)
+                extracted.append(os.path.join(out_dir, member))
+    return extracted
