@@ -1,0 +1,221 @@
+"""Pipeline orchestration — the reference's ``main()`` (fa-etl.py:510-615)
+re-expressed for Spark, operators O1-O7 (SURVEY.md §2.11).
+
+Differences from the reference, by design:
+
+- **Many files per family** (the reference's ``#@TODO: generalize this
+  to multiple files``, fa-etl.py:581-582): all county files of a family
+  are read together (Spark's multi-path reader ≡ unionByName on a
+  common staging schema) so the unified merge covers every county.
+- **No temp parquet round-trips**: each family is one lazy plan from
+  raw CSV to staged parquet; ranked outputs reuse the staged frames.
+- **Idempotent resume** via the ``_SUCCESS`` marker (fixes the
+  precedence bug at fa-etl.py:323 — ``not a & b`` ≡ ``(not a) & b`` —
+  rather than replicating it).
+- **Partitioned staging**: staged/unified parquet can be written
+  partitioned by FIPS (county), mirroring the reference's per-county
+  file layout so a national 100 TB run gets partition pruning.
+
+CLI (O1, fa-etl.py:600-609)::
+
+    python -m firstamerican_etl_spark.pipeline.run \
+        --input_dir DIR --log_file LOG \
+        --annual_file_string Prop --value_history_file_string ValHist
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from firstamerican_etl_spark.pipeline.convert import (
+    clean_deed,
+    clean_prop,
+    clean_taxhist,
+    clean_valhist,
+    rank_deed,
+    read_family_csv,
+    valhist_long,
+)
+from firstamerican_etl_spark.pipeline.unify import unify
+from firstamerican_etl_spark.sources.io import extract_zips, output_exists, write_parquet
+
+log = logging.getLogger("fa_pipeline")
+
+#: family key → (clean fn, ranked fn or None)
+_FAMILY_STAGES = {
+    "deed": (clean_deed, rank_deed),
+    "prop": (clean_prop, None),
+    "taxhist": (clean_taxhist, None),
+    "valhist": (clean_valhist, valhist_long),
+}
+
+
+def discover_families(
+    raw_dir: str, annual_file_string: str, value_history_file_string: str
+) -> dict[str, list[str]]:
+    """File-family discovery by filename substring (O3, fa-etl.py:533-539;
+    naming variants Prop|Annual, ValHist|ValueHistory per fa-etl.sh:10-11
+    vs fa-etl.sbatch:28-29)."""
+    filenames = sorted(
+        f for f in os.listdir(raw_dir) if os.path.isfile(os.path.join(raw_dir, f))
+    )
+    markers = {
+        "deed": "Deed",
+        "prop": annual_file_string,
+        "taxhist": "TaxHist",
+        "valhist": value_history_file_string,
+    }
+    return {
+        fam: [f for f in filenames if marker in f] for fam, marker in markers.items()
+    }
+
+
+def preflight(families: dict[str, list[str]], where: str) -> None:
+    """Abort unless ≥1 file of each family (O4, fa-etl.py:541-545)."""
+    missing = [fam for fam, files in families.items() if not files]
+    if missing:
+        raise FileNotFoundError(
+            f"{where} is missing required file families: {missing}"
+        )
+
+
+def _prepare_inputs(
+    raw_dir: str, unzipped_dir: str, filenames: list[str]
+) -> list[str]:
+    """Zip prep (S1/O7, fa-etl.py:53-55): ``.txt.zip`` → txt driver-side
+    (zip is not a splittable codec for Spark's text source); plain
+    ``.txt``/``.csv`` pass through untouched."""
+    paths: list[str] = []
+    zips = [os.path.join(raw_dir, f) for f in filenames if f.endswith(".zip")]
+    plain = [os.path.join(raw_dir, f) for f in filenames if not f.endswith(".zip")]
+    if zips:
+        paths.extend(extract_zips(zips, unzipped_dir))
+    paths.extend(plain)
+    return paths
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    annual_file_string: str = "Prop",
+    value_history_file_string: str = "ValHist",
+    partition_staging_by_fips: bool = False,
+    validate: bool = False,
+) -> DataFrame:
+    """Full ETL (O2-O7): raw/*.txt.zip → staging/*.parquet → unified/merged.
+
+    Returns the merged DataFrame (also written to
+    ``input_dir/unified/merged.parquet``). Stages whose staged output
+    already exists (``_SUCCESS``) are skipped (S6 idempotent resume).
+    """
+    raw_dir = os.path.join(input_dir, "raw")
+    staging_dir = os.path.join(input_dir, "staging")
+    unzipped_dir = os.path.join(input_dir, "unzipped")
+    unified_dir = os.path.join(input_dir, "unified")
+    for d in (staging_dir, unzipped_dir, unified_dir):
+        os.makedirs(d, exist_ok=True)
+    if not os.path.isdir(raw_dir):
+        raise FileNotFoundError(f"no raw/ subdirectory under {input_dir}")
+
+    families = discover_families(raw_dir, annual_file_string, value_history_file_string)
+    log.info("files to process: %s", families)
+    preflight(families, raw_dir)
+
+    staged_paths: dict[str, str] = {}
+    ranked_paths: dict[str, str] = {}
+    for fam, filenames in families.items():
+        clean_fn, rank_fn = _FAMILY_STAGES[fam]
+        staged_path = os.path.join(staging_dir, fam)
+        staged_paths[fam] = staged_path
+        ranked_path = os.path.join(staging_dir, f"ranked_{fam}")
+
+        if not output_exists(staged_path):
+            txts = _prepare_inputs(raw_dir, unzipped_dir, filenames)
+            log.info("converting %s: %d file(s)", fam, len(txts))
+            # one multi-path scan = unionByName across county files on
+            # the common staging schema (resolves fa-etl.py:581 TODO)
+            raw = read_family_csv(spark, txts, fam)
+            staged = clean_fn(raw)
+            write_parquet(
+                staged,
+                staged_path,
+                partition_by=["FIPS"]
+                if partition_staging_by_fips and "FIPS" in staged.columns
+                else None,
+            )
+        else:
+            log.info("%s staged output exists — skipping (S6)", fam)
+
+        if rank_fn is not None:
+            ranked_paths[fam] = ranked_path
+            if not output_exists(ranked_path):
+                staged_df = spark.read.parquet(staged_path)
+                ranked = (
+                    rank_fn(staged_df, validate=validate)
+                    if fam == "valhist"
+                    else rank_fn(staged_df)
+                )
+                write_parquet(ranked, ranked_path)
+            else:
+                log.info("%s ranked output exists — skipping (S6)", fam)
+
+    # unified merge (fa-etl.py:583-589), re-reading staged parquet so the
+    # merge plan starts from columnar scans with stats pruning
+    merged = unify(
+        ranked_valhist=spark.read.parquet(ranked_paths["valhist"]),
+        prop=spark.read.parquet(staged_paths["prop"]),
+        ranked_deed=spark.read.parquet(ranked_paths["deed"]),
+        taxhist=spark.read.parquet(staged_paths["taxhist"]),
+    )
+    merged_path = os.path.join(unified_dir, "merged.parquet")
+    write_parquet(merged, merged_path)
+
+    # temp hygiene (O7, fa-etl.py:592-595)
+    shutil.rmtree(unzipped_dir, ignore_errors=True)
+    return spark.read.parquet(merged_path)
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="FA ETL: raw .txt.zip extracts → unified merged parquet"
+    )
+    parser.add_argument("--input_dir", required=True)
+    parser.add_argument("--log_file", required=True)
+    parser.add_argument("--annual_file_string", default="Prop")
+    parser.add_argument("--value_history_file_string", default="ValHist")
+    parser.add_argument("--partition_by_fips", action="store_true")
+    parser.add_argument("--validate", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        filename=args.log_file,
+        format="%(asctime)s:%(message)s",
+        level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    from firstamerican_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="fa_pipeline")
+    try:
+        merged = run_pipeline(
+            spark,
+            args.input_dir,
+            args.annual_file_string,
+            args.value_history_file_string,
+            partition_staging_by_fips=args.partition_by_fips,
+            validate=args.validate,
+        )
+        log.info("merged schema: %s", merged.schema.simpleString())
+    except Exception:
+        log.exception("pipeline failed")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""The unified merge (fa-etl.py:429-483) as one Spark plan.
+
+ranked_valhist ⟕ prop (on PropertyID)
+              ⟕ ranked_deed (PropertyID, Year = RecordingYear)
+              ⟕ taxhist     (PropertyID, Year = TaxYear)
+→ filter SaleAmt IS NOT NULL → drop helper columns.
+
+Scale design (100 TB): every probe-side join keys on PropertyID, so the
+valhist side shuffles once and the exchange is reused across J3-J5; the
+trailing null-reject lets Catalyst's EliminateOuterJoin rewrite the deed
+join to inner, shrinking the build side before the taxhist join. AQE
+splits skewed PropertyIDs (dense counties) at runtime. Output is 17
+columns (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Helper columns dropped before the final sink (fa-etl.py:480-481).
+#: AssessmentUsed is already consumed inside valhist_long; the reference
+#: lists it in the drop anyway (Polars ignores the missing name).
+_DROP_COLS = [
+    "PropertyClassID",
+    "FATimeStamp",
+    "SitusGeoStatusCode",
+    "FIPS_SitusCensusTract",
+    "AssessmentUsed",
+]
+
+#: The 17-column unified schema (SURVEY.md §1.4; scratch.ipynb cell-8).
+MERGED_COLUMNS = [
+    "PropertyID", "Year", "Value", "MarketTotalValue", "ApprTotalValue",
+    "SitusLatitude", "SitusLongitude", "SitusFullStreetAddress", "SitusCity",
+    "SitusState", "SitusZIP5", "FIPS", "SitusCensusTract", "SitusCensusBlock",
+    "SaleAmt", "TaxAmt", "TaxAmtAdjusted",
+]
+
+
+def unify(
+    ranked_valhist: DataFrame,
+    prop: DataFrame,
+    ranked_deed: DataFrame,
+    taxhist: DataFrame,
+    broadcast_prop: bool = False,
+) -> DataFrame:
+    """4-way left-join cascade + sale filter (fa-etl.py:459-482).
+
+    ``broadcast_prop=True`` hints a broadcast-hash join for the prop
+    side when a county's prop table fits in executor memory — the
+    analogue of the reference's ``force_parallel=True`` (fa-etl.py:463),
+    except Catalyst/AQE picks the strategy when the hint is absent.
+    """
+    prop_side = F.broadcast(prop) if broadcast_prop else prop
+
+    merged = (
+        ranked_valhist.join(prop_side, on="PropertyID", how="left")
+        .join(
+            ranked_deed.withColumnRenamed("RecordingYear", "Year"),
+            on=["PropertyID", "Year"],
+            how="left",
+        )
+        .join(
+            taxhist.withColumnRenamed("TaxYear", "Year"),
+            on=["PropertyID", "Year"],
+            how="left",
+        )
+        .filter(F.col("SaleAmt").isNotNull())
+    )
+    keep = [c for c in merged.columns if c not in _DROP_COLS]
+    return merged.select(*keep)

@@ -1,0 +1,251 @@
+"""Golden pipeline test (SURVEY.md §5.2): synthesize the FA-shaped
+fixtures from FIXTURES.md §A as pipe-delimited .txt.zip files across two
+synthetic counties (06037 with a leading-zero FIPS, 36061), run the full
+pipeline, and assert staged/ranked/merged semantics against the
+reference's behavior (fa-etl.py:20-483).
+
+Edge cases exercised:
+- null / zero / negative SaleAmt (dropped)
+- malformed compact dates (→ null)
+- FIPS / ZIP / tract / block needing leading-zero lpad restoration
+- TransactionType + GeoStatusCode domain whitelists
+- (PropertyID, year) sale ties → exactly one ranked row
+- zero lat/long → null
+- null census tract → FIPS_SitusCensusTract falls back to bare FIPS
+- zero AssdTotalValue → cascade falls through → row dropped by the
+  AssessmentUsed=='Assd' filter
+- county 06037 has an entirely empty appr side (fa-etl.py:370-391)
+- merged = exactly 17 columns, ≤1 row per (PropertyID, Year),
+  Value == AssdTotalValue everywhere, SaleAmt never null
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.pipeline.run import run_pipeline
+from firstamerican_etl_spark.pipeline.unify import MERGED_COLUMNS
+
+DEED_HEADER = "PropertyID|SaleAmt|RecordingDate|FIPS|FATimeStamp|FATransactionID|TransactionType|SaleDate|ExtraCol"
+PROP_HEADER = (
+    "PropertyID|PropertyClassID|FATimeStamp|SitusLatitude|SitusLongitude"
+    "|SitusFullStreetAddress|SitusCity|SitusState|SitusZIP5|FIPS"
+    "|SitusCensusTract|SitusCensusBlock|SitusGeoStatusCode"
+)
+TAXHIST_HEADER = "PropertyID|TaxYear|TaxAmt"
+VALHIST_HEADER = (
+    "PropertyID|AssdTotalValue|AssdYear|MarketTotalValue|MarketValueYear"
+    "|ApprTotalValue|ApprYear|TaxableYear"
+)
+
+# County 36061 deed rows. Property 1: two 2020 sales (tie on date) + one
+# 2021 sale; property 2: one qualifying and one non-qualifying sale;
+# property 3: rows that all fail cleaning filters.
+DEED_36061 = [
+    "1|100000|20200315|36061|20200316|1A99|2|20200314",   # qualifying
+    "1|120000|20200315|36061|20200316|6B01|3|20200314",   # tie date, qualifying
+    "1|150000|20210601|36061|20210602|1C11|2|20210530",   # 2021 sale
+    "2|80000|20190710|36061|20190711|6D77|3|20190709",    # qualifying
+    "2|90000|20190801|36061|20190802|9E55|2|20190731",    # FATransactionID_1='9' → flag 0
+    "2|85000|20190901|36061|20190902|1F66|8|20190830",    # TransactionType '8' → null → flag 0
+    "3||20200101|36061|20200102|1G11|2|20191231",         # null SaleAmt → dropped
+    "3|0|20200101|36061|20200102|1H11|2|20191231",        # zero SaleAmt → dropped
+    "3|-5|20200101|36061|20200102|1I11|2|20191231",       # negative → dropped
+    "|70000|20200101|36061|20200102|1J11|2|20191231",     # null PropertyID → dropped
+    "4|60000|notadate|36061|20200102|1K11|2|20191231",    # bad RecordingDate → null year
+]
+# County 06037 (leading-zero FIPS arrives as 4-digit "6037")
+DEED_06037 = [
+    "10|500000|20200505|6037|20200506|1M11|2|20200504",
+    "11|450000|20210505|6037|20210506|6N11|3|20210504",
+]
+
+PROP_36061 = [
+    "1|R|20200101|40.7|-74.0|123 MAIN ST|NEW YORK|NY|10001|36061|000100|1001|A",
+    "2|R|20200101|0|0|456 OAK AVE|NEW YORK|NY|2134|36061||1002|5",   # zero latlong→null; 4-digit zip; null tract
+    "3|C|20200101|40.8|-74.1|789 ELM ST|NEW YORK|NY|10003|36061|000300|1003|7",  # class C → dropped
+    "5|R|20200101|40.9|-74.2|12 PINE RD|NEW YORK|NY|10004|36061|300|0042|Z",  # tract lpad to 6; code Z → null
+]
+PROP_06037 = [
+    "10|R|20200101|34.05|-118.24|1 SUNSET BLVD|LOS ANGELES|CA|90001|6037|123456|0001|B",
+    "11|R|20200101|34.06|-118.25|2 VINE ST|LOS ANGELES|CA|90002|6037|654321|0002|X",
+]
+
+TAXHIST_36061 = [
+    "1|2020|1234500",
+    "1|2021|1300000",
+    "2|2019|890000",
+    "9|2020|50000",  # property with no valhist → never reaches merged
+]
+TAXHIST_06037 = [
+    "10|2020|2000000",
+    "11|2021|2100000",
+]
+
+# ValHist: (value, year) pairs per assessment type.
+# Property 1: assd 2020+2021; market 2020; appr 2021.
+# Property 2: assd 2019 zero value (cascade falls to market → filtered out);
+#             assd 2019 is the ONLY (2,2019) assd row with value 0.
+# Property 5: assd with null year → excluded from the assd slice.
+VALHIST_36061 = [
+    "1|300000|2020|310000|2020|320000|2021|2020",
+    "1|305000|2021|||||2021",
+    "2|0|2019|200000|2019|||2019",
+    "5|400000||||||",
+]
+# County 06037: appr side entirely empty (fa-etl.py:370-391 branch)
+VALHIST_06037 = [
+    "10|900000|2020|910000|2020|||2020",
+    "11|950000|2021|||||2021",
+]
+
+
+def _write_zip(raw_dir: str, name: str, header: str, rows: list[str]) -> None:
+    txt = f"{name}.txt"
+    txt_path = os.path.join(raw_dir, txt)
+    with open(txt_path, "w") as f:
+        f.write(header + "\n")
+        f.write("\n".join(rows) + "\n")
+    with zipfile.ZipFile(os.path.join(raw_dir, f"{txt}.zip"), "w") as zf:
+        zf.write(txt_path, arcname=txt)
+    os.remove(txt_path)
+
+
+@pytest.fixture(scope="module")
+def fa_dirs(spark, tmp_path_factory):
+    input_dir = str(tmp_path_factory.mktemp("fa_input"))
+    raw_dir = os.path.join(input_dir, "raw")
+    os.makedirs(raw_dir)
+    _write_zip(raw_dir, "Deed36061", DEED_HEADER, DEED_36061)
+    _write_zip(raw_dir, "Deed06037", DEED_HEADER, DEED_06037)
+    _write_zip(raw_dir, "Prop36061", PROP_HEADER, PROP_36061)
+    _write_zip(raw_dir, "Prop06037", PROP_HEADER, PROP_06037)
+    _write_zip(raw_dir, "TaxHist36061", TAXHIST_HEADER, TAXHIST_36061)
+    _write_zip(raw_dir, "TaxHist06037", TAXHIST_HEADER, TAXHIST_06037)
+    _write_zip(raw_dir, "ValHist36061", VALHIST_HEADER, VALHIST_36061)
+    _write_zip(raw_dir, "ValHist06037", VALHIST_HEADER, VALHIST_06037)
+    merged = run_pipeline(spark, input_dir, validate=True)
+    return input_dir, merged
+
+
+def test_staged_deed(spark, fa_dirs):
+    input_dir, _ = fa_dirs
+    deed = spark.read.parquet(os.path.join(input_dir, "staging", "deed"))
+    rows = {r["PropertyID"]: r for r in deed.collect() if r["PropertyID"] == 4}
+    # cleaning filters: null/zero/negative SaleAmt and null PropertyID gone
+    assert deed.filter(F.col("SaleAmt") <= 0).count() == 0
+    assert deed.filter(F.col("PropertyID").isNull()).count() == 0
+    # malformed RecordingDate → null date and year, row retained
+    assert rows[4]["RecordingDate"] is None
+    assert rows[4]["RecordingYear"] is None
+    assert rows[4]["RecordingYearSlice"] == "nota"
+    # FIPS lpad on the 06037 county
+    fips = {r["FIPS"] for r in deed.select("FIPS").distinct().collect()}
+    assert fips == {"36061", "06037"}
+    # SaleFlag heuristic
+    flags = {
+        (r["PropertyID"], r["RecordingYear"], r["SaleAmt"]): r["SaleFlag"]
+        for r in deed.collect()
+    }
+    assert flags[(2, 2019, 80000)] == 1
+    assert flags[(2, 2019, 90000)] == 0  # first char '9'
+    assert flags[(2, 2019, 85000)] == 0  # TransactionType whitelisted away
+
+
+def test_ranked_deed_grain(spark, fa_dirs):
+    input_dir, _ = fa_dirs
+    ranked = spark.read.parquet(os.path.join(input_dir, "staging", "ranked_deed"))
+    assert ranked.columns == ["PropertyID", "SaleAmt", "RecordingYear"]
+    # exactly one row per (PropertyID, RecordingYear)
+    dupes = (
+        ranked.groupBy("PropertyID", "RecordingYear").count().filter("count > 1")
+    )
+    assert dupes.count() == 0
+    got = {
+        (r["PropertyID"], r["RecordingYear"]): r["SaleAmt"] for r in ranked.collect()
+    }
+    # tie on (1, 2020): exactly one survivor, deterministically chosen
+    assert (1, 2020) in got and got[(1, 2020)] in (100000, 120000)
+    assert got[(1, 2021)] == 150000
+    assert got[(2, 2019)] == 80000  # only the qualifying sale competes
+    # determinism across re-runs: re-rank from staging and compare
+    from firstamerican_etl_spark.pipeline.convert import rank_deed
+
+    staged = spark.read.parquet(os.path.join(input_dir, "staging", "deed"))
+    again = {
+        (r["PropertyID"], r["RecordingYear"]): r["SaleAmt"]
+        for r in rank_deed(staged).collect()
+    }
+    assert got == again
+
+
+def test_staged_prop(spark, fa_dirs):
+    input_dir, _ = fa_dirs
+    prop = spark.read.parquet(os.path.join(input_dir, "staging", "prop"))
+    rows = {r["PropertyID"]: r for r in prop.collect()}
+    assert 3 not in rows  # class 'C' dropped
+    assert rows[2]["SitusLatitude"] is None and rows[2]["SitusLongitude"] is None
+    assert rows[2]["SitusZIP5"] == "02134"  # lpad
+    assert rows[5]["SitusCensusTract"] == "000300"  # lpad 6
+    assert rows[5]["SitusGeoStatusCode"] is None  # 'Z' not whitelisted
+    assert rows[10]["FIPS"] == "06037"
+    # tract fallback: null tract → bare FIPS, no trailing separator
+    assert rows[2]["FIPS_SitusCensusTract"] == "36061"
+    assert rows[1]["FIPS_SitusCensusTract"] == "36061_000100"
+
+
+def test_valhist_cascade(spark, fa_dirs):
+    input_dir, _ = fa_dirs
+    rv = spark.read.parquet(os.path.join(input_dir, "staging", "ranked_valhist"))
+    assert rv.columns == ["PropertyID", "Year", "Value", "MarketTotalValue", "ApprTotalValue"]
+    rows = {(r["PropertyID"], r["Year"]): r for r in rv.collect()}
+    # zero assd value falls through the cascade → AssessmentUsed!='Assd' → dropped
+    assert (2, 2019) not in rows
+    # null AssdYear excluded from the assd slice
+    assert all(pid != 5 for pid, _ in rows)
+    # Value always equals AssdTotalValue on surviving rows
+    assert rows[(1, 2020)]["Value"] == 300000
+    assert rows[(1, 2020)]["MarketTotalValue"] == 310000
+    assert rows[(1, 2020)]["ApprTotalValue"] is None  # appr year was 2021
+    assert rows[(1, 2021)]["Value"] == 305000
+    assert rows[(1, 2021)]["ApprTotalValue"] == 320000
+    # empty-appr county still has the ApprTotalValue column, all null
+    assert rows[(10, 2020)]["ApprTotalValue"] is None
+
+
+def test_merged_golden(spark, fa_dirs):
+    _, merged = fa_dirs
+    assert sorted(merged.columns) == sorted(MERGED_COLUMNS)
+    assert len(merged.columns) == 17
+    rows = {(r["PropertyID"], r["Year"]): r for r in merged.collect()}
+    # grain: ≤1 row per (PropertyID, Year)
+    assert merged.groupBy("PropertyID", "Year").count().filter("count > 1").count() == 0
+    # only rows with a ranked sale survive
+    assert merged.filter(F.col("SaleAmt").isNull()).count() == 0
+    # property 1, 2020: sale + tax + geo all joined
+    r = rows[(1, 2020)]
+    assert r["Value"] == 300000
+    assert r["SaleAmt"] in (100000, 120000)
+    assert r["TaxAmt"] == 1234500
+    assert r["TaxAmtAdjusted"] == pytest.approx(12345.0)
+    assert r["SitusCity"] == "NEW YORK"
+    # cross-county row from the leading-zero county
+    r10 = rows[(10, 2020)]
+    assert r10["FIPS"] == "06037"
+    assert r10["SaleAmt"] == 500000
+    # (2, 2019) died in the cascade even though a sale exists
+    assert (2, 2019) not in rows
+
+
+def test_idempotent_resume(spark, fa_dirs):
+    """S6: a second run with staged outputs present skips conversion and
+    still produces the same merged result."""
+    input_dir, merged = fa_dirs
+    before = sorted(map(str, merged.collect()))
+    merged2 = run_pipeline(spark, input_dir)
+    after = sorted(map(str, merged2.collect()))
+    assert before == after
