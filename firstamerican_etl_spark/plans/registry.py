@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         vectorplans,
         eventplans,
         dedupplans,
+        streamingplans,
     )
 
     return REGISTRY

@@ -1,0 +1,136 @@
+"""Registry entries that execute the REAL Structured Streaming path
+(readStream → watermarked agg → availableNow drain → sink) over the
+driver's events table, so the correctness gate covers streaming, not
+just its batch twins.
+
+Each call stages the events table as timestamp-clean parquet in a fresh
+temp dir (the file-stream source needs a declared schema and no
+nano-timestamps), drains with trigger(availableNow=True) into a memory
+sink, and returns the sink table. Deterministic per run → the tumbling
+variant carries a full SQL oracle; the custom stateful operator is
+rows-only (its emission rule — closed sessions only — has no ANSI
+equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.streaming.stateful import sessionize_with_state
+from firstamerican_etl_spark.streaming.windows import read_events_stream
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[str, str]:
+    """Write events as clean parquet into a temp landing dir; returns
+    (landing, checkpoint). Keyed by sf_dir so repeat calls reuse it."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"fa_spark_stream_{tag}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    landing = os.path.join(base, "landing")
+    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(landing)
+    ckpt = tempfile.mkdtemp(prefix=f"fa_stream_ckpt_{tag}_")
+    return landing, ckpt
+
+
+def _drain(stream_df: DataFrame, name: str, ckpt: str, mode: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window", "tumbling"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling window executed via Structured Streaming
+    (file source → availableNow → memory sink), complete mode so every
+    window is emitted; result equals the batch/SQL aggregation exactly.
+    """
+    landing, ckpt = _stage_events(spark, sf_dir, "tumble")
+    stream = (
+        read_events_stream(spark, landing)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_tumble_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(stream, name, ckpt, "complete")
+
+
+@register(
+    "streaming_sessionize_stateful",
+    oracle=None,  # custom stateful emission (closed-sessions-only) is not ANSI-SQL-expressible
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState, event-time
+    timeout) drained over the events stream. Emits CLOSED sessions; a
+    per-user far-future closer row is appended to the landing data so
+    the watermark passes every real session's horizon and the emission
+    set is deterministic."""
+    base_landing, ckpt = _stage_events(spark, sf_dir, "sess")
+    # landing + closers in a separate dir so the shared staged copy stays pure
+    landing = tempfile.mkdtemp(prefix="fa_stream_sess_land_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(2).write.mode("overwrite").parquet(landing)
+    closer = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.lit("closer").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    closer.coalesce(1).write.mode("append").parquet(landing)
+    stream = sessionize_with_state(
+        read_events_stream(spark, landing, max_files_per_trigger=2),
+        gap_seconds=1800,
+        watermark="1 minute",
+    )
+    name = f"stream_sess_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(stream, name, ckpt, "append")

@@ -1,0 +1,179 @@
+"""Structured Streaming tests: each streaming transform must agree with
+its batch twin on the same data (parity), and stateful operators must
+emit exactly the closed sessions once the watermark passes.
+
+Technique: the driver events table is rewritten as proper-timestamp
+parquet files into a landing dir (the file-stream source), each query
+drains it with trigger(availableNow=True) into a memory sink, and the
+result is compared against the identical transformation applied to the
+batch DataFrame. Windowed aggs run in 'complete' mode so every window
+is emitted regardless of the final watermark; append-mode operators
+(dedup, custom state) get a far-future closer event to push the
+watermark past all real data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.streaming.stateful import sessionize_with_state
+from firstamerican_etl_spark.streaming.windows import (
+    read_events_stream,
+    sliding_counts,
+    stream_dedup,
+    session_aggregate,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def landing(spark, sf_dir, tmp_path_factory):
+    """Events rewritten as clean timestamp parquet in a landing dir."""
+    d = tmp_path_factory.mktemp("events_landing")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(2).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events"), ev
+
+
+def _drain(stream_df, tmp_path_factory, name, mode):
+    ckpt = str(tmp_path_factory.mktemp(f"ckpt_{name}"))
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_parity(spark, landing, tmp_path_factory):
+    path, ev = landing
+    stream = tumbling_counts(read_events_stream(spark, path))
+    got = _drain(stream, tmp_path_factory, "tumbling", "complete")
+    want = tumbling_counts(ev)  # same transform, batch source
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # sums compare after rounding (shuffle-order float addition)
+    gs = {(r["window_start"], r["event_type"]): round(r["sum_value"], 6) for r in got.collect()}
+    ws = {(r["window_start"], r["event_type"]): round(r["sum_value"], 6) for r in want.collect()}
+    assert gs == ws
+
+
+def test_sliding_parity(spark, landing, tmp_path_factory):
+    path, ev = landing
+    got = _drain(
+        sliding_counts(read_events_stream(spark, path)),
+        tmp_path_factory,
+        "sliding",
+        "complete",
+    )
+    want = sliding_counts(ev)
+    cols = ["window_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_window_parity(spark, landing, tmp_path_factory):
+    path, ev = landing
+    got = _drain(
+        session_aggregate(read_events_stream(spark, path)),
+        tmp_path_factory,
+        "sessions_native",
+        "complete",
+    )
+    want = session_aggregate(ev)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup(spark, landing, tmp_path_factory):
+    """Duplicate rows across files are emitted exactly once."""
+    path, ev = landing
+    dup_dir = str(tmp_path_factory.mktemp("dup_landing"))
+    ev.limit(200).write.mode("overwrite").parquet(dup_dir)
+    ev.limit(200).write.mode("append").parquet(dup_dir)  # exact dupes
+
+    got = _drain(
+        stream_dedup(read_events_stream(spark, dup_dir)),
+        tmp_path_factory,
+        "dedup",
+        "append",
+    )
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_stateful_sessionizer_closes_sessions(spark, landing, tmp_path_factory):
+    """applyInPandasWithState: a second availableNow run whose data
+    pushes the watermark forward fires the event-time timeouts and
+    emits the sessions closed by it."""
+    path, ev = landing
+    land = str(tmp_path_factory.mktemp("state_landing"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    out = str(tmp_path_factory.mktemp("state_out"))
+
+    # keep it small & deterministic: 3 users
+    small = ev.filter(F.col("user_id") < 3)
+    small.coalesce(1).write.mode("overwrite").parquet(land)
+
+    def run_once():
+        # parquet sink: fault-tolerant, so the second run can recover
+        # from the checkpoint (the memory sink cannot)
+        stream = sessionize_with_state(
+            read_events_stream(spark, land), gap_seconds=1800, watermark="1 minute"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    run_once()
+
+    # closer: one far-future event per user pushes the watermark beyond
+    # every real session's (end + gap) horizon
+    closer = small.groupBy("user_id").agg(
+        F.max("event_id").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit("closer").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    closer.coalesce(1).write.mode("append").parquet(land)
+    got = run_once()
+
+    # every real session (computed by the batch islands idiom) closed
+    batch = session_aggregate(small, gap="30 minutes").filter(
+        F.col("n_events") > 0
+    )
+    got_rows = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()
+    }
+    # native session_window start == first event ts; our custom operator
+    # uses the same definition
+    want_rows = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    # the closer events themselves may still be open (not yet timed out)
+    # → compare on the batch sessions only
+    missing = want_rows - got_rows
+    assert not missing, f"sessions never emitted: {sorted(missing)[:5]}"
