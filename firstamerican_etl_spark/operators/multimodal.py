@@ -1,0 +1,241 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched pandas over
+``mapInPandas``.
+
+Pattern (the 100 TB shape):
+
+- assets live in parquet as ``payload: binary`` + ``meta: struct`` —
+  NEVER decoded inside Catalyst expressions; all pixel/sample work
+  happens in vectorized Python batches (Arrow transfer, no per-row
+  pickling)
+- decode / resize / frame-sample are ``mapInPandas`` stages: one
+  executor task per input split, ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` bounds batch memory (payloads are big — set it
+  low for real assets)
+- partitioning: assets are hash-distributed on asset id; a decode stage
+  preserves partitioning (narrow), so chained decode→resize→featurize
+  incurs zero shuffles
+
+Real codecs (PIL/opencv/torchaudio) are NOT in this container, so the
+pixel decoder is gated: ``decode_image_real`` raises
+``NotImplementedError`` unless PIL imports, and the default pipeline
+uses ``fake_decode`` — a deterministic byte-statistics "decode" that
+exercises identical schemas, batch shapes, and row-multiplicity as a
+real decoder would.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried alongside every binary payload.
+ASSET_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", ASSET_META),
+    ]
+)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Materialize a deterministic multimodal table from ``documents``:
+    payload = utf-8 bytes of the text (an opaque blob as far as the
+    engine is concerned), metadata derived from doc_id/text. This is
+    the test stand-in for a real ingest of image/audio bytes — the
+    engine-side handling (binary column + struct metadata) is identical.
+    """
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# ------------------------------------------------------------- decode
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def fake_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder: byte statistics instead of pixel
+    planes. Identical plumbing to a real decoder — consumes (asset_id,
+    payload, meta) Arrow batches, emits one row per asset."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": [m["width"] for m in pdf["meta"]],
+                "height": [m["height"] for m in pdf["meta"]],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "mean_byte": payloads.map(
+                    lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                ),
+                "checksum": payloads.map(lambda b: zlib.crc32(b)).astype("int64"),
+            }
+        )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode stage: binary → per-asset stats. Narrow (no shuffle);
+    Arrow-batched. Swap ``fake_decode`` for a real codec fn with the
+    same signature when the codec libs exist."""
+    return assets.mapInPandas(fake_decode, schema=DECODE_SCHEMA)
+
+
+def decode_image_real(assets: DataFrame) -> DataFrame:
+    """Real pixel decode — requires PIL, which is intentionally absent
+    here. Gate, don't fake: callers get a loud error, not wrong data."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "real image decode needs pillow; this environment ships no "
+            "codec libs — use decode_assets (deterministic fake) instead"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open over payload bytes here")
+
+
+# ------------------------------------------------------------- resize
+
+def resize_assets(assets: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage: shrink payloads so max(width, height) == max_dim,
+    scaling n_bytes proportionally (the fake keeps a prefix of the
+    payload — a real resize re-encodes pixels). Output schema == input
+    schema, so resize stages compose/chain."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_dim / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(payload) * scale * scale))
+                resized = bytes(payload[:keep])
+                out_payload.append(resized)
+                out_meta.append(
+                    {
+                        "format": meta["format"],
+                        "width": nw,
+                        "height": nh,
+                        "n_bytes": len(resized),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=ASSET_SCHEMA)
+
+
+# --------------------------------------------------------- frame sample
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, frame_bytes: int = 256, every: int = 1) -> DataFrame:
+    """Frame sampling: treat the payload as a fixed-frame-size "video"
+    and emit every ``every``-th frame — a row-EXPLODING mapInPandas
+    (one input row → many output rows), the shape a real video
+    frame-sampler has. Frames are fixed byte windows here; a real
+    impl would seek keyframes."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = math.ceil(n / frame_bytes) if n else 0
+                for i in range(0, n_frames, every):
+                    chunk = bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    sums.append(zlib.crc32(chunk))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------ featurization
+
+def featurize(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: payload → fixed-dim float vector (the shape
+    an embedding model produces). Deterministic: dimension j is a
+    scaled 32-bit slice of sha256(payload ‖ j). Output feeds directly
+    into the vector ops (cosine top-k / LSH) over ``array<float>``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def vec(payload: bytes) -> list[float]:
+        out = []
+        for j in range(dim):
+            h = hashlib.sha256(payload + bytes([j])).digest()
+            out.append(int.from_bytes(h[:4], "big") / 2**32)
+        return out
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": pdf["payload"].map(vec),
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=out_schema)

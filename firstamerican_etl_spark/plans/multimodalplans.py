@@ -1,0 +1,139 @@
+"""Multimodal pipeline queries over the ``documents`` table treated as
+binary assets (operators/multimodal.py). The mapInPandas plumbing is
+real; the decoder is the deterministic fake (no codec libs in this
+container), which makes three of the four stages SQL-oracle-checkable —
+the oracle recomputes the byte math the fake decoder performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.operators.multimodal import (
+    decode_assets,
+    documents_as_assets,
+    featurize,
+    frame_sample,
+    resize_assets,
+)
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_as_assets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+    tags=("multimodal", "mapInPandas", "decode"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode stage (Arrow-batched mapInPandas, narrow — zero
+    shuffles): payload + metadata in, per-asset stats out. The oracle
+    re-derives the metadata/byte math; mean_byte/checksum are covered
+    by the rows-only featurize entry."""
+    return decode_assets(_assets(spark, sf_dir)).select(
+        "asset_id", "width", "height", "n_bytes"
+    )
+
+
+@register(
+    "multimodal_resize_chain",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS asset_id,
+         doc_id % 640 + 16 AS w,
+         doc_id % 480 + 16 AS h,
+         octet_length(encode(text)) AS nb
+FROM documents
+), s AS (
+  SELECT asset_id, w, h, nb,
+         LEAST(1.0, 64.0 / GREATEST(w, h, 1)) AS scale
+  FROM m
+)
+SELECT asset_id,
+       CAST(GREATEST(1, FLOOR(w * scale)) AS INTEGER) AS width,
+       CAST(GREATEST(1, FLOOR(h * scale)) AS INTEGER) AS height,
+       CAST(GREATEST(1, FLOOR(nb * scale * scale)) AS BIGINT) AS n_bytes
+FROM s
+""",
+    tags=("multimodal", "mapInPandas", "resize", "chain"),
+)
+def multimodal_resize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained mapInPandas stages (resize → decode) with stable
+    schemas: resize emits the same asset schema it consumes, so stages
+    compose without shuffles. The oracle recomputes the scale math."""
+    resized = resize_assets(_assets(spark, sf_dir), max_dim=64)
+    return decode_assets(resized).select("asset_id", "width", "height", "n_bytes")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       CAST(LEAST(256, octet_length(encode(text)) - f.i*256) AS BIGINT) AS frame_len
+FROM documents,
+     LATERAL unnest(
+       range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 2)
+     ) AS f(i)
+""",
+    tags=("multimodal", "mapInPandas", "explode"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-exploding frame sampler (every 2nd 256-byte frame): one
+    asset row → many frame rows inside a single mapInPandas pass —
+    the shape a real video keyframe sampler has."""
+    return frame_sample(_assets(spark, sf_dir), frame_bytes=256, every=2).select(
+        "asset_id", "frame_idx", "frame_len"
+    )
+
+
+@register(
+    "multimodal_featurize_knn",
+    oracle=None,  # sha256-derived float vectors have no SQL oracle; rows-only
+    tags=("multimodal", "mapInPandas", "features", "knn"),
+)
+def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal → vector-search chain: binary payload →
+    8-dim deterministic features → brute-force cosine top-3 neighbors
+    for the 10 lowest asset_ids (array ops JVM-side: F.zip_with dot
+    product after L2 normalization in the featurizer's output)."""
+    feats = featurize(_assets(spark, sf_dir), dim=8)
+    probes = feats.filter(F.col("asset_id") < 10).select(
+        F.col("asset_id").alias("probe_id"), F.col("features").alias("probe_vec")
+    )
+    dot = F.aggregate(
+        F.zip_with("probe_vec", "features", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        probes.crossJoin(feats.filter(F.col("asset_id") >= 10))
+        .withColumn(
+            "cosine",
+            F.round(dot / (norm(F.col("probe_vec")) * norm(F.col("features"))), 6),
+        )
+        .select("probe_id", "asset_id", "cosine")
+    )
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        partition_by=["probe_id"],
+        order_by=[F.col("cosine").desc(), F.col("asset_id")],
+        k=3,
+        rank_col="rank",
+    )

@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         eventplans,
         dedupplans,
         streamingplans,
+        multimodalplans,
     )
 
     return REGISTRY
