@@ -41,6 +41,10 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "events_session_window",
     "events_tumbling_window",
+    "asof_join_events_orders",
+    "q10_returned_items",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stats",
 ]
 
 

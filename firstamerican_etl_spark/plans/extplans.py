@@ -1,0 +1,494 @@
+"""Extended relational surface: operators a general engine needs that
+the reference never uses (SURVEY.md §7.2 step 6) plus the remaining
+training-data-pipeline ops — as-of / range joins, grouping sets, exact
+percentiles, pivot/unpivot, positional explode, RANGE window frames,
+unionByName, embedding-cosine near-dup, and four more TPC-H-shaped
+queries. Every entry carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round, stable_sum
+from firstamerican_etl_spark.operators.relational import top_k_per_group
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+
+# ----------------------------------------------------------- as-of join
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+WITH o AS (  -- one row per (custkey, orderdate): deterministic as-of target
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS matched_orderkey, o.o_orderdate AS matched_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+""",
+    tags=("join", "asof", "events"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native operator): each event picks the
+    most recent order at-or-before its timestamp for the same user.
+
+    Composition: equi-join on the key with the inequality as a join
+    predicate, then top-1 per event via row_number — one shuffle on the
+    key, and the window reuses the join's partitioning. Orders are
+    pre-deduped per (custkey, date) so the as-of winner is unique (ties
+    would otherwise be engine-arbitrary). At production scale with
+    dense per-key history, the union-merge idiom (tag both sides, sort
+    by (key, ts), last_value(ignorenulls) forward-fill) avoids the
+    intermediate row explosion of the range predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = ev.join(
+        o,
+        (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts),
+        "left",
+    )
+    best = top_k_per_group(
+        joined,
+        partition_by=["event_id"],
+        order_by=[F.col("o_orderdate").desc_nulls_last()],
+        k=1,
+        rank_col="__r",
+    )
+    return best.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("matched_orderkey"),
+        F.col("o_orderdate").alias("matched_orderdate"),
+    )
+
+
+# ---------------------------------------------------------- range join
+
+_BANDS = [
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 25.0),
+    ("medium", 25.0, 40.0),
+    ("large", 40.0, 1e9),
+]
+
+
+@register(
+    "range_join_quantity_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+         ('medium', 25.0, 40.0), ('large', 40.0, 1e9)
+)
+SELECT b.band,
+       count(*) AS n_items,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY 1
+""",
+    tags=("join", "range", "broadcast"),
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a banding dimension. The dim is rows,
+    not data — broadcast it and the range join becomes a broadcast
+    nested-loop with zero shuffle of the fact side; never let a theta
+    join against a small dim plan as a cartesian over a shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------- grouping sets
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+SELECT n_name, r_name,
+       CAST(grouping(n_name) AS INTEGER) AS g_nation,
+       CAST(grouping(r_name) AS INTEGER) AS g_region,
+       count(*) AS n_customers,
+       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((n_name), (r_name), ())
+""",
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup, already covered):
+    per-nation, per-region, and grand-total aggregates in one pass —
+    one shuffle, Spark expands the sets map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return base.groupingSets(
+        [["n_name"], ["r_name"], []], "n_name", "r_name"
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.count(F.lit(1)).alias("n_customers"),
+        stable_sum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+# --------------------------------------------------- exact percentiles
+
+@register(
+    "exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
+       round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+       round(CAST(quantile_cont(l_discount, 0.5) AS DOUBLE), 4) AS p50_discount
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("agg", "percentile"),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — same
+    definition as DuckDB's quantile_cont). Exact percentile sorts per
+    group; at 100 TB switch callers to approx_percentile (t-digest,
+    mergeable, one pass) — kept exact here because the oracle is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_discount", F.lit(0.5)), 4).alias("p50_discount"),
+    )
+
+
+# ------------------------------------------------------- pivot/unpivot
+
+@register(
+    "pivot_status_by_year",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_O,
+       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_F,
+       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_P
+FROM orders
+GROUP BY 1
+""",
+    tags=("pivot", "agg"),
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape): revenue per year × order status. The value
+    list is DECLARED — an undeclared pivot triggers a driver-side
+    distinct scan to discover columns, a hidden extra job at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(stable_sum(F.col("o_totalprice")))
+    )
+    return piv.select(
+        "order_year",
+        F.col("O").alias("status_O"),
+        F.col("F").alias("status_F"),
+        F.col("P").alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    oracle="""
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+""",
+    tags=("unpivot", "melt"),
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (long reshape) — the relational form of the
+    reference's manual 3-projection unpivot of ValHist (fa-etl.py:
+    325-346): one narrow pass, no join, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+# -------------------------------------------------- positional explode
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+SELECT d.doc_id, CAST(g.i - 1 AS INTEGER) AS pos, list_extract(d.words, g.i) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 50) d,
+     LATERAL unnest(generate_series(1, len(d.words))) AS g(i)
+""",
+    tags=("explode", "array", "text"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode of tokenized text — the array⇄rows bridge
+    (generator expression, pipelined in whole-stage codegen: no shuffle,
+    no state)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+# ----------------------------------------------------- RANGE frame window
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) * 100 + 0.5) / 100
+       AS spend_30d
+FROM orders
+""",
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per-customer trailing-30-day spend.
+    Spark's rangeBetween needs a numeric ordering key → order by epoch
+    seconds with a ±seconds frame (identical semantics to the SQL
+    interval frame, peers included)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        stable_round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+        ).alias("spend_30d"),
+    )
+
+
+# --------------------------------------------------------- unionByName
+
+@register(
+    "union_by_name",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY 1
+""",
+    tags=("setop", "unionByName"),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered column layouts — the
+    multi-county staging union the reference left as a TODO
+    (fa-etl.py:581-582): files from different vintages present columns
+    in different orders; positional union would silently cross-wire
+    them, name-based union is the correct operator."""
+    o = load_table(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_orderkey", "o_custkey"  # different order
+    )
+    return (
+        even.unionByName(odd)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+# -------------------------------------------- embedding cosine near-dup
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.5
+""",
+    tags=("dedup", "embedding", "cosine", "blocked"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked.
+
+    Scale shape: never all-pairs — block first (here the label column;
+    in production an LSH/IVF bucket id), self-join within blocks only,
+    then exact cosine on the survivors. The cosine is pure JVM array
+    math (zip_with + aggregate fold — element order is deterministic,
+    so both engines agree bit-for-bit after the round)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), "label", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), "label", F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    pairs = (
+        a.join(b, on="label")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn(
+            "cosine", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4)
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+    return pairs.select("vec_id_a", "vec_id_b", "cosine")
+
+
+# ------------------------------------------------------------ TPC-H 4/6/10/12
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+""",
+    tags=("tpch", "semi-join"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication,
+    build side shrinks to distinct keys) then count by priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qualified = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '2023-01-01' AND l_shipdate < DATE '2024-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+    tags=("tpch", "scan-agg", "pushdown"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. All three predicates
+    push to the parquet reader (row-group stats skip); the agg is a
+    map-side partial + single-row final — the minimal-shuffle query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2023-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("2024-01-01").cast("date"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "multijoin", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue, top 20 customers.
+    lineitem filters before the join (predicate pushdown), nation
+    broadcasts, global top-k is a TakeOrdered (no full sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    oracle="""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+    tags=("tpch", "join-agg", "conditional"),
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts (the CASE-inside-sum
+    idiom compiles to a single-pass codegen'd aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedupplans,
         streamingplans,
         multimodalplans,
+        extplans,
     )
 
     return REGISTRY
