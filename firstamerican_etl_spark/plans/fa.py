@@ -238,28 +238,40 @@ def fa_flagship_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ranked deed (W1) and taxhist (asymmetric-key aggregate, J5 + F12)
-    deed = _ranked_deed(spark, sf_dir)
+    # Deed-rank (W1) + taxhist (J5/F12) FUSED into one aggregation:
+    # both are per-(custkey, year) reductions over orders, so one
+    # shuffle computes both. The ranked-deed "most recent qualifying
+    # sale" becomes max_by over (o_orderdate, -o_orderkey) — identical
+    # winner to the row_number(date DESC, orderkey ASC) formulation,
+    # with max_by skipping non-qualifying rows via a NULL ordering key.
+    # vs the literal 3-subquery shape (pipeline/unify.py keeps that):
+    # one orders scan+shuffle instead of two plus a window exchange.
     o = load_table(spark, sf_dir, "orders")
-    taxhist = o.groupBy(
-        F.col("o_custkey").alias("tax_property_id"),
-        F.year("o_orderdate").alias("tax_year"),
+    qualifies = (
+        F.col("o_custkey").isNotNull()
+        & (F.col("o_totalprice") > 0)
+        & F.col("o_orderstatus").isin("O", "F")
+    )
+    orders_by_py = o.groupBy(
+        F.col("o_custkey").alias("order_property_id"),
+        F.year("o_orderdate").alias("order_year"),
     ).agg(
         stable_round(
             F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double") / 100
-        ).alias("tax_amt_adjusted")
+        ).alias("tax_amt_adjusted"),
+        F.max_by(
+            F.col("o_totalprice"),
+            F.when(
+                qualifies, F.struct(F.col("o_orderdate"), (-F.col("o_orderkey")))
+            ),
+        ).alias("sale_amt"),
     )
 
     merged = vh.join(prop, on=["property_id"], how="left")
-    merged = merged.join(
-        deed.select("property_id", "year", "sale_amt"),
-        on=["property_id", "year"],
-        how="left",
-    )
     merged = asymmetric_left_join(
         merged,
-        taxhist,
-        key_map={"property_id": "tax_property_id", "year": "tax_year"},
+        orders_by_py,
+        key_map={"property_id": "order_property_id", "year": "order_year"},
     )
     return merged.filter(F.col("sale_amt").isNotNull()).select(
         "property_id",
