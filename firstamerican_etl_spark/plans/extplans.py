@@ -492,3 +492,61 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ------------------------------------------------- bucketed co-located join
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_lines,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    tags=("scale", "bucketing", "join"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join over tables bucketed on the join key (operators/scale.py):
+    the shuffle happened once at write time; the join itself is
+    verified shuffle-free (join_is_colocated asserts it — a silently
+    re-shuffling "bucketed" join is a bug, not a slow path). This is
+    the staging layout the 100 TB join cascade assumes: staged tables
+    bucketed by PropertyID, every downstream (PropertyID, Year) join
+    exchange-free."""
+    import os
+    import tempfile
+
+    from firstamerican_etl_spark.operators.scale import (
+        join_is_colocated,
+        write_bucketed,
+    )
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = os.path.join(tempfile.gettempdir(), f"fa_spark_bucketed_{tag}")
+    ob, lb = f"orders_bk_{tag}", f"lineitem_bk_{tag}"
+    if not spark.catalog.tableExists(ob):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            ob, ["o_orderkey"], 8, path=os.path.join(base, "orders"),
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"),
+            lb, ["l_orderkey"], 8, path=os.path.join(base, "lineitem"),
+            sort_by=["l_orderkey"],
+        )
+    o = spark.table(ob)
+    li = spark.table(lb)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert join_is_colocated(joined), "bucketed join re-shuffled"
+        return joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
