@@ -43,7 +43,7 @@ HEADLINE = [
     "events_tumbling_window",
     "asof_join_events_orders",
     "q10_returned_items",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_vectorized",
     "multimodal_decode_stats",
 ]
 

@@ -725,3 +725,36 @@ def concat_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
         ).alias("nation_segment"),
     )
+
+
+# ------------------------------------------------------- SQL interface
+
+@register(
+    "sql_interface_passthrough",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_orders,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total_spend
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+    tags=("sql", "interface"),
+)
+def sql_interface_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: tables registered as temp views, the
+    query itself a raw ANSI string through spark.sql — same Catalyst
+    plan as the DataFrame formulation (the reference has no SQL parser;
+    Spark gives us one for free, so users can bring either API)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n_name,
+               count(*) AS n_orders,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total_spend
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)

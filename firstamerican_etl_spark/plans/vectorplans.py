@@ -181,3 +181,59 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         rank_col="__rn",
     ).select("q_id", "c_id", "bucket", "cos_sim")
+
+
+@register(
+    "dedup_embedding_cosine_vectorized",
+    oracle="""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.5
+""",
+    tags=("dedup", "embedding", "cosine", "pandas-udf", "vectorized"),
+)
+def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, BLAS path: same semantics (and the
+    same oracle) as extplans.dedup_embedding_cosine, but the per-block
+    pair scoring runs as one numpy matmul per label block inside
+    applyInPandas instead of a self-join with interpreted per-element
+    array folds.
+
+    Scale shape: groupBy(label) shuffles each block to one task where
+    G @ G.T scores all intra-block pairs at BLAS speed — the right
+    physical plan when blocks fit in a task (bucket blocks further via
+    LSH when they don't). The JVM zip_with variant keeps everything in
+    Catalyst but pays interpreted-lambda cost per element; this is the
+    documented trade between the two."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id_a", T.LongType()),
+            T.StructField("vec_id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        g = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(g, axis=1)
+        sims = (g @ g.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # canonical (smaller id, larger id) orientation, like the join
+        ia, ib = ids[iu], ids[ju]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        cos = np.round(sims[iu, ju], 4)
+        keep = cos >= 0.5
+        return pd.DataFrame(
+            {"vec_id_a": lo[keep], "vec_id_b": hi[keep], "cosine": cos[keep]}
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return e.groupBy("label").applyInPandas(block_pairs, schema=out_schema)
