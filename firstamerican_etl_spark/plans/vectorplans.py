@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.operators.relational import top_k_per_group
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
@@ -237,3 +238,95 @@ def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataF
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return e.groupBy("label").applyInPandas(block_pairs, schema=out_schema)
+
+
+@register(
+    "knn_ivf_cells",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assigned AS (  -- nearest centroid per vector (L2, ties -> lowest cent_id)
+  SELECT vec_id, label, embedding, cent_id AS cell FROM (
+    SELECT v.vec_id, v.label, v.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(CAST(list_distance(v.embedding, c.cvec) AS DOUBLE), 4), c.cent_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, cell
+  FROM assigned WHERE vec_id >= 8 AND vec_id < 18
+)
+SELECT probe_id, neighbor_id, cell, cosine FROM (
+  SELECT p.probe_id, a.vec_id AS neighbor_id, p.cell,
+         round(CAST(list_cosine_similarity(p.pvec, a.embedding) AS DOUBLE), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY round(CAST(list_cosine_similarity(p.pvec, a.embedding) AS DOUBLE), 4) DESC,
+                    a.vec_id
+         ) AS rn
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.probe_id
+) WHERE rn <= 3
+""",
+    tags=("knn", "ivf", "ann", "vector"),
+)
+def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: a coarse quantizer
+    (8 deterministic centroids — the first 8 vectors; production would
+    train k-means) assigns every vector to its nearest-L2 cell; a query
+    searches ONLY its own cell (nprobe=1) with exact cosine re-ranking.
+
+    Scale shape: assignment is a broadcast cross join vs k centroids
+    (k rows — free) + min-per-vector; the search join keys on cell, so
+    its shuffle moves each vector once into its cell bucket — the
+    inverted-file layout. Candidate count per probe drops from N to
+    N/k; recall is traded via nprobe, never by scanning less than a
+    full cell. Distances rounded before comparison so the argmin/top-k
+    tie-breaks are engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    assigned = top_k_per_group(
+        e.crossJoin(F.broadcast(cents)).withColumn("dist", l2),
+        partition_by=["vec_id"],
+        order_by=[F.col("dist"), F.col("cent_id")],
+        k=1,
+        rank_col="__rn",
+    ).select("vec_id", F.col("cent_id").alias("cell"), "v")
+
+    probes = assigned.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pvec"), "cell"
+    )
+    cands = assigned.select(F.col("vec_id").alias("neighbor_id"), "cell", "v")
+    dot = F.aggregate(
+        F.zip_with("pvec", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    scored = (
+        probes.join(cands, on="cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cosine", F.round(dot / (nrm(F.col("pvec")) * nrm(F.col("v"))), 4))
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["probe_id"],
+        order_by=[F.col("cosine").desc(), F.col("neighbor_id")],
+        k=3,
+        rank_col="__rn",
+    ).select("probe_id", "neighbor_id", "cell", "cosine")

@@ -1,0 +1,138 @@
+"""Property-based invariants (SURVEY.md §5.3) via hypothesis: the
+scalar toolkit and the W1 dedup contract hold for arbitrary inputs, not
+just the fixture rows. Each example builds a small DataFrame and checks
+the Spark result against a plain-Python model of the semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.scalar import (
+    coalesce_cascade,
+    compact_date,
+    concat_with_fallback,
+    lpad_code,
+)
+from firstamerican_etl_spark.operators.relational import dedup_top1_per_group
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+codes = st.one_of(
+    st.none(), st.text(alphabet="0123456789", min_size=0, max_size=8)
+)
+
+
+@SETTINGS
+@given(st.lists(codes, min_size=1, max_size=30), st.integers(2, 7))
+def test_lpad_code_model(spark, values, width):
+    df = spark.createDataFrame([(v,) for v in values], "c: string")
+    got = [r[0] for r in df.select(lpad_code("c", width)).collect()]
+    for v, g in zip(values, got):
+        if v is None:
+            assert g is None
+        elif len(v) >= width:
+            # Spark lpad TRUNCATES overlong input to width — a real
+            # semantic edge the docstring documents; model it
+            assert g == v[:width]
+        else:
+            assert g == "0" * (width - len(v)) + v
+
+
+vals = st.one_of(st.none(), st.integers(-3, 3))
+
+
+@SETTINGS
+@given(st.lists(st.tuples(vals, vals, vals), min_size=1, max_size=30))
+def test_coalesce_cascade_model(spark, rows):
+    df = spark.createDataFrame(rows, "a: long, b: long, c: long")
+    value, used = coalesce_cascade([("a", "A"), ("b", "B"), ("c", "C")])
+    got = df.select(value.alias("v"), used.alias("u")).collect()
+    for (a, b, c), r in zip(rows, got):
+        expect = next(
+            ((x, lab) for x, lab in ((a, "A"), (b, "B"), (c, "C"))
+             if x is not None and x != 0),
+            (None, None),
+        )
+        assert (r["v"], r["u"]) == expect
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="ab", max_size=3)),
+            st.one_of(st.none(), st.text(alphabet="cd", max_size=3)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_concat_fallback_model(spark, rows):
+    df = spark.createDataFrame(rows, "l: string, r: string")
+    got = [x[0] for x in df.select(concat_with_fallback("l", "r", sep="_")).collect()]
+    for (l, r), g in zip(rows, got):
+        if l is not None and r is not None:
+            assert g == f"{l}_{r}"
+        else:
+            assert g == l  # null right -> fall back to left (even if None)
+
+
+datestrs = st.one_of(
+    st.dates(dt.date(1, 1, 1), dt.date(9999, 12, 31)).map(
+        lambda d: d.strftime("%Y%m%d")
+    ),
+    st.text(alphabet="0123456789x", max_size=10),
+)
+
+
+@SETTINGS
+@given(st.lists(datestrs, min_size=1, max_size=30))
+def test_compact_date_null_on_malformed(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "c: string")
+    got = [r[0] for r in df.select(compact_date("c")).collect()]
+    for v, g in zip(values, got):
+        # engine contract: strictly 8 digits (Spark's yyyyMMdd); Python's
+        # strptime would greedily accept 7-char strings like '9990101',
+        # Spark nulls them — the null-on-ambiguous behavior we want
+        try:
+            expect = (
+                dt.datetime.strptime(v, "%Y%m%d").date() if len(v) == 8 else None
+            )
+        except ValueError:
+            expect = None
+        assert g == expect, f"{v!r}: {g} != {expect}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_top1_contract(spark, rows):
+    """W1: exactly one row per key; the winner is max order_by value
+    with min tiebreak among ties; input-order independence."""
+    df = spark.createDataFrame(rows, "k: int, o: int, t: int")
+    out = dedup_top1_per_group(
+        df, partition_by=["k"], order_by=[F.col("o").desc()], tiebreak=["t"]
+    ).collect()
+    by_key: dict[int, tuple[int, int]] = {}
+    for k, o, t in rows:
+        cur = by_key.get(k)
+        cand = (-o, t)
+        if cur is None or cand < cur:
+            by_key[k] = cand
+    assert len(out) == len(by_key)
+    for r in out:
+        exp_o, exp_t = by_key[r["k"]]
+        assert (-r["o"], r["t"]) == (exp_o, exp_t)
