@@ -341,3 +341,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.5)
+
+
+def minhash_signatures_np(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures, Arrow/numpy path: shingle hashing stays
+    JVM-side (xxhash64 over slices), the 32 permutation-mins run as one
+    vectorized ``min(h·a + b)`` per doc batch in numpy (int64 wraparound
+    matches Java long arithmetic). Same signatures as
+    ``minhash_signatures``; trades the 32 codegen'd aggregates + doc
+    shuffle for zero shuffle + one Arrow hop."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    a = np.array([_perm_consts(i)[0] for i in range(num_hashes)], dtype=np.int64)
+    b = np.array([_perm_consts(i)[1] for i in range(num_hashes)], dtype=np.int64)
+
+    out_schema = T.StructType(
+        [T.StructField(key, T.LongType())]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(num_hashes)]
+    )
+
+    def fn(batches):
+        old = np.seterr(over="ignore")  # int64 wraparound is the semantics
+        try:
+            for pdf in batches:
+                rows = []
+                for k, hs in zip(pdf[key], pdf["hashes"]):
+                    h = np.asarray(hs, dtype=np.int64)
+                    sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                    rows.append((k, *sig.tolist()))
+                yield pd.DataFrame(rows, columns=[key] + [f"mh{i}" for i in range(num_hashes)])
+        finally:
+            np.seterr(**old)
+
+    words = exploded_words(df, text_col, keep=(key,))
+    hashed = words.select(key, shingle_hashes_col("words").alias("hashes"))
+    return hashed.mapInPandas(fn, schema=out_schema)

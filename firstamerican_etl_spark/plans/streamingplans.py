@@ -134,3 +134,39 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = f"stream_sess_{abs(hash((sf_dir, ckpt))) % 10**8}"
     return _drain(stream, name, ckpt, "append")
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       floor(CAST(value AS DOUBLE) * 100 + 0.5) / 100 AS value_r
+FROM events
+""",
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, proven by construction: the landing dir
+    holds the events table written TWICE; the watermarked
+    dropDuplicates stream must emit each event exactly once — the
+    result equals the original table, which is exactly what the oracle
+    asserts. State is bounded by the watermark horizon (seen-key state
+    older than it is dropped)."""
+    from firstamerican_etl_spark.streaming.windows import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = tempfile.mkdtemp(prefix="fa_stream_dedup_land_")
+    ev.coalesce(2).write.mode("overwrite").parquet(landing)
+    ev.coalesce(2).write.mode("append").parquet(landing)  # exact duplicates
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_dedup_ckpt_")
+    deduped = stream_dedup(
+        read_events_stream(spark, landing), keys=["event_id"], watermark="2 hours"
+    )
+    name = f"stream_dedup_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    out = _drain(deduped, name, ckpt, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
+    )

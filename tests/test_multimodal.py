@@ -81,3 +81,19 @@ def test_featurize_deterministic_unit_range(assets):
 def test_real_decoder_gated(assets):
     with pytest.raises(NotImplementedError, match="pillow|codec"):
         decode_image_real(assets)
+
+
+def test_minhash_np_variant_equals_jvm(spark, sf_dir):
+    """The Arrow/numpy MinHash path must produce bit-identical
+    signatures to the codegen'd aggregate formulation (int64 wraparound
+    parity)."""
+    from firstamerican_etl_spark.plans.dedupplans import (
+        minhash_signatures,
+        minhash_signatures_np,
+    )
+    from firstamerican_etl_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s_jvm = sorted(map(tuple, minhash_signatures(d).collect()))
+    s_np = sorted(map(tuple, minhash_signatures_np(d).collect()))
+    assert s_jvm == s_np
