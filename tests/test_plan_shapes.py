@@ -1,0 +1,116 @@
+"""Physical-plan shape assertions: the scale contracts that make
+queries fast are checked, not assumed. A regression that silently
+reintroduces a shuffle, drops a pushed filter, or de-broadcasts a dim
+fails here even though results stay correct."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.plans.registry import load_all
+from firstamerican_etl_spark.sources.io import load_table, write_parquet
+
+REGISTRY = load_all()
+
+
+def _plan(df) -> str:
+    """Executed plan, final-AQE section only (the raw string repeats
+    every node once more under '== Initial Plan ==' — counting across
+    both double-counts exchanges)."""
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6's date/discount/quantity filters must reach the parquet
+    reader (row-group skipping), and the scan must prune to the 4
+    referenced columns."""
+    plan = _formatted(REGISTRY["q6_revenue_forecast"].spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: o_* columns never read, lineitem schema is narrow
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    """Region/nation (tiny dims) must broadcast, never shuffle the
+    fact side for them."""
+    df = REGISTRY["q5_region_revenue"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_shuffle_budget(spark, sf_dir):
+    """The fused flagship needs exactly two hash-partitioned exchanges
+    (valhist agg, fused orders agg) — the prop dim chain broadcasts and
+    the final joins ride those partitionings. Three would mean the
+    fusion regressed."""
+    df = REGISTRY["fa_flagship_merged"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 3, f"flagship shuffle count regressed: {n_shuffles}\n{plan}"
+
+
+def test_window_dedup_single_exchange(spark, sf_dir):
+    """W1 dedup is one shuffle + one sort — a second exchange means the
+    partitioning was not reused."""
+    df = REGISTRY["window_dedup_top1"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partition_pruning_on_fips_layout(spark, sf_dir, tmp_path):
+    """Hive-style FIPS partitioning (the national staging layout) must
+    prune: a single-county filter reads only that county's files."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "fips", (F.col("o_orderkey") % 3).cast("string")
+    )
+    path = str(tmp_path / "orders_by_fips")
+    write_parquet(o, path, partition_by=["fips"])
+    one = spark.read.parquet(path).filter(F.col("fips") == "1")
+    plan = _formatted(one)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "fips" in pf and "= 1" in pf
+    # the filter is partition-level, not a data filter over all rows
+    assert one.count() == o.filter(F.col("fips") == "1").count()
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """The relational surface must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages outside the explicitly-pandas operators
+    (multimodal, vectorized dedup, stateful streaming)."""
+    pandas_ok = {
+        "multimodal_decode_stats",
+        "multimodal_resize_chain",
+        "multimodal_frame_sample",
+        "multimodal_featurize_knn",
+        "dedup_embedding_cosine_vectorized",
+        "streaming_sessionize_stateful",
+    }
+    for name in (
+        "q1_pricing_summary",
+        "fa_flagship_merged",
+        "window_analytics",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "lang_id_heuristic",
+        "cosine_topk_bruteforce",
+    ):
+        assert name not in pandas_ok
+        plan = _formatted(REGISTRY[name].spark(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
