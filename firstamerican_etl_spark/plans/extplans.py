@@ -550,3 +550,173 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ------------------------------------------- correlated-subquery shapes
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, p_retailprice * 0.9 AS supply_cost
+  FROM part JOIN supplier ON p_partkey % 10 = s_suppkey
+)
+SELECT c.p_partkey, c.s_name,
+       floor(CAST(c.supply_cost AS DOUBLE) * 100 + 0.5) / 100 AS supply_cost
+FROM costs c
+JOIN (SELECT p_partkey, min(supply_cost) AS mc FROM costs GROUP BY 1) m
+  ON c.p_partkey = m.p_partkey AND c.supply_cost = m.mc
+""",
+    tags=("tpch", "correlated-subquery", "min-per-group"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated min-subquery ('supplier with the
+    minimum cost for the part') decorrelated into agg + self-join —
+    exactly how Catalyst rewrites the correlated form, expressed
+    directly so the shuffle story is visible: both sides key on
+    p_partkey, one exchange each."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    costs = p.join(s, p.p_partkey % 10 == s.s_suppkey).select(
+        "p_partkey", "s_suppkey", "s_name",
+        (F.col("p_retailprice") * 0.9).alias("supply_cost"),
+    )
+    mins = costs.groupBy("p_partkey").agg(F.min("supply_cost").alias("mc"))
+    return (
+        costs.join(mins, on="p_partkey")
+        .filter(F.col("supply_cost") == F.col("mc"))
+        .select(
+            "p_partkey",
+            "s_name",
+            stable_round(F.col("supply_cost")).alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    tags=("tpch", "having", "in-subquery"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate, expressed
+    as agg→filter→join (the semi-join collapses into the equi-join
+    since the aggregate already has one row per key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "sum_qty",
+        )
+    )
+
+
+# -------------------------------------------------- data-quality profile
+
+@register(
+    "table_profile",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(o_custkey) AS custkey_nonnull,
+       count(DISTINCT o_custkey) AS custkey_distinct,
+       count(DISTINCT o_orderstatus) AS status_distinct,
+       CAST(min(o_orderdate) AS DATE) AS min_date,
+       CAST(max(o_orderdate) AS DATE) AS max_date,
+       floor(CAST(avg(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS avg_price
+FROM orders
+""",
+    tags=("profile", "quality", "agg"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (the QA stage every training-data
+    pipeline runs before ingest): row count, per-column null/distinct
+    cardinality, ranges. One job, one reduce — at 100 TB swap the
+    exact distincts for approx_count_distinct and keep the pass
+    single."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        stable_round(
+            F.avg(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+        ).alias("avg_price"),
+    )
+
+
+# ------------------------------------------------------ text normalize
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS alnum_only,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash
+FROM documents WHERE doc_id < 100
+""",
+    tags=("text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (whitespace collapse, casefold, alnum
+    filter, canonical hash) — the pre-dedup cleaning stage; pure
+    codegen'd string expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias("alnum_only"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+# ------------------------------------------------------------- ntile
+
+@register(
+    "ntile_price_quartiles",
+    oracle="""
+SELECT o_orderkey, quartile, count(*) OVER (PARTITION BY quartile) AS n_in_quartile
+FROM (
+  SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+""",
+    tags=("window", "ntile"),
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via ntile — global ORDER BY window (single
+    partition: the one window shape that does NOT scale horizontally;
+    at 100 TB use approx-percentile cutpoints + a range join instead.
+    Registered with the caveat because users will reach for it)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+    wq = Window.partitionBy("quartile")
+    return binned.select(
+        "o_orderkey", "quartile", F.count(F.lit(1)).over(wq).alias("n_in_quartile")
+    )
