@@ -281,7 +281,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
-    oracle=None,  # pairwise set-similarity via hashed shingles → rows-only
+    # Jaccard is hash-independent (distinct shingles ↔ distinct shingle
+    # hashes, collisions aside), so the oracle recomputes it over the raw
+    # string shingles — a full value check despite the xxhash64 impl.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+dist AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[g.i:g.i+4], ' ') AS s
+  FROM w, LATERAL unnest(range(1, len(ws) - 3)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dist GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM dist a JOIN dist b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+""",
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
