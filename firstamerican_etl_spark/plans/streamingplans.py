@@ -170,3 +170,39 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
     )
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+)
+SELECT window_start, count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM assigned
+GROUP BY 1
+""",
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h width / 30m slide) through the real
+    streaming path, complete-mode drain; each event lands in exactly 2
+    epoch-aligned windows, same as the batch/SQL assignment."""
+    landing, ckpt = _stage_events(spark, sf_dir, "slide")
+    stream = (
+        read_events_stream(spark, landing)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    name = f"stream_slide_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(stream, name, ckpt, "complete")
