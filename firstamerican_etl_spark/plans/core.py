@@ -758,3 +758,47 @@ def sql_interface_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN v_nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """)
+
+
+@register(
+    "events_from_jsonl",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       floor(CAST(value AS DOUBLE) * 100 + 0.5) / 100 AS value_r
+FROM events
+""",
+    tags=("source", "json"),
+)
+def events_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: the events table staged once as .jsonl and
+    read back with an EXPLICIT schema (schema inference on JSON is a
+    full extra pass at scale — never at 100 TB) in PERMISSIVE mode.
+    Round-trips must preserve values exactly — which is what the
+    oracle (reading the original parquet) checks."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fa_spark_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.mode("overwrite").json(base)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = spark.read.schema(schema).option("mode", "PERMISSIVE").json(base)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
+    )

@@ -135,3 +135,33 @@ def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
                 zf.extract(member, out_dir)
                 extracted.append(os.path.join(out_dir, member))
     return extracted
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_mb_per_file: int = 512,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_files`` outputs (default: sized from the dataset's bytes
+    at ``target_mb_per_file``). The perennial ops problem at scale —
+    streaming sinks and fine-grained partitions produce thousands of
+    KB-sized files whose open/footer cost dominates scans. Rewrites
+    via a staging dir + atomic-ish rename so a crash never leaves the
+    dataset half-compacted. Returns the file count written."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total_bytes = sum(
+            f.stat().st_size for f in Path(path).rglob("*.parquet")
+        )
+        target_files = max(1, int(total_bytes / (target_mb_per_file * 1024**2)))
+    staging = path.rstrip("/") + "__compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len(list(Path(path).rglob("*.parquet")))

@@ -106,3 +106,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
     s = salted.agg(F.sum(F.col("l_quantity") * F.col("o_totalprice"))).collect()[0][0]
     p = plain.agg(F.sum(F.col("l_quantity") * F.col("o_totalprice"))).collect()[0][0]
     assert s == pytest.approx(p)
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from firstamerican_etl_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "shattered")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(16).write.parquet(path)  # 16 small files
+    before = sorted(map(str, spark.read.parquet(path).collect()))
+    n = compact_parquet(spark, path, target_files=2)
+    assert n == 2
+    after = sorted(map(str, spark.read.parquet(path).collect()))
+    assert before == after
