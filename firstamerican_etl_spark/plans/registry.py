@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         streamingplans,
         multimodalplans,
         extplans,
+        tpchplans,
     )
 
     return REGISTRY
