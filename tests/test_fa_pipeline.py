@@ -249,3 +249,15 @@ def test_idempotent_resume(spark, fa_dirs):
     merged2 = run_pipeline(spark, input_dir)
     after = sorted(map(str, merged2.collect()))
     assert before == after
+
+
+def test_staged_schema_contracts(spark, fa_dirs):
+    """Every staged/ranked output matches its declared schema contract
+    exactly (names, order, types) — drift fails loudly here instead of
+    nulling columns downstream."""
+    from firstamerican_etl_spark.pipeline.schemas import assert_staged_schema
+
+    input_dir, _ = fa_dirs
+    for family in ("deed", "ranked_deed", "prop", "taxhist", "valhist", "ranked_valhist"):
+        df = spark.read.parquet(os.path.join(input_dir, "staging", family))
+        assert_staged_schema(df, family)
