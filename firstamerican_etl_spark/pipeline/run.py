@@ -107,12 +107,19 @@ def run_pipeline(
     value_history_file_string: str = "ValHist",
     partition_staging_by_fips: bool = False,
     validate: bool = False,
+    use_fazip_source: bool = False,
 ) -> DataFrame:
     """Full ETL (O2-O7): raw/*.txt.zip → staging/*.parquet → unified/merged.
 
     Returns the merged DataFrame (also written to
     ``input_dir/unified/merged.parquet``). Stages whose staged output
     already exists (``_SUCCESS``) are skipped (S6 idempotent resume).
+
+    ``use_fazip_source=True`` reads the zips through the custom
+    ``fazip`` DataSource (sources/fazip.py): decompression runs on
+    executors, one task per zip member — the scale path for a national
+    run; the default driver-side unzip mirrors the reference exactly.
+    Both paths produce identical staged output (tested).
     """
     raw_dir = os.path.join(input_dir, "raw")
     staging_dir = os.path.join(input_dir, "staging")
@@ -136,11 +143,32 @@ def run_pipeline(
         ranked_path = os.path.join(staging_dir, f"ranked_{fam}")
 
         if not output_exists(staged_path):
-            txts = _prepare_inputs(raw_dir, unzipped_dir, filenames)
-            log.info("converting %s: %d file(s)", fam, len(txts))
-            # one multi-path scan = unionByName across county files on
-            # the common staging schema (resolves fa-etl.py:581 TODO)
-            raw = read_family_csv(spark, txts, fam)
+            if use_fazip_source and all(f.endswith(".zip") for f in filenames):
+                from pyspark.sql import functions as F
+
+                from firstamerican_etl_spark.pipeline.convert import RAW_COLUMNS
+                from firstamerican_etl_spark.sources.fazip import FaZipDataSource
+
+                spark.dataSource.register(FaZipDataSource)
+                markers = {
+                    "deed": "Deed",
+                    "prop": annual_file_string,
+                    "taxhist": "TaxHist",
+                    "valhist": value_history_file_string,
+                }
+                # one read per family glob; executor-side decompress
+                marker_glob = os.path.join(raw_dir, f"*{markers[fam]}*.txt.zip")
+                df = spark.read.format("fazip").option("path", marker_glob).load()
+                raw = df.select(*[c for c in RAW_COLUMNS[fam] if c in df.columns])
+                for c in RAW_COLUMNS[fam]:
+                    if c not in raw.columns:
+                        raw = raw.withColumn(c, F.lit(None).cast("string"))
+            else:
+                txts = _prepare_inputs(raw_dir, unzipped_dir, filenames)
+                log.info("converting %s: %d file(s)", fam, len(txts))
+                # one multi-path scan = unionByName across county files on
+                # the common staging schema (resolves fa-etl.py:581 TODO)
+                raw = read_family_csv(spark, txts, fam)
             staged = clean_fn(raw)
             write_parquet(
                 staged,

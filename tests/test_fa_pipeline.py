@@ -261,3 +261,30 @@ def test_staged_schema_contracts(spark, fa_dirs):
     for family in ("deed", "ranked_deed", "prop", "taxhist", "valhist", "ranked_valhist"):
         df = spark.read.parquet(os.path.join(input_dir, "staging", family))
         assert_staged_schema(df, family)
+
+
+def test_fazip_pipeline_parity(spark, fa_dirs, tmp_path_factory):
+    """The executor-side fazip ingest path produces a byte-identical
+    merged result to the driver-side unzip path."""
+    import shutil
+
+    input_dir, _ = fa_dirs
+    alt = str(tmp_path_factory.mktemp("fa_fazip"))
+    shutil.copytree(os.path.join(input_dir, "raw"), os.path.join(alt, "raw"))
+    merged2 = run_pipeline(spark, alt, use_fazip_source=True)
+    # re-read from disk: earlier tests may have rewritten the output,
+    # leaving the fixture's DataFrame with a stale file index
+    merged = spark.read.parquet(os.path.join(input_dir, "unified", "merged.parquet"))
+    a = sorted(map(str, merged.collect()))
+    b = sorted(map(str, merged2.collect()))
+    assert a == b
+
+
+def test_preflight_missing_family(spark, tmp_path_factory):
+    """O4: a raw dir missing any of the 4 families aborts loudly."""
+    bad = str(tmp_path_factory.mktemp("fa_bad"))
+    raw = os.path.join(bad, "raw")
+    os.makedirs(raw)
+    _write_zip(raw, "Deed36061", DEED_HEADER, DEED_36061)  # only deeds
+    with pytest.raises(FileNotFoundError, match="missing required file families"):
+        run_pipeline(spark, bad)
