@@ -403,3 +403,66 @@ def minhash_signatures_np(
     words = exploded_words(df, text_col, keep=(key,))
     hashed = words.select(key, shingle_hashes_col("words").alias("hashes"))
     return hashed.mapInPandas(fn, schema=out_schema)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-derived fingerprints → rows-only determinism
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-neighbor pairs: 4-band blocking over the 64-bit
+    fingerprint (any pair within Hamming distance 3 shares at least one
+    of the four 16-bit bands — pigeonhole), candidate pairs from
+    same-band buckets, exact popcount(xor) <= 3 verification.
+
+    Scale shape: the only shuffle is the groupBy on (band_id, band16);
+    Hamming verification is bit arithmetic on two longs — no text
+    revisited. This completes the SimHash pipeline: fingerprint
+    (dedup_simhash) -> blocked candidate generation -> exact verify."""
+    sims = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band16"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.band_id", "bd.band16")
+    buckets = (
+        bands.groupBy("band_id", "band16")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(
+                    F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
+                    F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
+                    F.bit_count(
+                        a["simhash"].bitwiseXOR(b["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
