@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodalplans,
         extplans,
         tpchplans,
+        tpchplans3,
     )
 
     return REGISTRY
