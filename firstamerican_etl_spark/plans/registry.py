@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         extplans,
         tpchplans,
         tpchplans3,
+        trainplans,
     )
 
     return REGISTRY

@@ -1,0 +1,233 @@
+"""Training-data pipeline operators, round 2: TF-IDF term weighting,
+deterministic hash-based sampling (uniform + stratified), duplicate
+CLUSTERING (connected components over near-dup pairs — the step after
+pair-finding that an actual dedup pipeline needs to pick one survivor
+per cluster), and percent_rank/cume_dist analytics.
+
+Scale notes baked into each plan:
+- TF-IDF is two aggregates over the exploded term table plus one
+  broadcast of the (tiny) doc-frequency side — no per-row Python.
+- Hash sampling uses md5 (bit-identical across engines and executors),
+  so the sample is reproducible under any partitioning/retry — the
+  property that matters for lineage at 100 TB; rand()-based sampling
+  is not re-executable.
+- Connected components runs label propagation as a driver-side loop of
+  DataFrame joins with localCheckpoint() per iteration to truncate
+  lineage (the alternating large-star/small-star trick would cut the
+  iteration count at web scale; near-dup clusters are tiny and dense,
+  so plain min-label propagation converges in a handful of rounds).
+  The oracle is a DuckDB recursive CTE over the same edge set — a full
+  value check on an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans import dedupplans
+from firstamerican_etl_spark.plans.registry import REGISTRY, register
+from firstamerican_etl_spark.sources.io import load_table
+
+# dedupplans is imported above, so its @register calls have run and the
+# Jaccard pair query + oracle are available for composition here.
+_JACCARD_ORACLE = REGISTRY["ngram_jaccard_pairs"].oracle
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+         floor((tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) * 10000 + 0.5) / 10000 AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY floor((tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) * 10000 + 0.5) / 10000 DESC,
+                    tf.term
+         ) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rn <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, sklearn's convention). Shape: explode →
+    per-(doc,term) count → per-term doc frequency; the term→df side is
+    |vocabulary| rows, broadcast back onto the tf table, so the only
+    big shuffles are the two aggregates on the exploded terms. Ranking
+    uses the stably-ROUNDED weight (+ term as tie-break) so the row
+    set is identical across engines despite last-ulp ln() drift."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar; the oracle's CROSS JOIN n
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    weighted = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", stable_round(F.col("tf") * idf, 4).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+""",
+    tags=("sampling", "deterministic"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample (md5 hex prefix < '20' = 32/256).
+    Unlike df.sample()/rand(), the predicate is a pure function of the
+    key: stable under repartitioning, task retries, and engine choice,
+    and it pushes down to the scan as a cheap filter — the only sound
+    way to take a reproducible sample of a 100 TB table."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.filter(bucket < "20").select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '10' WHEN 'es' THEN '40' ELSE '80' END
+GROUP BY 1
+""",
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (en 1/16,
+    es 1/4, rest 1/2) — the downsample-the-majority-class recipe for
+    balancing a pre-training mix, still a single pushed-down filter
+    (no shuffle until the audit count)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit("10"))
+        .when(F.col("lang") == "es", F.lit("40"))
+        .otherwise(F.lit("80"))
+    )
+    return (
+        d.filter(bucket < thresh)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+""",
+    tags=("dedup", "connected-components", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the n-gram
+    Jaccard >= 0.5 near-dup pairs, labeling every involved doc with
+    the min doc_id of its component (+ component size). Min-label
+    propagation as a driver loop of join+min rounds; each round
+    localCheckpoints to keep the plan O(1) deep. Iterations needed =
+    graph diameter — near-dup clusters are small and dense, so this
+    converges in 2-4 rounds; at web scale the same loop with
+    star-contraction steps (Kiveris et al., "Connected Components in
+    MapReduce") bounds rounds at O(log n)."""
+    pairs = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)  # pair-mining runs ONCE
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(15):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       floor(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) * 1000000 + 0.5) / 1000000 AS cume
+FROM orders
+""",
+    tags=("window", "percent-rank"),
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order value within each priority
+    class — relative-position analytics (the remaining SQL:2003 rank
+    family after rank/dense_rank/ntile elsewhere). One exchange on
+    o_orderpriority serves both functions; o_orderkey tie-break makes
+    the ranks a pure function of the data."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+    )
