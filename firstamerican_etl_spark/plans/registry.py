@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpchplans,
         tpchplans3,
         trainplans,
+        etlplans,
     )
 
     return REGISTRY
