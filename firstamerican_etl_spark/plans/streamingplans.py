@@ -27,16 +27,21 @@ from firstamerican_etl_spark.streaming.stateful import sessionize_with_state
 from firstamerican_etl_spark.streaming.windows import read_events_stream
 
 
-def _stage_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[str, str]:
+def _stage_events(
+    spark: SparkSession, sf_dir: str, tag: str, n_files: int = 2
+) -> tuple[str, str]:
     """Write events as clean parquet into a temp landing dir; returns
-    (landing, checkpoint). Keyed by sf_dir so repeat calls reuse it."""
+    (landing, checkpoint). Keyed by sf_dir so repeat calls reuse it.
+    ``n_files=1`` guarantees a single micro-batch under availableNow —
+    required when intra-run watermark advancement between batches
+    could drop rows (stream-stream joins)."""
     base = os.path.join(
         tempfile.gettempdir(),
         f"fa_spark_stream_{tag}_{abs(hash(sf_dir)) % 10**8}",
     )
     landing = os.path.join(base, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(2).write.mode(
+        load_table(spark, sf_dir, "events").coalesce(n_files).write.mode(
             "overwrite"
         ).parquet(landing)
     ckpt = tempfile.mkdtemp(prefix=f"fa_stream_ckpt_{tag}_")
@@ -206,3 +211,57 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_slide_{abs(hash((sf_dir, ckpt))) % 10**8}"
     return _drain(stream, name, ckpt, "complete")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+    tags=("streaming", "stream-stream-join", "interval"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the real streaming path:
+    purchases matched to same-user clicks from the preceding hour,
+    both sides watermarked 1h — the attribution-join shape. The time
+    bound is what makes unbounded stream-stream join feasible: state
+    for each side is evicted once the other side's watermark passes
+    the interval, so executor state is O(events per hour), not O(all
+    history). Staged as a single landing file → one availableNow
+    micro-batch, so no row is dropped by intra-run watermark
+    advancement (multi-batch replays would need the watermark delay ≥
+    landing-file time spread). Full SQL oracle: the batch interval
+    join is the exact semantic twin."""
+    landing, ckpt = _stage_events(spark, sf_dir, "ssjoin", n_files=1)
+    purchases = (
+        read_events_stream(spark, landing)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, landing)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"stream_ssj_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(joined, name, ckpt, "append")

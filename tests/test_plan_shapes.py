@@ -114,3 +114,42 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         assert name not in pandas_ok
         plan = _formatted(REGISTRY[name].spark(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_q21_decorrelation_scans_lineitem_twice(spark, sf_dir):
+    """Q21's dual EXISTS/NOT-EXISTS is decorrelated into one per-order
+    aggregate: lineitem must be scanned exactly twice (probe + stats),
+    never three times as the literal two-correlated-subqueries plan
+    would."""
+    plan = _formatted(REGISTRY["q21_waiting_orders"].spark(spark, sf_dir))
+    scans = plan.count("lineitem.parquet")
+    assert scans == 2, f"expected 2 lineitem scans, saw {scans}"
+
+
+def test_tfidf_docfreq_broadcasts(spark, sf_dir):
+    """TF-IDF joins the |vocabulary|-sized doc-frequency side back
+    onto per-(doc,term) counts — that side must broadcast, not shuffle
+    the tf table a second time."""
+    df = REGISTRY["tfidf_top_terms"].spark(spark, sf_dir)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_hash_sampling_is_pure_map(spark, sf_dir):
+    """Deterministic md5 sampling is a filter — zero exchanges. A
+    shuffle here would mean the sample costs a full repartition of a
+    100 TB table."""
+    df = REGISTRY["sample_hash_deterministic"].spark(spark, sf_dir)
+    df.collect()
+    assert "Exchange" not in _plan(df)
+
+
+def test_full_outer_reconcile_joins_aggregates(spark, sf_dir):
+    """The reconcile full-outer join runs over the two pre-aggregated
+    snapshots (|customers| rows each), not raw orders: the plan has a
+    FullOuter join fed by hash aggregates."""
+    df = REGISTRY["full_outer_reconcile"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "FullOuter" in plan
+    assert "HashAggregate" in plan
