@@ -155,3 +155,50 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+
+
+@register(
+    "events_multi_resolution_rollup",
+    oracle="""
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS hour_b, date_trunc('day', ts) AS day_b, value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+       coalesce(hour_b, day_b) AS bucket_start,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+FROM e GROUP BY GROUPING SETS ((hour_b), (day_b))
+""",
+    tags=("events", "rollup", "multi-resolution"),
+)
+def events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly AND daily
+    rollups of the event stream computed in ONE grouping-sets pass —
+    one shuffle serves every resolution, instead of re-scanning the
+    (at scale, 100 TB) raw events once per tier. The GROUPING() bit
+    tags which resolution each output row belongs to, exactly like a
+    timeseries store's rollup hierarchy."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_b"),
+        F.date_trunc("day", F.col("ts")).alias("day_b"),
+        "value",
+    )
+    return (
+        e.groupingSets([["hour_b"], ["day_b"]], "hour_b", "day_b")
+        .agg(
+            F.when(F.grouping("hour_b") == 0, "hour")
+            .otherwise("day")
+            .alias("resolution"),
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            ).alias("sum_value"),
+        )
+        .select(
+            "resolution",
+            F.coalesce(F.col("hour_b"), F.col("day_b")).alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -731,3 +731,36 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.select(
         "o_orderkey", "quartile", F.count(F.lit(1)).over(wq).alias("n_in_quartile")
     )
+
+
+@register(
+    "histogram_width_bucket",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000) + 1 AS BIGINT) AS bin,
+       count(*) AS n_orders,
+       floor(CAST(min(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS bin_min,
+       floor(CAST(max(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS bin_max
+FROM orders
+GROUP BY 1
+""",
+    tags=("agg", "histogram", "width-bucket"),
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (SQL:2016) — the
+    one-pass distribution profile used for skew detection and range
+    partition planning. A single aggregate on the bucket id; the
+    per-bin min/max bounds come along free in the same pass. The
+    oracle spells the equivalent floor-arithmetic (DuckDB has no
+    width_bucket); all data lies inside [0, 500000) so the two
+    formulations agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(500000), F.lit(20)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.min("o_totalprice").cast("double")).alias("bin_min"),
+            stable_round(F.max("o_totalprice").cast("double")).alias("bin_max"),
+        )
+    )

@@ -165,3 +165,25 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return len(list(Path(path).rglob("*.parquet")))
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (columnar alternative to parquet; built into Spark).
+    Useful when downstream consumers are Hive/Trino-first — same
+    partitioning and pruning semantics as the parquet sink."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work the same
+    as parquet (both are stripe/stats-indexed columnar formats)."""
+    return spark.read.orc(path)
