@@ -764,3 +764,52 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.max("o_totalprice").cast("double")).alias("bin_max"),
         )
     )
+
+
+@register(
+    "hll_mergeable_rollup",
+    oracle=None,  # Datasketches HLL binary sketches have no DuckDB equivalent;
+    # determinism + the exactness-vs-truth property are pinned in tests.
+    tags=("agg", "sketch", "hll", "mergeable"),
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per-day
+    sketches of distinct users, unioned upward for the global
+    estimate. THE pattern for distinct-counts at 100 TB: sketches are
+    a few KB, merge associatively (partial agg map-side), and —
+    unlike exact countDistinct — re-aggregate to coarser grains
+    without rescanning raw data. Emits per-day estimates plus a
+    'total' row from the sketch union."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day_b")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_day = daily.select(
+        F.col("day_b").cast("string").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("total").alias("grain"), "approx_users", "n_events")
+    return per_day.unionByName(total)
+
+
+@register(
+    "approx_percentiles_sketch",
+    oracle=None,  # KLL-style quantile sketches are engine-specific;
+    # accuracy-vs-exact bounds are pinned in tests.
+    tags=("agg", "sketch", "percentile"),
+)
+def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    style sketch, accuracy 10000): the single-pass mergeable
+    alternative to exact percentile's full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )

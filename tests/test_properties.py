@@ -18,6 +18,7 @@ from firstamerican_etl_spark.functions.scalar import (
     lpad_code,
 )
 from firstamerican_etl_spark.operators.relational import dedup_top1_per_group
+from firstamerican_etl_spark.sources.io import load_table
 
 SETTINGS = settings(
     max_examples=12,
@@ -136,3 +137,53 @@ def test_dedup_top1_contract(spark, rows):
     for r in out:
         exp_o, exp_t = by_key[r["k"]]
         assert (-r["o"], r["t"]) == (exp_o, exp_t)
+
+
+def test_hll_sketch_accuracy_vs_exact(spark, sf_dir):
+    """The HLL rollup's estimates must sit within the sketch's
+    advertised error (lgK=12 → ~1.6% rse; assert 5% to be safe) of
+    exact distinct counts, and the unioned total must equal the
+    estimate over the raw union."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    est = {
+        r["grain"]: r["approx_users"]
+        for r in load_all()["hll_mergeable_rollup"].spark(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact_daily = {
+        str(r["day_b"]): r["n"]
+        for r in e.groupBy(F.date_trunc("day", F.col("ts")).alias("day_b"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = e.select("user_id").distinct().count()
+    assert abs(est["total"] - exact_total) <= max(1, 0.05 * exact_total)
+    for day, n in exact_daily.items():
+        assert abs(est[day] - n) <= max(1, 0.05 * n), f"{day}: {est[day]} vs {n}"
+
+
+def test_approx_percentile_accuracy_vs_exact(spark, sf_dir):
+    """percentile_approx at accuracy 10000 must be within 1% relative
+    error of the exact percentile on this data."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in load_all()["approx_percentiles_sketch"].spark(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["e50"], r["e90"], r["e99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("e90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+        )
+        .collect()
+    }
+    for flag, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[flag]
+        for a, ex in ((a50, e50), (a90, e90), (a99, e99)):
+            assert abs(a - ex) <= 0.01 * abs(ex) + 1e-9, f"{flag}: {a} vs {ex}"

@@ -54,3 +54,38 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path).select(*c.columns)
     assert sorted(back.columns) == sorted(c.columns)
     assert back.count() == c.count()
+
+
+def test_range_clustered_layout_prunes(spark, sf_dir, tmp_path):
+    """write_range_clustered must produce files with (near-)disjoint
+    key ranges: each file's [min, max] span of the cluster key may
+    overlap the union of other files' spans on at most boundary
+    values, and a narrow range predicate must row-group-skip (verified
+    via per-file min/max from parquet footers)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from firstamerican_etl_spark.sources.io import write_range_clustered
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_ranged")
+    write_range_clustered(o, path, ["o_orderkey"], num_files=8)
+
+    spans = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "o_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4  # range partitioner actually split the data
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: [{lo1},{hi1}] vs [{lo2},{hi2}]"
+
+    # round-trip integrity
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
