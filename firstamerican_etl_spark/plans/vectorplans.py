@@ -330,3 +330,46 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         rank_col="__rn",
     ).select("probe_id", "neighbor_id", "cell", "cosine")
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=None,  # Lloyd iterations over floats are engine-specific;
+    # determinism (fixed seed + partitioning) is the contract, checked
+    # by the rows-only double-run test.
+    tags=("vector", "ml", "kmeans", "iterative"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded spark.ml KMeans over the embedding column: cluster
+    cardinalities + mean intra-cluster cosine-to-centroid — the
+    coarse-quantization step an IVF index trains (knn_ivf_cells uses
+    fixed grid cells; this is the learned-centroid upgrade). KMeans in
+    Spark is the canonical iterative-MLlib workload: each Lloyd round
+    is one aggregate over the points with broadcast centroids — the
+    same shuffle structure our connected-components loop uses."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(_as_double(F.col("embedding"))).alias("features"),
+    )
+    model = KMeans(k=8, seed=1, maxIter=10, tol=1e-6).fit(feats)
+    pred = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("cluster_id"),
+        vector_to_array("features").alias("v"),
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, c array<double>",
+    )
+    j = pred.join(F.broadcast(centers), "cluster_id")
+    cos = cosine(F.col("v"), F.col("c"))
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            stable_round(F.avg(cos), 3).alias("avg_cos_to_centroid"),
+        )
+    )
