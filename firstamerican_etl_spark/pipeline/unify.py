@@ -38,12 +38,23 @@ MERGED_COLUMNS = [
 ]
 
 
+def _assert_unique(df: DataFrame, keys: list[str], side: str) -> None:
+    """Distributed uniqueness probe: one aggregation, early-outs on the
+    first duplicate group (limit-1 under isEmpty), no driver collect."""
+    dupes = df.groupBy(*keys).count().filter(F.col("count") > 1)
+    if not dupes.isEmpty():
+        raise ValueError(
+            f"m:1 join validation failed: {side} side has duplicate {keys} keys"
+        )
+
+
 def unify(
     ranked_valhist: DataFrame,
     prop: DataFrame,
     ranked_deed: DataFrame,
     taxhist: DataFrame,
     broadcast_prop: bool = False,
+    validate_m1: bool = False,
 ) -> DataFrame:
     """4-way left-join cascade + sale filter (fa-etl.py:459-482).
 
@@ -51,7 +62,17 @@ def unify(
     side when a county's prop table fits in executor memory — the
     analogue of the reference's ``force_parallel=True`` (fa-etl.py:463),
     except Catalyst/AQE picks the strategy when the hint is absent.
+
+    ``validate_m1=True`` promotes the reference's commented-out
+    ``validate='m:1'`` (fa-etl.py:464) into a real assertion: every
+    build side must be unique on its join key, otherwise the left
+    joins would multiply valhist rows. Costs one aggregation per side;
+    run it on first ingest of a new county, skip on trusted re-runs.
     """
+    if validate_m1:
+        _assert_unique(prop, ["PropertyID"], "prop")
+        _assert_unique(ranked_deed, ["PropertyID", "RecordingYear"], "ranked_deed")
+        _assert_unique(taxhist, ["PropertyID", "TaxYear"], "taxhist")
     prop_side = F.broadcast(prop) if broadcast_prop else prop
 
     merged = (

@@ -288,3 +288,24 @@ def test_preflight_missing_family(spark, tmp_path_factory):
     _write_zip(raw, "Deed36061", DEED_HEADER, DEED_36061)  # only deeds
     with pytest.raises(FileNotFoundError, match="missing required file families"):
         run_pipeline(spark, bad)
+
+
+def test_unify_m1_validation(spark, fa_dirs):
+    """validate_m1 promotes fa-etl.py:464's commented-out m:1 check
+    into a real assertion: clean staged inputs pass, a duplicated prop
+    build side raises."""
+    from firstamerican_etl_spark.pipeline.unify import unify
+
+    input_dir, _ = fa_dirs
+    staging = os.path.join(input_dir, "staging")
+    rv = spark.read.parquet(os.path.join(staging, "ranked_valhist"))
+    prop = spark.read.parquet(os.path.join(staging, "prop"))
+    deed = spark.read.parquet(os.path.join(staging, "ranked_deed"))
+    tax = spark.read.parquet(os.path.join(staging, "taxhist"))
+
+    ok = unify(rv, prop, deed, tax, validate_m1=True)
+    assert ok.count() >= 0  # clean sides pass
+
+    dup_prop = prop.unionByName(prop.limit(1))
+    with pytest.raises(ValueError, match="m:1 join validation failed: prop"):
+        unify(rv, dup_prop, deed, tax, validate_m1=True)
