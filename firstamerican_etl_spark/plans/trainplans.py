@@ -231,3 +231,45 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         stable_round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source,
+       len(string_split(d.text, ' ')) AS n_tokens
+FROM documents d
+JOIN survivors s ON d.doc_id = s.doc_id
+WHERE length(d.text) BETWEEN 50 AND 5000
+  AND len(string_split(d.text, ' ')) >= 10
+  AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < '80'
+""",
+    tags=("text", "pipeline", "composition"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training corpus-prep pipeline as ONE plan: exact-dedup
+    survivor selection (min doc_id per content hash) → quality window
+    (length + token floor) → deterministic 50% downsample. One shuffle
+    total (the content-hash aggregate); the survivor set joins back
+    left-semi, and both filters are scan-side. At 100 TB this is the
+    template the individual operators (dedup_exact_keep_first,
+    text_quality, sample_hash_deterministic) compose into — proving
+    the pieces fuse into one Catalyst plan rather than three passes
+    over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    survivors = d.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    return (
+        d.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .filter(
+            F.length("text").between(50, 5000)
+            & (n_tokens >= 10)
+            & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80")
+        )
+        .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
+    )
