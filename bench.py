@@ -45,6 +45,9 @@ HEADLINE = [
     "q10_returned_items",
     "dedup_embedding_cosine_vectorized",
     "multimodal_decode_stats",
+    "q21_waiting_orders",
+    "scd2_value_intervals",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -309,3 +309,15 @@ def test_unify_m1_validation(spark, fa_dirs):
     dup_prop = prop.unionByName(prop.limit(1))
     with pytest.raises(ValueError, match="m:1 join validation failed: prop"):
         unify(rv, dup_prop, deed, tax, validate_m1=True)
+
+
+def test_dq_leading_zero_ids(spark):
+    """The promoted fa-etl.py:68 check: '007' (cast-lossy) and 'abc'
+    (non-numeric) are flagged; '7', ' 7 ' (trim-clean), and null are
+    not."""
+    from firstamerican_etl_spark.pipeline.convert import dq_leading_zero_ids
+
+    raw = spark.createDataFrame(
+        [("007",), ("7",), (" 7 ",), ("abc",), (None,)], "PropertyID: string"
+    )
+    assert dq_leading_zero_ids(raw) == 2
