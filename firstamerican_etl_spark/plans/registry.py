@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpchplans3,
         trainplans,
         etlplans,
+        funcplans,
     )
 
     return REGISTRY
