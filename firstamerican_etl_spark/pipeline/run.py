@@ -170,6 +170,21 @@ def run_pipeline(
                 # the common staging schema (resolves fa-etl.py:581 TODO)
                 raw = read_family_csv(spark, txts, fam)
             staged = clean_fn(raw)
+            # df.observe rides the write action: row/key metrics come
+            # out of the same job, no second pass over the data (the
+            # production replacement for the reference's driver-side
+            # mem_profile logging, fa-etl.py:6-11).
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F  # noqa: F811
+
+            obs = Observation(f"staged_{fam}")
+            # observed metrics forbid DISTINCT aggregates; the HLL
+            # approximation is the scale-appropriate probe anyway
+            staged = staged.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_out"),
+                F.approx_count_distinct("PropertyID").alias("approx_properties"),
+            )
             write_parquet(
                 staged,
                 staged_path,
@@ -177,6 +192,7 @@ def run_pipeline(
                 if partition_staging_by_fips and "FIPS" in staged.columns
                 else None,
             )
+            log.info("staged %s metrics: %s", fam, obs.get)
         else:
             log.info("%s staged output exists — skipping (S6)", fam)
 
