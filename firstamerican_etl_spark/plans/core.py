@@ -802,3 +802,56 @@ def events_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop", "except-all", "bag-semantics"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each right-side occurrence cancels
+    ONE left occurrence (multiplicity max(l-r, 0)), versus EXCEPT's
+    remove-entirely. DataFrame.exceptAll plans as a count-aggregate
+    diff + generate, one shuffle — not an anti join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@register(
+    "pagination_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) / 100 AS total_r
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+    tags=("sort", "limit", "offset", "pagination"),
+)
+def pagination_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination: ORDER BY (unique tie-break) + LIMIT/OFFSET.
+    Spark plans offset+limit as a single TakeOrdered of the first
+    offset+limit rows then drops the prefix — fine for UI pages;
+    for deep scrolls use keyset pagination (WHERE key > last_seen)
+    instead, which this same tie-broken ordering enables."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            stable_round(F.col("o_totalprice").cast("double")).alias("total_r"),
+        )
+        .offset(100)
+        .limit(50)
+    )

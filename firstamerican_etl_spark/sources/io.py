@@ -68,8 +68,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, ignore_corrupt: bool = False
+) -> DataFrame:
+    """Parquet scan. ``ignore_corrupt=True`` skips unreadable files
+    (truncated uploads, partial writes that dodged the committer)
+    instead of failing the whole 100 TB scan — the recovery-read mode
+    for landing zones fed by external systems. Default stays strict:
+    silently dropping data is only acceptable when explicitly asked."""
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(path)
 
 
 def read_csv(

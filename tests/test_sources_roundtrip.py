@@ -89,3 +89,22 @@ def test_range_clustered_layout_prunes(spark, sf_dir, tmp_path):
     # round-trip integrity
     back = spark.read.parquet(path)
     assert back.count() == o.count()
+
+
+def test_read_parquet_ignore_corrupt(spark, sf_dir, tmp_path):
+    """Recovery-read mode: a garbage file in the dataset fails the
+    strict read but is skipped under ignore_corrupt=True, with all
+    healthy rows intact."""
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.sources.io import read_parquet
+
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_with_garbage")
+    n.write.mode("overwrite").parquet(path)
+    with open(f"{path}/part-99999-garbage.parquet", "wb") as f:
+        f.write(b"not a parquet file at all")
+
+    with _pytest.raises(Exception):
+        read_parquet(spark, path).count()
+    assert read_parquet(spark, path, ignore_corrupt=True).count() == n.count()
