@@ -177,3 +177,48 @@ def test_stateful_sessionizer_closes_sessions(spark, landing, tmp_path_factory):
     # → compare on the batch sessions only
     missing = want_rows - got_rows
     assert not missing, f"sessions never emitted: {sorted(missing)[:5]}"
+
+
+def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path_factory):
+    """The incremental-processing contract: a second availableNow run
+    against the SAME checkpoint processes only files added since the
+    first run, and restored dedup state still suppresses duplicates of
+    batch-1 keys. This is how the 100 TB landing-zone pattern works —
+    each scheduled drain picks up exactly the new files, exactly once."""
+    land = str(tmp_path_factory.mktemp("incr_landing"))
+    ckpt = str(tmp_path_factory.mktemp("incr_ckpt"))
+    sink = str(tmp_path_factory.mktemp("incr_sink"))
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") < 100)
+    first.coalesce(1).write.mode("overwrite").parquet(land)
+
+    def drain():
+        # file sink: the fault-tolerant sink that supports checkpoint
+        # recovery (memory sinks do not)
+        deduped = stream_dedup(
+            read_events_stream(spark, land), keys=["event_id"], watermark="100 days"
+        ).select("event_id")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    out1 = drain()
+    assert out1.count() == first.count()
+
+    # batch 2: duplicates of run-1 keys + genuinely new rows
+    dupes = ev.filter(F.col("event_id") < 50)        # already-seen keys
+    fresh = ev.filter(F.col("event_id").between(100, 149))  # new keys
+    dupes.unionByName(fresh).coalesce(1).write.mode("append").parquet(land)
+
+    out2 = drain()  # same checkpoint → only the new landing file is read
+    ids = [r["event_id"] for r in out2.collect()]
+    # cumulative sink: batch-1 keys + the 50 fresh keys, no duplicates
+    assert sorted(ids) == sorted(set(ids)), "dedup state lost across restart"
+    assert set(ids) == set(range(150)), f"got {len(ids)} rows"
