@@ -147,3 +147,45 @@ def levenshtein_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 3)
         .select("name_a", "name_b", dist.alias("dist"))
     )
+
+
+@register(
+    "udtf_tokenize_lateral",
+    oracle="""
+SELECT doc_id, t.token, CAST(t.pos - 1 AS INTEGER) AS pos,
+       CAST(length(t.token) AS INTEGER) AS token_len
+FROM documents,
+     LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos) t
+WHERE doc_id < 50
+""",
+    tags=("udtf", "lateral", "python"),
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a lateral join — the table-function surface the
+    reference has none of (SURVEY.md §2.10). One input row expands to
+    N output rows with per-row position/length metadata. NOTE the
+    engine guidance stands: a tokenize this simple belongs in
+    posexplode (JVM, see posexplode_tokens) — the UDTF exists for
+    logic that genuinely needs Python (custom tokenizers, model
+    calls), so it's demonstrated on a bounded slice (doc_id < 50),
+    and the oracle is the pure-SQL lateral unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int, token_len int")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i, len(tok)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.token, t.pos, t.token_len
+        FROM docs_for_udtf, LATERAL tokenize_udtf(text) t
+        """
+    )
