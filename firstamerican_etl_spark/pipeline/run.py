@@ -242,6 +242,7 @@ def main(argv: list[str] | None = None) -> None:
         format="%(asctime)s:%(message)s",
         level=logging.INFO,
         datefmt="%Y-%m-%d %H:%M:%S",
+        force=True,  # honor --log_file even if logging was already configured
     )
     from firstamerican_etl_spark.session import get_spark
 

@@ -321,3 +321,32 @@ def test_dq_leading_zero_ids(spark):
         [("007",), ("7",), (" 7 ",), ("abc",), (None,)], "PropertyID: string"
     )
     assert dq_leading_zero_ids(raw) == 2
+
+
+def test_cli_main_end_to_end(spark, tmp_path_factory):
+    """O1 CLI contract: main(argv) parses the reference's four flags,
+    runs the pipeline, writes the log file, and produces the merged
+    output under input_dir/unified."""
+    from firstamerican_etl_spark.pipeline.run import main
+
+    input_dir = str(tmp_path_factory.mktemp("fa_cli_input"))
+    raw_dir = os.path.join(input_dir, "raw")
+    os.makedirs(raw_dir)
+    _write_zip(raw_dir, "Deed36061", DEED_HEADER, DEED_36061)
+    _write_zip(raw_dir, "Prop36061", PROP_HEADER, PROP_36061)
+    _write_zip(raw_dir, "TaxHist36061", TAXHIST_HEADER, TAXHIST_36061)
+    _write_zip(raw_dir, "ValHist36061", VALHIST_HEADER, VALHIST_36061)
+    log_file = os.path.join(input_dir, "etl.log")
+
+    main([
+        "--input_dir", input_dir,
+        "--log_file", log_file,
+        "--annual_file_string", "Prop",
+        "--value_history_file_string", "ValHist",
+        "--validate",
+    ])
+
+    merged = spark.read.parquet(os.path.join(input_dir, "unified", "merged.parquet"))
+    assert merged.count() > 0
+    assert len(merged.columns) == len(MERGED_COLUMNS)
+    assert os.path.exists(log_file) and os.path.getsize(log_file) > 0
