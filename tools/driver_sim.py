@@ -1,0 +1,92 @@
+"""Simulate the round driver: smoke entry() at sf0.001, then compare
+every queries()[name] against oracle_sql()[name] via DuckDB at sf0.01
+(row-count + sorted schema + md5 of sorted row reprs)."""
+import hashlib
+import math
+import os
+import sys
+from datetime import date, datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import __spark_entry__ as E
+from firstamerican_etl_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    reprs = sorted(repr(tuple(norm(r[i]) for i in order)) for r in rows)
+    return hashlib.md5("\n".join(reprs).encode()).hexdigest()
+
+
+def main():
+    spark = get_spark(app_name="driver-sim")
+    smoke = E.entry(spark)
+    n = smoke.count()
+    print(f"smoke entry(): {n} rows, schema={[f.name for f in smoke.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    mismatch = err = 0
+    for name in sorted(qs):
+        try:
+            df = qs[name](spark, SF)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+            if name not in oracles:
+                print(f"  rows-only {name}: {len(srows)} rows")
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            problems = []
+            if sorted(scols) != sorted(ocols):
+                problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+            if len(srows) != len(orows):
+                problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+            if not problems and hash_rows(scols, srows) != hash_rows(ocols, orows):
+                problems.append("value-hash")
+            if problems:
+                mismatch += 1
+                print(f"  MISMATCH {name}: {'; '.join(problems)}")
+        except Exception as e:
+            err += 1
+            print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+    print(f"done: {len(qs)} queries, {mismatch} mismatch, {err} error")
+    spark.stop()
+    sys.exit(1 if (mismatch or err) else 0)
+
+
+if __name__ == "__main__":
+    main()
