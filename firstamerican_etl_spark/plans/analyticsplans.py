@@ -1,0 +1,161 @@
+"""Composed analytics shapes (TPC-DS-style reporting patterns): window
+functions layered OVER aggregate outputs — year-over-year deltas via
+lag, ratio-to-report shares, and Pareto cumulative contribution. The
+load-bearing property at scale: the window pass runs on the AGGREGATED
+table (thousands of rows), never on the raw fact table, so each query
+is one fact-table shuffle plus a trivially small analytic stage.
+
+All full DuckDB oracles. Ratio discipline: sums stay exact decimal,
+but the DIVISION happens in double on both sides (decimal division
+result-scale rules differ per engine and round differently at the
+last digit); double division of identical inputs is one IEEE op —
+bit-identical everywhere — then stable_round once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+DEC = "decimal(25,6)"
+
+
+@register(
+    "yoy_revenue_change",
+    oracle="""
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, yr,
+       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor(
+         (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+         / CAST(lag(rev) OVER w AS DOUBLE) * 10000 + 0.5) / 10000 AS yoy_change
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
+""",
+    tags=("analytics", "yoy", "lag-over-agg"),
+)
+def yoy_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue change per priority class: aggregate
+    first, THEN lag over the (priority, year) aggregate — the delta
+    math touches |priorities|·|years| rows, not |orders|. The exact
+    decimal sums cast to double BEFORE dividing (see module
+    docstring), then round once."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "yr",
+        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            4,
+        ).alias("yoy_change"),
+    )
+
+
+@register(
+    "share_of_total_window",
+    oracle="""
+WITH per_nation AS (
+  SELECT n_name,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name,
+       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share
+FROM per_nation
+""",
+    tags=("analytics", "ratio-to-report", "window-over-agg"),
+)
+def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue via an
+    unpartitioned window sum OVER the per-nation aggregate (25 rows) —
+    the grand total is computed once in the same stage, not via a
+    second scan or a crossJoin of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
+
+
+@register(
+    "pareto_cumulative_share",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(rev) OVER () AS total_rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+  FROM per_cust
+)
+SELECT rnk, o_custkey,
+       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
+FROM ranked
+WHERE rnk <= 100
+""",
+    tags=("analytics", "pareto", "cumulative"),
+)
+def pareto_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: top-100 customers by revenue with their
+    cumulative share of the total — running decimal sum over the
+    ranked per-customer aggregate (unique tie-break on custkey makes
+    the running prefix a pure function of the data). Cumulative and
+    total stay exact decimal; the ratio divides as double."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    order = [F.col("rev").desc(), F.col("o_custkey")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_run).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "rnk",
+        "o_custkey",
+        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(
+            F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("cum_share"),
+    )

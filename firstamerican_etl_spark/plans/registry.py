@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         trainplans,
         etlplans,
         funcplans,
+        analyticsplans,
     )
 
     return REGISTRY
