@@ -69,6 +69,9 @@ def load_all() -> dict[str, QuerySpec]:
         etlplans,
         funcplans,
         analyticsplans,
+        timeseriesplans,
+        arrayplans,
+        statsplans,
     )
 
     return REGISTRY

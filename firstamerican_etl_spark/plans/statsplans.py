@@ -1,0 +1,201 @@
+"""Distributed statistics and data-quality operators.
+
+`stats_moments_stable` is the load-bearing pattern: variance and
+correlation computed from EXACT decimal power sums (n, Σx, Σy, Σxy,
+Σx², Σy²) combined in one fixed double-precision expression tree.
+Naive `corr()`/`var_samp()` aggregates accumulate in doubles, so a
+1000-executor run returns different last bits than a single-node
+oracle — power sums in decimal are associative and exact, making the
+statistic bit-identical under ANY partitioning. This is also the
+mergeable form (each partition's sums combine by addition), i.e. the
+same shape a custom UDAF merge() would use.
+
+`dq_constraint_report` promotes the reference's commented-out
+validations (fa-etl.py:348-349 duplicate TODO, fa-etl.py:464
+validate='m:1') into a one-pass constraint report: FK orphans,
+PK duplicates, domain violations, null-rate — each as a named count,
+unioned into one small result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+_DX = "decimal(18,2)"   # quantities (integer-valued) and 2-dec prices: exact
+_DS = "decimal(38,6)"   # power-sum accumulator
+
+
+@register(
+    "stats_moments_stable",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor((sx / n) * 10000 + 0.5) / 10000 AS mean_qty,
+       floor(((sxx - sx * (sx / n)) / (n - 1)) * 10000 + 0.5) / 10000 AS var_qty,
+       floor(((sxy - sx * (sy / n))
+              / sqrt((sxx - sx * (sx / n)) * (syy - sy * (sy / n))))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+FROM s
+""",
+    tags=("stats", "agg", "bit-stable"),
+)
+def stats_moments_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / Pearson correlation per return flag
+    from exact decimal power sums. The decimal sums shuffle as partial
+    aggregates (map-side combine) exactly like any sum; only the final
+    single-row-per-group combination runs in floating point, through
+    the SAME expression tree the oracle uses — bit-identical on 1 or
+    1000 executors. Spark's built-in corr()/var_samp() are kept out of
+    the contract surface for exactly this reason."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DX)
+    y = F.col("l_extendedprice").cast(_DX)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    var_x = (sxx - sx * (sx / n)) / (n - 1)
+    cov_n = sxy - sx * (sy / n)
+    corr = cov_n / F.sqrt((sxx - sx * (sx / n)) * (syy - sy * (sy / n)))
+    return s.select(
+        "l_returnflag",
+        "n",
+        stable_round(sx / n, 4).alias("mean_qty"),
+        stable_round(var_x, 4).alias("var_qty"),
+        stable_round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS max_price_orderkey,
+       max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS min_price_orderkey,
+       floor(CAST(max(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS max_price,
+       floor(CAST(min(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS min_price
+FROM r GROUP BY 1
+""",
+    tags=("agg", "argmax"),
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (SQL:2023 arg_max/arg_min): the orderkey carrying
+    each priority's price extremes in ONE aggregate pass — no
+    rank-window, no self-join. The ordering key is struct(price,
+    orderkey), NOT the bare price: equal prices within a group are
+    real (one tie at sf0.01) and a bare-price arg_max would be
+    engine-arbitrary on them."""
+    o = load_table(spark, sf_dir, "orders")
+    ord_key = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ord_key).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", ord_key).alias("min_price_orderkey"),
+        stable_round(F.max("o_totalprice")).alias("max_price"),
+        stable_round(F.min("o_totalprice")).alias("min_price"),
+    )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+SELECT 'orders_custkey_fk_orphans' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk_orphans',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders_pk_duplicates',
+       (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders
+          GROUP BY 1 HAVING count(*) > 1))
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+UNION ALL
+SELECT 'events_null_user',
+       (SELECT count(*) FROM events WHERE user_id IS NULL)
+""",
+    tags=("dq", "constraints"),
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report: FK orphan counts (broadcast
+    anti-joins — the key sides are dims or pre-aggregated keys), PK
+    duplicate count (two-level aggregate), domain and null-rate
+    checks (map-side counts). Promotes fa-etl.py:348-349/:464's
+    commented-out validations into an executable contract; the result
+    is 5 rows regardless of input scale, so it's safe to alert on."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    fk_orders = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk_lineitem = (
+        li.join(o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pk_dupes = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    neg_price = li.filter(F.col("l_extendedprice") <= 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    null_user = ev.filter(F.col("user_id").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("orders_custkey_fk_orphans", fk_orders)
+        .unionByName(one("lineitem_orderkey_fk_orphans", fk_lineitem))
+        .unionByName(one("orders_pk_duplicates", pk_dupes))
+        .unionByName(one("lineitem_nonpositive_price", neg_price))
+        .unionByName(one("events_null_user", null_user))
+    )

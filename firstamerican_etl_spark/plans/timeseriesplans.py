@@ -1,0 +1,247 @@
+"""Time-series repair operators: date-spine gap fill with forward
+fill, linear interpolation across gaps, and IQR outlier bounds.
+
+The reference's value-history reshape (fa-etl.py:250-426) produces a
+sparse per-(PropertyID, Year) series and simply tolerates the holes;
+a real analytics engine needs the standard repair toolkit: build the
+dense calendar spine, carry the last observation forward, or
+interpolate between the surrounding observations. All three are pure
+Catalyst plans (sequence/explode + IGNORE NULLS window functions — no
+UDFs), and all three carry full DuckDB value oracles.
+
+Scale notes: the spine is |groups| × |days| rows — generated, never
+shuffled wide (explode happens after the per-group min/max aggregate,
+which is tiny). The fill windows partition by group and sort by day;
+that is ONE exchange per query, reused by both fill directions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import (
+    sql_stable_round,
+    sql_stable_sum,
+    stable_round,
+    stable_sum,
+)
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed daily revenue per order priority (sparse: days with no
+    orders for a priority are absent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(stable_sum(F.col("o_totalprice")).alias("revenue"))
+
+
+def _spined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (priority, day) spine left-joined with observed revenue.
+
+    The spine is built from the GLOBAL [min, max] date range — a
+    single-row aggregate crossed with the (5-row) priority dim, then
+    exploded. Both inputs to the cross join are broadcast-sized by
+    construction regardless of fact-table scale."""
+    daily = _daily_revenue(spark, sf_dir)
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+                "day"
+            )
+        )
+        .crossJoin(daily.select("priority").distinct())
+    )
+    return spine.join(daily, ["priority", "day"], "left")
+
+
+_SPINE_CTE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         {rev} AS revenue
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+  SELECT p.priority, CAST(s.day AS DATE) AS day
+  FROM (SELECT DISTINCT priority FROM daily) p
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+    FROM bounds
+  ) s
+),
+sparse AS (
+  SELECT s.priority, s.day, d.revenue
+  FROM spine s LEFT JOIN daily d
+    ON s.priority = d.priority AND s.day = d.day
+)
+""".format(rev=sql_stable_sum("o_totalprice"))
+
+
+@register(
+    "gap_fill_forward",
+    oracle=_SPINE_CTE
+    + """
+SELECT priority, day,
+       last_value(revenue IGNORE NULLS) OVER (
+         PARTITION BY priority ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS revenue_ff,
+       CAST(revenue IS NOT NULL AS INTEGER) AS observed
+FROM sparse
+""",
+    tags=("timeseries", "gap-fill", "window"),
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per priority with last-observation-carried-
+    forward: sequence() date spine → left join observed days →
+    last(value, ignoreNulls) over the running frame. Leading days
+    before the first observation stay null (no look-behind invention).
+    One window exchange on (priority); the spine side is generated
+    in-place, so the only data-sized shuffle is the daily aggregate."""
+    sp = _spined(spark, sf_dir)
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sp.select(
+        "priority",
+        "day",
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_ff"),
+        F.col("revenue").isNotNull().cast("int").alias("observed"),
+    )
+
+
+@register(
+    "gap_fill_interpolate",
+    oracle=_SPINE_CTE
+    + """
+, ctx AS (
+  SELECT priority, day, revenue,
+         last_value(revenue IGNORE NULLS) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         last_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+         first_value(revenue IGNORE NULLS) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         first_value(CASE WHEN revenue IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY priority ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM sparse
+)
+SELECT priority, day,
+       {interp} AS revenue_interp
+FROM ctx
+""".format(
+        interp=sql_stable_round(
+            "CASE WHEN revenue IS NOT NULL THEN revenue "
+            "WHEN prev_val IS NULL THEN next_val "
+            "WHEN next_val IS NULL THEN prev_val "
+            "ELSE prev_val + (next_val - prev_val) "
+            "* ((day - prev_day) / (next_day - prev_day)) END"
+        )
+    ),
+    tags=("timeseries", "interpolate", "window"),
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps: for each missing day take the
+    straddling observations (carried forward + pulled backward with
+    IGNORE NULLS windows) and blend by day distance. Edges degrade to
+    nearest-value fill. Two window passes over the SAME (priority, day)
+    sort order — Catalyst plans one exchange + one sort, both window
+    operators run back-to-back on the sorted partitions."""
+    sp = _spined(spark, sf_dir)
+    past = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    future = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    ctx = sp.select(
+        "priority",
+        "day",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(past).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(past).alias("prev_day"),
+        F.first("revenue", ignorenulls=True).over(future).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(future).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day") / F.datediff("next_day", "prev_day")
+    interp = (
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val")) * frac
+        )
+    )
+    return ctx.select(
+        "priority", "day", stable_round(interp).alias("revenue_interp")
+    )
+
+
+@register(
+    "iqr_outlier_bounds",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS q1,
+         CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS q3
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       {q1} AS q1, {q3} AS q3,
+       count(*) FILTER (
+         WHERE l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+       ) AS n_outliers,
+       count(*) AS n_rows
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY 1
+""".format(
+        q1=sql_stable_round("any_value(q.q1)", 4),
+        q3=sql_stable_round("any_value(q.q3)", 4),
+    ),
+    tags=("timeseries", "outlier", "percentile"),
+)
+def iqr_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per group: exact Q1/Q3 (linear
+    interpolation, same definition as DuckDB quantile_cont), then a
+    second pass counting points outside [Q1-1.5·IQR, Q3+1.5·IQR]. The
+    quantile table is per-group tiny → broadcast back onto the fact
+    scan; the fact table is read twice but shuffled only once (the
+    final count aggregates map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = li.join(F.broadcast(q), "l_returnflag")
+    is_out = (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    )
+    return joined.groupBy("l_returnflag").agg(
+        stable_round(F.first("q1"), 4).alias("q1"),
+        stable_round(F.first("q3"), 4).alias("q3"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
