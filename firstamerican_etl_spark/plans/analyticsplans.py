@@ -5,11 +5,13 @@ load-bearing property at scale: the window pass runs on the AGGREGATED
 table (thousands of rows), never on the raw fact table, so each query
 is one fact-table shuffle plus a trivially small analytic stage.
 
-All full DuckDB oracles. Ratio discipline: sums stay exact decimal,
-but the DIVISION happens in double on both sides (decimal division
-result-scale rules differ per engine and round differently at the
-last digit); double division of identical inputs is one IEEE op —
-bit-identical everywhere — then stable_round once.
+All full DuckDB oracles. Ratio discipline: revenue sums are exact
+integer cents (floor(x·100+½) quantization — o_totalprice carries two
+decimals, so this is lossless and leaves 7 orders of magnitude of
+int64 headroom); the window passes run over plain longs (far cheaper
+than decimal), and the DIVISION happens in double on both sides —
+one IEEE op on identical integer inputs is bit-identical everywhere —
+then stable_round once.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
-DEC = "decimal(25,6)"
+CENTS = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
 
 
 @register(
@@ -30,11 +32,11 @@ DEC = "decimal(25,6)"
 WITH yearly AS (
   SELECT o_orderpriority,
          CAST(year(o_orderdate) AS INTEGER) AS yr,
-         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+         sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS rev
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderpriority, yr,
-       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor((CAST(rev AS DOUBLE) / 100) * 100 + 0.5) / 100 AS revenue,
        floor(
          (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
          / CAST(lag(rev) OVER w AS DOUBLE) * 10000 + 0.5) / 10000 AS yoy_change
@@ -46,19 +48,19 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)
 def yoy_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue change per priority class: aggregate
     first, THEN lag over the (priority, year) aggregate — the delta
-    math touches |priorities|·|years| rows, not |orders|. The exact
-    decimal sums cast to double BEFORE dividing (see module
-    docstring), then round once."""
+    math touches |priorities|·|years| rows, not |orders|. Revenue
+    accumulates as exact integer cents; the ratio divides as double
+    (see module docstring), then rounds once."""
     o = load_table(spark, sf_dir, "orders")
     yearly = o.groupBy(
         "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    ).agg(F.sum(CENTS(F.col("o_totalprice"))).alias("rev"))
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
     prev = F.lag("rev").over(w)
     return yearly.select(
         "o_orderpriority",
         "yr",
-        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(F.col("rev").cast("double") / 100).alias("revenue"),
         stable_round(
             (F.col("rev").cast("double") - prev.cast("double"))
             / prev.cast("double"),
@@ -72,14 +74,14 @@ def yoy_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_nation AS (
   SELECT n_name,
-         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+         sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
   GROUP BY 1
 )
 SELECT n_name,
-       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor((CAST(rev AS DOUBLE) / 100) * 100 + 0.5) / 100 AS revenue,
        floor(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share
 FROM per_nation
 """,
@@ -97,12 +99,12 @@ def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .agg(F.sum(CENTS(F.col("o_totalprice"))).alias("rev"))
     )
     total = F.sum("rev").over(Window.partitionBy())
     return per_nation.select(
         "n_name",
-        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(F.col("rev").cast("double") / 100).alias("revenue"),
         stable_round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
     )
 
@@ -112,7 +114,7 @@ def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_cust AS (
   SELECT o_custkey,
-         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+         sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS rev
   FROM orders GROUP BY 1
 ),
 ranked AS (
@@ -124,7 +126,7 @@ ranked AS (
   FROM per_cust
 )
 SELECT rnk, o_custkey,
-       floor(CAST(rev AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+       floor((CAST(rev AS DOUBLE) / 100) * 100 + 0.5) / 100 AS revenue,
        floor(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
 FROM ranked
 WHERE rnk <= 100
@@ -133,13 +135,13 @@ WHERE rnk <= 100
 )
 def pareto_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: top-100 customers by revenue with their
-    cumulative share of the total — running decimal sum over the
-    ranked per-customer aggregate (unique tie-break on custkey makes
-    the running prefix a pure function of the data). Cumulative and
-    total stay exact decimal; the ratio divides as double."""
+    cumulative share of the total — running cent-exact long sum over
+    the ranked per-customer aggregate (unique tie-break on custkey
+    makes the running prefix a pure function of the data). Cumulative
+    and total stay exact integers; the ratio divides as double."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+        F.sum(CENTS(F.col("o_totalprice"))).alias("rev")
     )
     order = [F.col("rev").desc(), F.col("o_custkey")]
     w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -154,7 +156,7 @@ def pareto_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= 100).select(
         "rnk",
         "o_custkey",
-        stable_round(F.col("rev").cast("double")).alias("revenue"),
+        stable_round(F.col("rev").cast("double") / 100).alias("revenue"),
         stable_round(
             F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
         ).alias("cum_share"),

@@ -19,11 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from firstamerican_etl_spark.functions.stable import stable_round, stable_sum
+from firstamerican_etl_spark.functions.stable import (
+    fast_sum,
+    sql_fast_sum,
+    stable_round,
+    stable_sum,
+)
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
-
-DEC = "decimal(25,6)"
 
 
 @register(
@@ -124,17 +127,17 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT o_custkey AS k, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total
+         sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS total
   FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY 1
 ),
 delta AS (
   SELECT o_custkey AS k, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total
+         sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS total
   FROM orders WHERE o_orderdate >= DATE '1999-01-01' GROUP BY 1
 )
 SELECT coalesce(base.k, delta.k) AS custkey,
        coalesce(base.n_orders, 0) + coalesce(delta.n_orders, 0) AS n_orders,
-       floor(CAST(coalesce(base.total, 0) + coalesce(delta.total, 0) AS DOUBLE) * 100 + 0.5) / 100 AS total_spend,
+       floor((CAST(coalesce(base.total, 0) + coalesce(delta.total, 0) AS DOUBLE) / 100) * 100 + 0.5) / 100 AS total_spend,
        CASE WHEN base.k IS NULL THEN 'insert'
             WHEN delta.k IS NULL THEN 'keep'
             ELSE 'update' END AS merge_action
@@ -147,12 +150,12 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged with a delta batch (on/after), emitting the refreshed
     per-customer totals plus the insert/update/keep action each key
     took — the incremental-refresh primitive the reference's
-    full-rebuild join() lacks. Decimal partials stay exact through the
-    merge; rounding happens once at the end. At scale the delta side
+    full-rebuild join() lacks. Cent-quantized long partials stay exact
+    through the merge; rounding happens once at the end. At scale the delta side
     is a day's data against years of base — AQE broadcasts it."""
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1999-01-01").cast("date")
-    zero = F.lit(0).cast(DEC)
+    zero = F.lit(0).cast("long")
 
     def snap(pred, kname):
         return (
@@ -160,7 +163,11 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_custkey").alias(kname))
             .agg(
                 F.count(F.lit(1)).alias(f"n_{kname}"),
-                F.sum(F.col("o_totalprice").cast(DEC)).alias(f"t_{kname}"),
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("long")
+                ).alias(f"t_{kname}"),
             )
         )
 
@@ -176,6 +183,7 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("t_kb"), zero) + F.coalesce(F.col("t_kd"), zero)).cast(
                 "double"
             )
+            / 100
         ).alias("total_spend"),
         F.when(F.col("kb").isNull(), "insert")
         .when(F.col("kd").isNull(), "keep")
@@ -186,11 +194,11 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_value_intervals",
-    oracle="""
+    oracle=f"""
 WITH yearly AS (
   SELECT o_custkey AS property_id,
          CAST(year(o_orderdate) AS INTEGER) AS yr,
-         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS value
+         {sql_fast_sum('o_totalprice')} AS value
   FROM orders GROUP BY 1, 2
 ),
 runs AS (
@@ -223,7 +231,7 @@ def scd2_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = o.groupBy(
         F.col("o_custkey").alias("property_id"),
         F.year("o_orderdate").cast("int").alias("yr"),
-    ).agg(stable_sum(F.col("o_totalprice")).alias("value"))
+    ).agg(fast_sum(F.col("o_totalprice")).alias("value"))
     w = Window.partitionBy("property_id").orderBy("yr")
     changes = yearly.withColumn("prev_value", F.lag("value").over(w)).filter(
         F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))

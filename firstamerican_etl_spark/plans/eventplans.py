@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.functions.stable import fast_sum, sql_fast_sum, stable_round
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
@@ -27,7 +27,7 @@ from firstamerican_etl_spark.sources.io import load_table
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value,
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -43,7 +43,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "n_users")
@@ -58,7 +58,7 @@ WITH assigned AS (
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
 )
-SELECT window_start, count(*) AS n_events, floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+SELECT window_start, count(*) AS n_events, floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM assigned
 GROUP BY 1
 """,
@@ -74,7 +74,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -100,7 +100,7 @@ sessions AS (
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       count(*) AS n_events, floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """,
@@ -133,7 +133,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        stable_round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double")).alias("sum_value"),
+        fast_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -167,7 +167,7 @@ WITH e AS (
 SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS resolution,
        coalesce(hour_b, day_b) AS bucket_start,
        count(*) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM e GROUP BY GROUPING SETS ((hour_b), (day_b))
 """,
     tags=("events", "rollup", "multi-resolution"),
@@ -191,9 +191,7 @@ def events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             .otherwise("day")
             .alias("resolution"),
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-            ).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             "resolution",
@@ -257,7 +255,7 @@ sessions AS (
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM sessions GROUP BY user_id, sid
 """,
     tags=("events", "window", "session", "native"),
@@ -276,9 +274,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-            ).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )

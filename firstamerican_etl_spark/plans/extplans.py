@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firstamerican_etl_spark.functions.stable import stable_round, stable_sum
+from firstamerican_etl_spark.functions.stable import (
+    fast_avg,
+    fast_sum,
+    sql_fast_sum,
+    stable_round,
+    stable_sum,
+)
 
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
@@ -102,7 +108,7 @@ WITH bands(band, lo, hi) AS (
 )
 SELECT b.band,
        count(*) AS n_items,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+       floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS revenue
 FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
 GROUP BY 1
 """,
@@ -123,7 +129,7 @@ def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            stable_sum(F.col("l_extendedprice")).alias("revenue"),
+            fast_sum(F.col("l_extendedprice")).alias("revenue"),
         )
     )
 
@@ -137,7 +143,7 @@ SELECT n_name, r_name,
        CAST(grouping(n_name) AS INTEGER) AS g_nation,
        CAST(grouping(r_name) AS INTEGER) AS g_region,
        count(*) AS n_customers,
-       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_bal
+       floor((CAST(sum(CAST(floor((c_acctbal) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -161,7 +167,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("n_name").cast("int").alias("g_nation"),
         F.grouping("r_name").cast("int").alias("g_region"),
         F.count(F.lit(1)).alias("n_customers"),
-        stable_sum(F.col("c_acctbal")).alias("sum_bal"),
+        fast_sum(F.col("c_acctbal")).alias("sum_bal"),
     )
 
 
@@ -198,9 +204,9 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_year",
     oracle="""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_O,
-       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_F,
-       floor(CAST(sum(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS status_P
+       floor((CAST(sum(CAST(floor((CASE WHEN o_orderstatus='O' THEN o_totalprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS status_O,
+       floor((CAST(sum(CAST(floor((CASE WHEN o_orderstatus='F' THEN o_totalprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS status_F,
+       floor((CAST(sum(CAST(floor((CASE WHEN o_orderstatus='P' THEN o_totalprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS status_P
 FROM orders
 GROUP BY 1
 """,
@@ -214,7 +220,7 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(stable_sum(F.col("o_totalprice")))
+        .agg(fast_sum(F.col("o_totalprice")))
     )
     return piv.select(
         "order_year",
@@ -273,9 +279,9 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+       floor((CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
-         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) * 100 + 0.5) / 100
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) / 100) * 100 + 0.5) / 100
        AS spend_30d
 FROM orders
 """,
@@ -297,7 +303,14 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         stable_round(
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .over(w)
+            .cast("double")
+            / 100
         ).alias("spend_30d"),
     )
 
@@ -411,7 +424,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+SELECT floor((CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '2023-01-01' AND l_shipdate < DATE '2024-01-01'
@@ -433,7 +446,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            fast_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -441,9 +454,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey, c_name, n_name,
-       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+       {sql_fast_sum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -469,7 +482,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            stable_sum(
+            fast_sum(
                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
             ).alias("revenue")
         )
@@ -512,7 +525,7 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n_lines,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+       floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """,
@@ -557,7 +570,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert join_is_colocated(joined), "bucketed join re-shuffled"
         return joined.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_lines"),
-            stable_sum(F.col("l_extendedprice")).alias("revenue"),
+            fast_sum(F.col("l_extendedprice")).alias("revenue"),
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -652,7 +665,7 @@ SELECT count(*) AS n_rows,
        count(DISTINCT o_orderstatus) AS status_distinct,
        CAST(min(o_orderdate) AS DATE) AS min_date,
        CAST(max(o_orderdate) AS DATE) AS max_date,
-       floor(CAST(avg(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS avg_price
+       floor((CAST(sum(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
 FROM orders
 """,
     tags=("profile", "quality", "agg"),
@@ -671,9 +684,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("status_distinct"),
         F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
         F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
-        stable_round(
-            F.avg(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
-        ).alias("avg_price"),
+        fast_avg(F.col("o_totalprice")).alias("avg_price"),
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.functions.scalar import coalesce_cascade, flag_when
-from firstamerican_etl_spark.functions.stable import stable_round, stable_sum
+from firstamerican_etl_spark.functions.stable import fast_sum, stable_round, stable_sum
 from firstamerican_etl_spark.operators.relational import (
     asymmetric_left_join,
     dedup_top1_per_group,
@@ -87,9 +87,9 @@ def fa_ranked_deed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rev AS (
   SELECT o_custkey AS property_id,
          CAST(year(o_orderdate) AS INTEGER) AS year,
-         floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS assd_value,
-         floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS market_value,
-         floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS appr_value
+         floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS assd_value,
+         floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS market_value,
+         floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS appr_value
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY 1, 2
 )
@@ -121,13 +121,13 @@ def fa_valhist_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("year"),
         )
         .agg(
-            stable_sum(
+            fast_sum(
                 F.when(F.col("l_returnflag") == "N", F.col("l_extendedprice"))
             ).alias("assd_value"),
-            stable_sum(
+            fast_sum(
                 F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
             ).alias("market_value"),
-            stable_sum(
+            fast_sum(
                 F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice"))
             ).alias("appr_value"),
         )
@@ -175,9 +175,9 @@ valhist AS (
   FROM (
     SELECT o_custkey AS property_id,
            CAST(year(o_orderdate) AS INTEGER) AS year,
-           floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS assd_value,
-           floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS market_value,
-           floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS appr_value
+           floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS assd_value,
+           floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS market_value,
+           floor((CAST(sum(CAST(floor((CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS appr_value
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1, 2
   )
@@ -191,7 +191,7 @@ prop AS (
 taxhist AS (
   SELECT o_custkey AS tax_property_id,
          CAST(year(o_orderdate) AS INTEGER) AS tax_year,
-         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS tax_amt_adjusted
+         floor((CAST(sum(CAST(floor((o_totalprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / 100) * 100 + 0.5) / 100 AS tax_amt_adjusted
   FROM orders GROUP BY 1, 2
 )
 SELECT v.property_id, v.year, v.value, v.market_value, v.appr_value,
@@ -257,7 +257,13 @@ def fa_flagship_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
     ).agg(
         stable_round(
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double") / 100
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(1000000.0)
+            / 100
         ).alias("tax_amt_adjusted"),
         F.max_by(
             F.col("o_totalprice"),

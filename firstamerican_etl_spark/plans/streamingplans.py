@@ -67,7 +67,7 @@ def _drain(stream_df: DataFrame, name: str, ckpt: str, mode: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -86,7 +86,12 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             stable_round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("sum_value"),
         )
         .select(
@@ -186,7 +191,7 @@ WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
 )
 SELECT window_start, count(*) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
 FROM assigned
 GROUP BY 1
 """,
@@ -204,7 +209,12 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             stable_round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")

@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.functions.stable import (
+    fast_sum,
+    sql_fast_sum,
     sql_stable_round,
-    sql_stable_sum,
     stable_round,
-    stable_sum,
 )
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
@@ -37,7 +37,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.to_date("o_orderdate").alias("day"),
-    ).agg(stable_sum(F.col("o_totalprice")).alias("revenue"))
+    ).agg(fast_sum(F.col("o_totalprice")).alias("revenue"))
 
 
 def _spined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +83,7 @@ sparse AS (
   FROM spine s LEFT JOIN daily d
     ON s.priority = d.priority AND s.day = d.day
 )
-""".format(rev=sql_stable_sum("o_totalprice"))
+""".format(rev=sql_fast_sum("o_totalprice"))
 
 
 @register(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from firstamerican_etl_spark.functions.stable import stable_round, stable_sum
+from firstamerican_etl_spark.functions.stable import fast_sum, stable_round, stable_sum
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
@@ -22,7 +22,7 @@ from firstamerican_etl_spark.sources.io import load_table
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+       floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -62,7 +62,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
         .agg(
-            stable_sum(
+            fast_sum(
                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
             ).alias("revenue")
         )
@@ -73,13 +73,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_types",
     oracle="""
 WITH per_type AS (
-  SELECT p_type, sum(CAST(p_retailprice AS DECIMAL(25,6)) * p_size) AS val
+  SELECT p_type, sum(CAST(floor((p_retailprice * p_size) * 100 + 0.5) AS BIGINT)) AS val
   FROM part GROUP BY 1
 )
 SELECT p_type,
-       floor(CAST(val AS DOUBLE) * 100 + 0.5) / 100 AS type_value
+       floor((CAST(val AS DOUBLE) / 100) * 100 + 0.5) / 100 AS type_value
 FROM per_type
-WHERE val > (SELECT sum(val) * 0.15 FROM per_type)
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.15 FROM per_type)
 """,
     tags=("tpch", "q11", "having-scalar-subquery"),
 )
@@ -90,13 +90,17 @@ def q11_important_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row side costs nothing; never recompute the total per group)."""
     p = load_table(spark, sf_dir, "part")
     per_type = p.groupBy("p_type").agg(
-        F.sum(F.col("p_retailprice").cast("decimal(25,6)") * F.col("p_size")).alias("val")
+        F.sum(
+            F.floor(
+                F.col("p_retailprice") * F.col("p_size") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long")
+        ).alias("val")
     )
     total = per_type.agg(F.sum("val").alias("grand"))
     return (
         per_type.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("grand") * 0.15)
-        .select("p_type", stable_round(F.col("val").cast("double")).alias("type_value"))
+        .filter(F.col("val").cast("double") > F.col("grand").cast("double") * 0.15)
+        .select("p_type", stable_round(F.col("val").cast("double") / 100).alias("type_value"))
     )
 
 
@@ -132,10 +136,10 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
-SELECT floor(CAST(
-         100.0 * sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(25,6)))
-         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-       AS DOUBLE) * 100 + 0.5) / 100 AS promo_share_pct
+SELECT floor((
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       ) * 100 + 0.5) / 100 AS promo_share_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
     tags=("tpch", "q14", "conditional-ratio"),
@@ -145,17 +149,19 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate pass (never two jobs for a ratio); part broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,6)"
-    )
+    rev_q = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
         stable_round(
-            (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(25,6)")))
-                / F.sum(rev)
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_q).otherwise(F.lit(0))
             ).cast("double")
+            / F.sum(rev_q).cast("double")
         ).alias("promo_share_pct")
     )
 
@@ -165,7 +171,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH srev AS (
   SELECT l_suppkey,
-         floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total_rev
+         floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS total_rev
   FROM lineitem WHERE l_shipdate >= DATE '2023-01-01'
   GROUP BY 1
 )
@@ -184,7 +190,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     srev = li.groupBy("l_suppkey").agg(
-        stable_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+        fast_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
             "total_rev"
         )
     )
@@ -203,7 +209,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH avgq AS (
   SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1
 )
-SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) / 7.0 AS DOUBLE) * 100 + 0.5) / 100 AS avg_yearly,
+SELECT floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / 7.0) * 100 + 0.5) / 100 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
@@ -228,9 +234,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
             stable_round(
-                (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")) / 7.0).cast(
-                    "double"
-                )
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.lit(1000000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / 7.0
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -240,7 +250,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+SELECT floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -268,7 +278,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             | branch("Brand#2", 25, 10, 30)
             | branch("Brand#3", 35, 20, 40)
         ).agg(
-            stable_sum(
+            fast_sum(
                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -285,7 +295,7 @@ WITH rich AS (
 )
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       floor(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total_bal
+       floor((CAST(sum(CAST(floor((c_acctbal) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS total_bal
 FROM rich
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1
@@ -308,5 +318,5 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return dormant.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        stable_sum(F.col("c_acctbal")).alias("total_bal"),
+        fast_sum(F.col("c_acctbal")).alias("total_bal"),
     )

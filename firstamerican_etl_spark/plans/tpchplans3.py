@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.functions.stable import (
+    fast_sum,
     stable_round,
     stable_sum,
 )
@@ -32,7 +33,7 @@ from firstamerican_etl_spark.sources.io import load_table
     oracle="""
 WITH sales AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+         CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS volume,
          sn.n_name AS supp_nation
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -45,9 +46,9 @@ WITH sales AS (
   WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
 )
 SELECT order_year,
-       floor(CAST(
-         sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(25,6)) END)
-         / sum(volume) AS DOUBLE) * 10000 + 0.5) / 10000 AS mkt_share
+       floor((
+         CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mkt_share
 FROM sales
 GROUP BY 1
 """,
@@ -69,9 +70,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     amer = r.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
-    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,6)"
-    )
+    vol = F.floor(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     sales = (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -86,13 +89,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    zero = F.lit(0).cast("decimal(25,6)")
+    zero = F.lit(0)
     return sales.groupBy("order_year").agg(
         stable_round(
-            (
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero))
-                / F.sum("volume")
-            ).cast("double"),
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_1", F.col("volume")
+                ).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
             4,
         ).alias("mkt_share")
     )
@@ -103,9 +108,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INTEGER) AS order_year,
-       floor(CAST(sum(CAST(
+       floor((CAST(sum(CAST(floor((
          l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity
-       AS DECIMAL(25,6))) AS DOUBLE) * 100 + 0.5) / 100 AS profit
+       ) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -121,7 +126,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a name pattern. Supply cost is proxied as 10% of retail price (the
     driver dataset has no partsupp). The LIKE filter prunes part BEFORE
     its broadcast; profit is one derived expression summed exactly in
-    decimal."""
+    quantized int64 cents."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -144,7 +149,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
-        .agg(stable_sum(profit).alias("profit"))
+        .agg(fast_sum(profit).alias("profit"))
     )
 
 
