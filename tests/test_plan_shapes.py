@@ -153,3 +153,42 @@ def test_full_outer_reconcile_joins_aggregates(spark, sf_dir):
     plan = _plan(df)
     assert "FullOuter" in plan
     assert "HashAggregate" in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With broadcast disabled (as for a >threshold dim at 100 TB) and
+    the size gates lowered to test scale, a selective build-side filter
+    must inject a runtime bloom filter (might_contain) into the fact
+    scan — rows die before the shuffle, not after it. session.py turns
+    the feature on; the default size gates keep it inert locally, so
+    this test lowers them via runtime conf and restores afterwards."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _formatted(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
