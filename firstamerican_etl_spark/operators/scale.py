@@ -150,3 +150,65 @@ def repartition_for_cascade(
     PropertyID before J3-J5/W1)."""
     cols: list[Column] = [F.col(k) for k in keys]
     return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+def global_row_index(
+    df: DataFrame, order_key: str, index_name: str = "row_idx", partitions: int = 0
+) -> DataFrame:
+    """Global 0-based row index in ``order_key`` order WITHOUT the
+    single-partition sort that ``row_number() OVER (ORDER BY ...)``
+    plans (every row through one task — the classic 100 TB faceplant).
+
+    The distributed zipWithIndex recipe, DataFrame-native:
+    1. range-partition + sort by the key (range exchange: sampled
+       bounds, disjoint sorted partitions);
+    2. project spark_partition_id() — a pure map, no shuffle;
+    3. count rows per partition (aggregate ships |partitions| rows),
+       prefix-sum the counts driver-side into per-partition offsets;
+    4. mapInPandas with a per-partition running counter + broadcast
+       offset map: each row gets offset[pid] + local ordinal.
+
+    Total cost: ONE range exchange of the data + a metadata aggregate —
+    vs the naive window's full collapse to one task. Requires a unique
+    ``order_key`` for a deterministic result (ties across a partition
+    boundary would otherwise be order-ambiguous).
+
+    The partitioned frame is persist()ed between the two passes:
+    repartitionByRange picks its bounds by SAMPLING, so an un-pinned
+    plan could re-sample different boundaries in the count job vs the
+    index job and mis-align every offset. At warehouse scale the same
+    pinning falls out naturally by writing the sorted layout first
+    (write_range_clustered) and indexing the static files; callers
+    should unpersist() after materializing.
+    """
+    import pandas as pd
+
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, F.col(order_key))
+        .sortWithinPartitions(order_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    out_schema = parts.drop("_pid").schema.add(index_name, "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def index_batches(batches):
+        local = 0
+        for pdf in batches:
+            base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[index_name] = pd.RangeIndex(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield pdf[cols]
+
+    return parts.mapInPandas(index_batches, schema=out_schema)

@@ -774,6 +774,47 @@ def sql_interface_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recursive_cte_hierarchy",
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, anc.root, anc.depth + 1
+  FROM customer c JOIN anc
+    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = anc.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT root, depth, count(*) AS n_nodes, max(c_custkey) AS max_key
+FROM anc GROUP BY 1, 2
+""",
+    tags=("sql", "recursive-cte", "hierarchy"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk the implicit
+    custkey decimal-digit hierarchy (parent = floor(key/10)) from the
+    single-digit roots down, tracking root and depth — the iterative
+    plan Spark lacked before 4.0 (each recursion level is one join
+    stage; depth is log10(|keys|), so the loop terminates fast at any
+    scale). Same SQL text runs on both engines; floor-division spelled
+    portably (DuckDB's // vs Spark's div differ)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey, c_custkey AS root, 0 AS depth
+          FROM customer_v WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, anc.root, anc.depth + 1
+          FROM customer_v c JOIN anc
+            ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = anc.c_custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, depth, count(*) AS n_nodes, max(c_custkey) AS max_key
+        FROM anc GROUP BY root, depth
+    """)
+
+
+@register(
     "events_from_jsonl",
     oracle="""
 SELECT event_id, user_id, event_type,
@@ -809,6 +850,59 @@ def events_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     ev = spark.read.schema(schema).option("mode", "PERMISSIVE").json(base)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
+    )
+
+
+@register(
+    "events_from_xml",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       floor(CAST(value AS DOUBLE) * 100 + 0.5) / 100 AS value_r
+FROM events
+""",
+    tags=("source", "xml"),
+)
+def events_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (built into Spark 4): the events table staged once as
+    row-tagged XML and read back with an EXPLICIT schema — same
+    contract as the JSONL source: schema declared (no inference pass),
+    PERMISSIVE nulls on malformed rows, and an exact value round-trip
+    (Double.toString/parseDouble are inverses), which the oracle
+    (reading the original parquet) checks."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fa_spark_xml_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).coalesce(2).write.mode("overwrite").format("xml").option(
+            "rootTag", "events"
+        ).option("rowTag", "event").save(base)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        spark.read.schema(schema)
+        .option("rowTag", "event")
+        .option("mode", "PERMISSIVE")
+        .format("xml")
+        .load(base)
+    )
     return ev.select(
         "event_id",
         "user_id",

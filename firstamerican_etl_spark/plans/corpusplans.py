@@ -1,0 +1,182 @@
+"""LLM corpus-preparation operators over ``documents``/``embeddings``:
+chunking documents into overlapping training windows, contiguous
+sequence packing against a token budget, and int8 embedding
+quantization. These are the steps between "cleaned corpus" (dedup,
+quality — dedupplans/textplans) and "training batches", and each is a
+pure Catalyst plan with a full DuckDB oracle.
+
+Scale shape: chunking is explode-only (rows × windows, no shuffle
+until the consumer aggregates); packing is one window pass over the
+per-doc token counts (never the text); quantization is a map over the
+embedding arrays. Nothing here touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+_W = 40  # chunk window (words)
+_S = 20  # stride
+_B = 256  # packing token budget
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+starts AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(generate_series(1, greatest(len(words) - {_W} + 1, 1), {_S})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(floor((start - 1) / {_S}.0) AS BIGINT) AS chunk_id,
+       least({_W}, n - start + 1) AS n_tokens,
+       words[start] AS first_word,
+       words[start + least({_W}, n - start + 1) - 1] AS last_word
+FROM starts
+""",
+    tags=("corpus", "chunking", "explode"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document becomes ⌈(n-W)/S⌉+1
+    overlapping windows of W=40 words at stride S=20 — the standard
+    context-window prep for LLM training. Emits per-chunk bounds
+    (count, first/last word) rather than materializing the chunk text;
+    a consumer slices the bound words array itself. The words array is
+    bound behind a Generate barrier (see dedupplans.exploded_words) so
+    interpreted lambdas never re-split the text; the explode multiplies
+    rows map-side only — zero shuffle in this plan."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    starts = d.select(
+        "doc_id",
+        "words",
+        n.alias("n"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(n - F.lit(_W - 1), F.lit(1)), F.lit(_S)
+            )
+        ).alias("start"),
+    )
+    n_tok = F.least(F.lit(_W), F.col("n") - F.col("start") + 1)
+    return starts.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / float(_S)).alias("chunk_id"),
+        n_tok.alias("n_tokens"),
+        F.element_at("words", F.col("start")).alias("first_word"),
+        F.element_at("words", F.col("start") + n_tok - 1).alias("last_word"),
+    )
+
+
+@register(
+    "corpus_pack_contiguous",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT CAST(floor(tok_offset / {_B}.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+    tags=("corpus", "packing", "window"),
+)
+def corpus_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: lay documents end-to-end in
+    deterministic doc_id order and cut bins every B=256 tokens (the
+    concat-then-split packing used to fill fixed-length training
+    contexts with minimal padding). The bin id is a pure function of
+    the running token offset — ONE window pass over per-doc token
+    counts (integers, never text), then a small aggregate. At 100 TB
+    the global running sum would become per-shard packing (pack within
+    range partitions) — same expression, partitioned key added."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy(
+            F.floor(F.col("tok_offset") / float(_B)).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              AS DOUBLE) AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+       floor(sc * 1000000 + 0.5) / 1000000 AS scale,
+       (SELECT sum(CAST(floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS BIGINT))
+          FROM unnest(embedding) AS u(x)) AS q_checksum,
+       len(embedding) AS dim
+FROM s
+""",
+    tags=("corpus", "quantization", "array"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings: per-vector scale =
+    max|x|, each element mapped to floor(x/scale·127+½) ∈ [-126, 127]
+    (the storage-shrink step before ANN indexing — 4× smaller than
+    float32, dot products in integer SIMD). Emitted as the per-vector
+    scale plus the quantized checksum — exact integers, so the oracle
+    is bit-tight. Pure map over the array column: transform for the
+    scale, an integer aggregate() fold for the checksum, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale_raw = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    # Generate barrier binds the scalar scale: without it, projection
+    # collapse would re-inline the array_max(transform(...)) into the
+    # interpreted checksum lambda PER ELEMENT — O(dim²) work per row.
+    s = e.select(
+        "vec_id", "embedding", F.explode(F.array(scale_raw)).alias("sc")
+    )
+    q = lambda x: F.floor(
+        x.cast("double") / F.col("sc") * F.lit(127.0) + F.lit(0.5)
+    ).cast("long")
+    checksum = F.aggregate(
+        "embedding", F.lit(0).cast("long"), lambda acc, x: acc + q(x)
+    )
+    return s.select(
+        "vec_id",
+        (
+            F.floor(F.col("sc") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("scale"),
+        checksum.alias("q_checksum"),
+        F.size("embedding").alias("dim"),
+    )

@@ -315,6 +315,28 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "global_row_index_scalable",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       row_number() OVER (ORDER BY o_orderkey) - 1 AS row_idx
+FROM orders
+""",
+    tags=("sort", "zipwithindex", "scale"),
+)
+def global_row_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering the scalable way (operators/scale.py
+    global_row_index): range-partition + sort, per-partition counts
+    prefix-summed into offsets, Arrow-batched local ordinals — one
+    range exchange instead of the single-task global-window sort the
+    naive row_number() OVER (ORDER BY ...) plans. The oracle IS that
+    naive form — fine single-node, a faceplant at 100 TB."""
+    from firstamerican_etl_spark.operators.scale import global_row_index
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return global_row_index(o, "o_orderkey")
+
+
 # --------------------------------------------------------- unionByName
 
 @register(

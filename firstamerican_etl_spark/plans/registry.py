@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
         timeseriesplans,
         arrayplans,
         statsplans,
+        corpusplans,
     )
 
     return REGISTRY

@@ -275,3 +275,48 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id")
     name = f"stream_ssj_{abs(hash((sf_dir, ckpt))) % 10**8}"
     return _drain(joined, name, ckpt, "append")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+    tags=("streaming", "stream-static", "enrich"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming events feed joins a
+    STATIC dimension (customer, broadcast) before aggregating per
+    (segment, event_type). The join is stateless — the static side is
+    re-resolved per micro-batch, no stream state and no watermark for
+    the join itself — which is why dimension enrichment belongs on the
+    stream-static path, never stream-stream. The aggregate carries
+    count + quantized-long sum (distinct aggregation is unsupported in
+    streaming); complete-mode output equals the batch join exactly
+    (full SQL oracle)."""
+    landing, ckpt = _stage_events(spark, sf_dir, "enrich")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = (
+        read_events_stream(spark, landing)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
+        )
+    )
+    name = f"stream_enrich_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(stream, name, ckpt, "complete")

@@ -187,3 +187,36 @@ def test_approx_percentile_accuracy_vs_exact(spark, sf_dir):
         e50, e90, e99 = exact[flag]
         for a, ex in ((a50, e50), (a90, e90), (a99, e99)):
             assert abs(a - ex) <= 0.01 * abs(ex) + 1e-9, f"{flag}: {a} vs {ex}"
+
+
+def test_fast_sum_partitioning_invariance(spark):
+    """The quantized-int64 fast path must be BIT-identical under any
+    partitioning (the whole point of functions/stable.py): the same
+    data summed in 1 partition and in 32 partitions yields the same
+    doubles, and agrees with the decimal wide path at the shared
+    rounding grid."""
+    import random
+
+    from firstamerican_etl_spark.functions.stable import fast_avg, fast_sum, stable_sum
+
+    rnd = random.Random(7)
+    rows = [(i % 7, round(rnd.uniform(-1e5, 1e5), 2)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+
+    def result(d):
+        out = d.groupBy("k").agg(
+            fast_sum(F.col("x")).alias("s"), fast_avg(F.col("x"), 4).alias("a")
+        )
+        return {r["k"]: (r["s"], r["a"]) for r in out.collect()}
+
+    one = result(df.coalesce(1))
+    many = result(df.repartition(32))
+    assert one == many  # exact equality, not approx
+
+    wide = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(stable_sum(F.col("x")).alias("s")).collect()
+    }
+    for k, (s, _) in one.items():
+        # 2-decimal inputs: both paths are exact, so they agree exactly
+        assert s == wide[k], f"group {k}: fast {s} vs wide {wide[k]}"
