@@ -275,39 +275,40 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (returnflag R) on a finished multi-supplier order. The
     classic dual correlated EXISTS (another supplier participated) /
     NOT EXISTS (no other supplier at fault) is decorrelated into ONE
-    per-order aggregate — count(distinct supplier) and count(distinct
-    at-fault supplier) — then joined back: one extra shuffle on
-    l_orderkey replaces two correlated subqueries, and at 100 TB the
-    per-order stats table is ~|orders| rows, far smaller than two
-    self-joins of lineitem. nsupp_r = 1 together with l1's own R flag
-    implies l1's supplier is that single at-fault supplier.
+    per-order aggregate — and lineitem is shuffled exactly ONCE: the
+    per-(order, supplier) rollup carries the at-fault flag, the
+    R-row count, AND (via conditional max) the identity of the sole
+    at-fault supplier, so the per-order stats table already holds
+    everything the answer needs. No probe-side rejoin of lineitem —
+    the old formulation shuffled the R-rows a second time against
+    ordstats; at 100 TB that second lineitem exchange dwarfs the
+    ~|orders|-row work this version does after the rollup.
 
-    The two distinct counts run as a TWO-LEVEL aggregation
-    (per-(order, supplier) flag-max → per-order count/sum) rather
-    than two countDistincts in one agg: multi-distinct plans an
-    Expand that doubles the shuffled rows, while the two-level form
-    shuffles each row once (~25% faster at sf0.1, and the gap widens
-    with scale)."""
+    The distinct-supplier counts run as a TWO-LEVEL aggregation
+    (per-(order, supplier) → per-order) rather than countDistinct:
+    multi-distinct plans an Expand that doubles the shuffled rows."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    is_r = (F.col("l_returnflag") == "R").cast("int")
     per_pair = li.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+        F.max(is_r).alias("has_r"),
+        F.sum(is_r).alias("n_r"),
     )
     ordstats = per_pair.groupBy("ok").agg(
         F.count(F.lit(1)).alias("nsupp"),
         F.sum("has_r").alias("nsupp_r"),
+        F.sum("n_r").alias("r_rows"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("fault_supp"),
     )
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(ordstats, l1.l_orderkey == ordstats.ok)
-        .filter((F.col("nsupp") > 1) & (F.col("nsupp_r") == 1))
-        .join(o, l1.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        ordstats.filter((F.col("nsupp") > 1) & (F.col("nsupp_r") == 1))
+        .join(o, F.col("ok") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("fault_supp") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name", F.col("n_name").alias("nation"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_rows").cast("long").alias("numwait"))
     )

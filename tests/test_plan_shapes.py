@@ -116,14 +116,15 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
-def test_q21_decorrelation_scans_lineitem_twice(spark, sf_dir):
+def test_q21_decorrelation_scans_lineitem_once(spark, sf_dir):
     """Q21's dual EXISTS/NOT-EXISTS is decorrelated into one per-order
-    aggregate: lineitem must be scanned exactly twice (probe + stats),
-    never three times as the literal two-correlated-subqueries plan
-    would."""
+    rollup that carries the at-fault supplier identity and R-row count
+    with it: lineitem must be scanned exactly ONCE (the literal
+    correlated plan scans it three times; the probe-rejoin variant
+    twice)."""
     plan = _formatted(REGISTRY["q21_waiting_orders"].spark(spark, sf_dir))
     scans = plan.count("lineitem.parquet")
-    assert scans == 2, f"expected 2 lineitem scans, saw {scans}"
+    assert scans == 1, f"expected 1 lineitem scan, saw {scans}"
 
 
 def test_tfidf_docfreq_broadcasts(spark, sf_dir):
@@ -192,3 +193,37 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q1_stays_off_the_decimal_path(spark, sf_dir):
+    """q1's aggregates must ride the quantized-int64 fast path: no
+    decimal type may appear anywhere in the physical plan (a decimal
+    cast would mean BigDecimal accumulation outside codegen — the 5x
+    regression functions/stable.py exists to prevent)."""
+    plan = _formatted(REGISTRY["q1_pricing_summary"].spark(spark, sf_dir))
+    assert "decimal" not in plan.lower(), "decimal crept back into q1"
+
+
+def test_gap_fill_interpolate_single_sort(spark, sf_dir):
+    """Both interpolation frames (carry-forward and pull-backward) run
+    over the same (priority, day) ordering: the plan must contain
+    exactly one sort for the window stage over the spine — a second
+    sort would mean the two frames stopped sharing their exchange."""
+    df = REGISTRY["gap_fill_interpolate"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    n_windows = plan.count("Window")
+    # Window operators present, and no more Sorts than window specs
+    # need: one for the two frames + at most one inside the tiny
+    # spine/aggregate side.
+    assert n_windows >= 1
+    assert plan.count("Sort") <= 2, plan
+
+
+def test_doc_chunk_windows_no_shuffle(spark, sf_dir):
+    """Chunking is explode-only: the executed plan must contain NO
+    shuffle exchange — rows multiply map-side and stay put."""
+    df = REGISTRY["doc_chunk_windows"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
