@@ -48,6 +48,11 @@ HEADLINE = [
     "q21_waiting_orders",
     "scd2_value_intervals",
     "corpus_clean_pipeline",
+    "gap_fill_interpolate",
+    "weighted_median_udaf",
+    "corpus_pack_contiguous",
+    "global_row_index_scalable",
+    "stats_moments_stable",
 ]
 
 

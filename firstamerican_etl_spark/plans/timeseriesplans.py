@@ -43,21 +43,31 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense (priority, day) spine left-joined with observed revenue.
 
-    The spine is built from the GLOBAL [min, max] date range — a
-    single-row aggregate crossed with the (5-row) priority dim, then
-    exploded. Both inputs to the cross join are broadcast-sized by
-    construction regardless of fact-table scale."""
+    The spine is built from the GLOBAL [min, max] date range, carried
+    onto the aggregated daily table by an unpartitioned window and
+    exploded per priority — spine size is |priorities| × |days|
+    regardless of fact-table scale."""
     daily = _daily_revenue(spark, sf_dir)
-    bounds = daily.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
+    # Global bounds via an unpartitioned window over the (tiny)
+    # aggregated daily table, NOT a separate agg over the fact table:
+    # every consumer of `daily` then shares one identical aggregation
+    # subtree, so Catalyst's ReuseExchange computes the orders shuffle
+    # once instead of re-scanning the fact table per branch.
+    wall = Window.partitionBy()
     spine = (
-        bounds.select(
+        daily.select(
+            "priority",
+            F.min("day").over(wall).alias("lo"),
+            F.max("day").over(wall).alias("hi"),
+        )
+        .groupBy("priority", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "priority",
             F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
                 "day"
-            )
+            ),
         )
-        .crossJoin(daily.select("priority").distinct())
     )
     return spine.join(daily, ["priority", "day"], "left")
 

@@ -108,3 +108,63 @@ def test_read_parquet_ignore_corrupt(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception):
         read_parquet(spark, path).count()
     assert read_parquet(spark, path, ignore_corrupt=True).count() == n.count()
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution on a growing dataset: files written before a
+    column existed must read back with nulls for it once mergeSchema
+    unifies the footers — the append-only warehouse pattern (new
+    extract vintages gain columns; history is never rewritten)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    old = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    old.write.parquet(path)  # vintage 1: two columns
+    new = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.lit("v2").alias("vintage")
+    )
+    new.write.mode("append").parquet(path)  # vintage 2: adds a column
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "vintage"}
+    n = old.count()
+    assert merged.count() == 2 * n
+    # vintage-1 rows surface the new column as null, not an error
+    assert merged.filter(F.col("vintage").isNull()).count() == n
+    assert merged.filter(F.col("vintage") == "v2").count() == n
+
+
+def test_jsonlgz_writer_roundtrip(spark, sf_dir, tmp_path):
+    """Custom Python DataSource WRITER: documents exported as sharded
+    .jsonl.gz on executors, read back via Spark's native gzip-aware
+    JSON reader with an explicit schema — values round-trip exactly
+    and the _SUCCESS manifest lists every committed shard."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.jsonlgz import JsonlGzDataSource
+
+    spark.dataSource.register(JsonlGzDataSource)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "docs_jsonl_gz")
+    src.write.format("jsonlgz").mode("overwrite").option("path", out).save()
+
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+    assert shards, "no shards written"
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = f.read().splitlines()
+    assert sorted(shards) == manifest
+    with gzip.open(os.path.join(out, shards[0]), "rt") as f:
+        first = f.readline()
+    assert first.startswith("{")
+
+    back = spark.read.schema(src.schema).json(out)
+    assert back.count() == src.count()
+    # order-insensitive exact content equality
+    a = src.exceptAll(back).count()
+    b = back.exceptAll(src).count()
+    assert a == 0 and b == 0
