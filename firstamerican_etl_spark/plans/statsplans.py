@@ -199,3 +199,54 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_nonpositive_price", neg_price))
         .unionByName(one("events_null_user", null_user))
     )
+
+
+@register(
+    "linreg_price_on_qty",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       floor(((sxy - sx * (sy / n)) / (sxx - sx * (sx / n))) * 10000 + 0.5) / 10000 AS slope,
+       floor((sy / n - ((sxy - sx * (sy / n)) / (sxx - sx * (sx / n))) * (sx / n)) * 10000 + 0.5) / 10000 AS intercept
+FROM s
+""",
+    tags=("stats", "regression", "bit-stable"),
+)
+def linreg_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS line (price ~ quantity) from the same exact
+    decimal power sums as stats_moments_stable — the mergeable,
+    partitioning-invariant form of SQL:2016 regr_slope/regr_intercept
+    (the built-ins accumulate in doubles and drift across
+    partitionings; these don't). slope = Sxy/Sxx, intercept =
+    ȳ − slope·x̄, combined in one fixed double expression tree shared
+    with the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DX)
+    y = F.col("l_extendedprice").cast(_DX)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (sxy - sx * (sy / n)) / (sxx - sx * (sx / n))
+    intercept = sy / n - slope * (sx / n)
+    return s.select(
+        "l_returnflag",
+        "n",
+        stable_round(slope, 4).alias("slope"),
+        stable_round(intercept, 4).alias("intercept"),
+    )

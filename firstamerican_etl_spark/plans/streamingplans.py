@@ -320,3 +320,70 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_enrich_{abs(hash((sf_dir, ckpt))) % 10**8}"
     return _drain(stream, name, ckpt, "complete")
+
+
+@register(
+    "streaming_custom_source_agg",
+    oracle="""
+SELECT user_id, event_type,
+       count(*) AS n_events,
+       sum(event_id) AS id_sum
+FROM (
+  SELECT i AS event_id,
+         i % 50 AS user_id,
+         ['click', 'view', 'purchase'][(i % 3) + 1] AS event_type
+  FROM (SELECT unnest(generate_series(0, 299)) AS i)
+)
+GROUP BY 1, 2
+""",
+    tags=("streaming", "custom-source", "python-datasource"),
+)
+def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING DataSource under the correctness gate:
+    the deterministic eventgen source (sources/eventgen_stream.py)
+    drained through a streaming aggregation, checked against a
+    closed-form SQL oracle that regenerates the same rows with
+    generate_series — a full value oracle for a streaming source,
+    possible only because offsets map to reproducible content (the
+    property that also makes its checkpoint recovery exact)."""
+    import time
+
+    from firstamerican_etl_spark.sources.eventgen_stream import (
+        EventGenStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EventGenStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    n_total, per_batch = 300, 100
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rows_per_batch", per_batch)
+        .option("max_batches", n_total // per_batch)
+        .load()
+    )
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    name = f"eventgen_agg_{abs(hash((sf_dir, time.time_ns()))) % 10**10}"
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_eventgen_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
+            if done == n_total:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return spark.table(name)

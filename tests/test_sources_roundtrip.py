@@ -168,3 +168,42 @@ def test_jsonlgz_writer_roundtrip(spark, sf_dir, tmp_path):
     a = src.exceptAll(back).count()
     b = back.exceptAll(src).count()
     assert a == 0 and b == 0
+
+
+def test_zorder_layout_compacts_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must make per-file value spans narrow on
+    BOTH interleaved columns (that is the file-skipping contract for
+    2-D selective scans), where 1-D range clustering keeps only its
+    sort key compact — the second column's per-file span stays ~the
+    full domain."""
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.io import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+    def file_span_ratio(path, col):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = df.groupBy("f").agg(
+            (F.max(col) - F.min(col)).alias("span")
+        )
+        g = df.agg((F.max(col) - F.min(col)).alias("g")).collect()[0]["g"]
+        avg = spans.agg(F.avg("span")).collect()[0][0]
+        return avg / g
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_clustered(li, zpath, "l_orderkey", "l_partkey", num_files=16)
+    rpath = str(tmp_path / "range1d")
+    write_range_clustered(li, rpath, ["l_orderkey"], num_files=16)
+
+    # 1-D clustering: sort key compact, second column ~full span
+    assert file_span_ratio(rpath, "l_orderkey") < 0.2
+    assert file_span_ratio(rpath, "l_partkey") > 0.8
+    # Z-order: BOTH columns well below full span per file
+    assert file_span_ratio(zpath, "l_orderkey") < 0.5
+    assert file_span_ratio(zpath, "l_partkey") < 0.5
+    # and content is preserved
+    assert spark.read.parquet(zpath).count() == li.count()

@@ -222,3 +222,54 @@ def test_checkpoint_incremental_resume(spark, sf_dir, tmp_path_factory):
     # cumulative sink: batch-1 keys + the 50 fresh keys, no duplicates
     assert sorted(ids) == sorted(set(ids)), "dedup state lost across restart"
     assert set(ids) == set(range(150)), f"got {len(ids)} rows"
+
+
+def test_eventgen_custom_stream_source(spark, tmp_path):
+    """Custom Python streaming DataSource: deterministic content means
+    the drained sink must hold EXACTLY the generated rows — total
+    count, event_id checksum, and a windowed aggregate all checkable
+    against closed-form values (rate-source tests can only count)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.eventgen_stream import (
+        EventGenStreamDataSource,
+    )
+
+    spark.dataSource.register(EventGenStreamDataSource)
+    n_total = 300
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rows_per_batch", 100)
+        .option("max_batches", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("eventgen_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("eventgen_sink").count() >= n_total:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    out = spark.table("eventgen_sink")
+    assert out.count() == n_total
+    row = out.agg(
+        F.sum("event_id").alias("id_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    ).collect()[0]
+    assert row["id_sum"] == n_total * (n_total - 1) // 2
+    assert row["n_users"] == 50
+    assert (row["t1"] - row["t0"]).total_seconds() == n_total - 1
