@@ -161,3 +161,48 @@ def pareto_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "basket_cooccurrence_pairs",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_together
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_together DESC, part_a, part_b
+LIMIT 20
+""",
+    tags=("analytics", "market-basket", "self-join"),
+)
+def basket_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: which part pairs ship in the same
+    order — the support-counting core of frequent-itemset mining
+    (FP-growth's first pass), as one equi-self-join. The reference has
+    no self-joins at all (SURVEY.md §2.3: four left joins only); this
+    is the missing shape. Scale contract: the join key is the basket
+    id, so the blow-up is sum(k²) over per-basket sizes k (TPC-H
+    baskets are ≤7 items — bounded), and both sides are the SAME
+    scan shuffled once on l_orderkey; the `<` predicate halves the
+    pair space and drops self-pairs before the aggregate. Final top-20
+    is a deterministic tie-broken TakeOrdered, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .orderBy(F.col("n_together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
