@@ -206,3 +206,59 @@ def basket_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_together").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "funnel_stage_conversion",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  WHERE user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT
+  count(t_view) AS n_view,
+  count(CASE WHEN t_click >= t_view THEN 1 END) AS n_click,
+  count(CASE WHEN t_click >= t_view AND t_signup >= t_click
+             THEN 1 END) AS n_signup,
+  count(CASE WHEN t_click >= t_view AND t_signup >= t_click
+              AND t_purchase >= t_signup THEN 1 END) AS n_purchase
+FROM per_user
+""",
+    tags=("analytics", "funnel", "conditional-agg"),
+)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → signup → purchase): one
+    conditional-aggregate pass pivots each user's first timestamp per
+    stage into four columns, then stage-k conversion is the chained
+    inequality over those minima — a user converts only if every
+    earlier stage happened no later. Two aggregates total (per-user,
+    then global), no joins, no windows; the per-user grouping is the
+    only shuffle, so the shape is flat at any event volume. Exact
+    integer counts — trivially hash-stable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def first_ts(stage: str):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("signup").alias("t_signup"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    c_view = F.col("t_view")
+    reach_click = F.col("t_click") >= c_view
+    reach_signup = reach_click & (F.col("t_signup") >= F.col("t_click"))
+    reach_purchase = reach_signup & (F.col("t_purchase") >= F.col("t_signup"))
+    return per_user.agg(
+        F.count(c_view).alias("n_view"),
+        F.count(F.when(reach_click, 1)).alias("n_click"),
+        F.count(F.when(reach_signup, 1)).alias("n_signup"),
+        F.count(F.when(reach_purchase, 1)).alias("n_purchase"),
+    )

@@ -273,3 +273,38 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
     )
+
+
+@register(
+    "sample_fixed_k_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rn
+  FROM orders
+) t WHERE rn <= 5
+""",
+    tags=("sampling", "deterministic", "training-data"),
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample: order each group by the md5 of
+    its key (a uniform, engine-agnostic pseudo-rank) and keep the
+    first k. The class-balancing primitive fraction-based
+    sample_stratified_hash can't give you — k is exact per group, and
+    the SAME rows come back under repartition, retry, or engine swap
+    (md5 of the key is input-determined, unlike rand()). One
+    window-per-group shuffle; at scale, groups are independent so
+    skew only ever costs what the largest stratum costs."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey")
+    )
