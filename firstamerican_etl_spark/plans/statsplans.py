@@ -250,3 +250,58 @@ def linreg_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(slope, 4).alias("slope"),
         stable_round(intercept, 4).alias("intercept"),
     )
+
+
+@register(
+    "event_mix_gini_by_weekday",
+    oracle="""
+WITH c AS (
+  SELECT dayname(CAST(ts AS DATE)) AS weekday,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+  FROM events GROUP BY 1
+)
+SELECT weekday, n_click, n_error, n_purchase, n_signup, n_view,
+       floor((1.0 - (
+           (CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n_error AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n_error AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n_signup AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n_signup AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(n_view AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n_view AS DOUBLE) / CAST(n AS DOUBLE))
+       )) * 1000000 + 0.5) / 1000000 AS gini_impurity
+FROM (SELECT *, n_click + n_error + n_purchase + n_signup + n_view AS n FROM c) t
+""",
+    tags=("stats", "distribution", "bit-stable"),
+)
+def event_mix_gini_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-mix diversity profile: event-type distribution per
+    weekday plus its Gini impurity 1 − Σp², the class-balance metric
+    a training-data pipeline monitors for drift. Deliberately Gini
+    and not Shannon entropy: impurity is pure +·/ arithmetic over
+    exact integer counts in one fixed expression tree, so it is
+    bit-identical across engines and partitionings, where log2's
+    libm-vs-JVM last-bit differences can flip a rounding boundary.
+    One conditional-aggregate pass (pivot to fixed columns), no
+    second shuffle; weekday names (not locale-dependent numbers)
+    keep the two engines' day numbering out of the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "EEEE").alias("weekday")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("click", "error", "purchase", "signup", "view")
+        ]
+    )
+    cols = [F.col(f"n_{t}") for t in ("click", "error", "purchase", "signup", "view")]
+    n = cols[0] + cols[1] + cols[2] + cols[3] + cols[4]
+    nd = n.cast("double")
+    sq = lambda c: (c.cast("double") / nd) * (c.cast("double") / nd)  # noqa: E731
+    gini = F.lit(1.0) - (sq(cols[0]) + sq(cols[1]) + sq(cols[2]) + sq(cols[3]) + sq(cols[4]))
+    return counts.select(
+        "weekday", *[f"n_{t}" for t in ("click", "error", "purchase", "signup", "view")],
+        stable_round(gini, 6).alias("gini_impurity"),
+    )

@@ -255,3 +255,48 @@ def iqr_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_out.cast("long")).alias("n_outliers"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS window_day,
+       count(DISTINCT ud.user_id) AS active_users_7d
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+""",
+    tags=("timeseries", "rolling-distinct", "scale-idiom"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the WAU/MAU
+    metric. Spark windows cannot run count(DISTINCT) over a RANGE
+    frame, and the naive day×activity range join is O(days·users).
+    The scale idiom: dedup to (day, user) once, then EXPLODE each
+    activity day into the ≤7 window-ending days it contributes to,
+    and take an exact distinct count per window day — shuffle volume
+    is 7× the (small) distinct activity table, independent of raw
+    event volume, and every stage is a plain hash aggregate. Days
+    with no events in the trailing week of the data's edge are
+    semi-joined back to observed days so both engines report the
+    same day set."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("window_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib["window_day"] == days["d"], "left_semi")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
