@@ -90,25 +90,30 @@ def main() -> None:
             pass  # a warm-up failure surfaces in the timed run
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         spec = registry[name]
         t0 = time.perf_counter()
-        n = _force(spec.spark(spark, sf_dir))
+        try:
+            n = _force(spec.spark(spark, sf_dir))
+        except Exception as exc:  # one bad query must not lose the whole bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 

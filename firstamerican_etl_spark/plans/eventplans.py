@@ -114,12 +114,14 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning → a single shuffle on user_id."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # double epoch-seconds keeps sub-second precision (long would
-    # truncate and disagree with the oracle's exact interval compare)
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    # timestamp - timestamp yields a day-time interval (works for both
+    # TIMESTAMP and TIMESTAMP_NTZ columns); comparing against an interval
+    # literal mirrors the oracle's `> INTERVAL '30 minutes'` exactly and
+    # keeps full sub-second precision without any epoch cast
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), F.lit(1)).otherwise(F.lit(0)),
     )
     wcum = (
         Window.partitionBy("user_id")
