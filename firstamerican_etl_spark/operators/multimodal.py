@@ -117,7 +117,15 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
 def decode_image_real(assets: DataFrame) -> DataFrame:
     """Real pixel decode — requires PIL, which is intentionally absent
-    here. Gate, don't fake: callers get a loud error, not wrong data."""
+    in this container. Gate, don't fake: without pillow, callers get a
+    loud error, not wrong data. With pillow present the stage emits the
+    same ``DECODE_SCHEMA`` contract as ``decode_assets`` — width/height
+    come from the DECODED image (not the carried metadata), mean_byte
+    is the mean pixel value across all bands, checksum stays the crc32
+    of the raw payload — so fake and real decoders are drop-in swaps.
+    Same 100 TB shape: narrow mapInPandas, Arrow batches, no shuffle.
+    The PIL path is pinned by tests/test_multimodal_real.py (skipped
+    where pillow is absent)."""
     try:
         import PIL  # noqa: F401
     except ImportError as e:  # pragma: no cover - environment-dependent
@@ -125,7 +133,40 @@ def decode_image_real(assets: DataFrame) -> DataFrame:
             "real image decode needs pillow; this environment ships no "
             "codec libs — use decode_assets (deterministic fake) instead"
         ) from e
-    raise NotImplementedError("wire PIL.Image.open over payload bytes here")
+
+    def real_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ids, ws, hs, nb, means, sums = [], [], [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(payload))
+                px = list(img.getdata())
+                flat = (
+                    [v for tup in px for v in tup]
+                    if px and isinstance(px[0], tuple)
+                    else list(px)
+                )
+                ids.append(asset_id)
+                ws.append(img.width)
+                hs.append(img.height)
+                nb.append(len(payload))
+                means.append(sum(flat) / len(flat) if flat else 0.0)
+                sums.append(zlib.crc32(payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "mean_byte": pd.Series(means, dtype="float64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(real_decode, schema=DECODE_SCHEMA)
 
 
 # ------------------------------------------------------------- resize

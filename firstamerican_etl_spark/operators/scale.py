@@ -153,7 +153,10 @@ def repartition_for_cascade(
 
 
 def global_row_index(
-    df: DataFrame, order_key: str, index_name: str = "row_idx", partitions: int = 0
+    df: DataFrame,
+    order_key: str | Sequence[str],
+    index_name: str = "row_idx",
+    partitions: int = 0,
 ) -> DataFrame:
     """Global 0-based row index in ``order_key`` order WITHOUT the
     single-partition sort that ``row_number() OVER (ORDER BY ...)``
@@ -170,8 +173,9 @@ def global_row_index(
 
     Total cost: ONE range exchange of the data + a metadata aggregate —
     vs the naive window's full collapse to one task. Requires a unique
-    ``order_key`` for a deterministic result (ties across a partition
-    boundary would otherwise be order-ambiguous).
+    ``order_key`` (single column or composite) for a deterministic
+    result (ties across a partition boundary would otherwise be
+    order-ambiguous).
 
     The partitioned frame is persist()ed between the two passes:
     repartitionByRange picks its bounds by SAMPLING, so an un-pinned
@@ -183,10 +187,11 @@ def global_row_index(
     """
     import pandas as pd
 
+    keys = [order_key] if isinstance(order_key, str) else list(order_key)
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
-        df.repartitionByRange(n, F.col(order_key))
-        .sortWithinPartitions(order_key)
+        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -212,3 +217,67 @@ def global_row_index(
             yield pdf[cols]
 
     return parts.mapInPandas(index_batches, schema=out_schema)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_key: str | Sequence[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    partitions: int = 0,
+) -> DataFrame:
+    """Global INCLUSIVE running sum of ``value_col`` in ``order_key``
+    order without the single-partition collapse of
+    ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``.
+
+    Same distributed-prefix-sum recipe as ``global_row_index``:
+    1. range-partition + sort by the key (disjoint sorted shards);
+    2. aggregate each shard's value TOTAL (ships |partitions| rows),
+       prefix-sum the totals driver-side into per-shard base offsets;
+    3. mapInPandas cumsum per shard + broadcast base-offset map:
+       each row gets offset[pid] + local running total.
+
+    ONE range exchange of the data + a metadata aggregate. Requires a
+    unique order key for determinism; values are summed as int64
+    (callers with doubles should quantize first — running doubles are
+    order-sensitive anyway). The partitioned frame is persist()ed so
+    the totals pass and the cumsum pass see identical (sampled) range
+    bounds — same caveat as ``global_row_index``."""
+    import pandas as pd  # noqa: F401 (Arrow batches arrive as pandas)
+
+    keys = [order_key] if isinstance(order_key, str) else list(order_key)
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: int(r["t"])
+        for r in parts.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    out_schema = parts.drop("_pid").schema.add(out_col, "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def cumsum_batches(batches):
+        carry = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].to_numpy(dtype="int64")
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = vals.cumsum() + base + carry
+            carry += int(vals.sum())
+            yield pdf[cols]
+
+    return parts.mapInPandas(cumsum_batches, schema=out_schema)

@@ -135,25 +135,32 @@ WHERE rnk <= 100
 )
 def pareto_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: top-100 customers by revenue with their
-    cumulative share of the total — running cent-exact long sum over
-    the ranked per-customer aggregate (unique tie-break on custkey
-    makes the running prefix a pure function of the data). Cumulative
-    and total stay exact integers; the ratio divides as double."""
+    cumulative share of the total. Scale shape: the top-100 is taken
+    FIRST via ``orderBy().limit(100)`` (TakeOrderedAndProject — each
+    shard ships only its local top-100, never the full customer
+    aggregate through one task) and the grand total is ONE scalar row
+    from a plain aggregate, broadcast-crossed onto the survivors. The
+    ranking/running-sum window then runs over exactly 100 rows — a
+    bounded analytic stage, not a global window over |customers|.
+    Cumulative and total stay cent-exact longs (unique tie-break on
+    custkey makes the prefix a pure function of the data); the ratio
+    divides as double."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(CENTS(F.col("o_totalprice"))).alias("rev")
     )
+    total = per_cust.agg(F.sum("rev").alias("total_rev"))
+    top = per_cust.orderBy(F.col("rev").desc(), F.col("o_custkey")).limit(100)
     order = [F.col("rev").desc(), F.col("o_custkey")]
     w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
+    ranked = top.crossJoin(F.broadcast(total)).select(
         F.row_number().over(Window.orderBy(*order)).alias("rnk"),
         "o_custkey",
         "rev",
         F.sum("rev").over(w_run).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
+        "total_rev",
     )
-    return ranked.filter(F.col("rnk") <= 100).select(
+    return ranked.select(
         "rnk",
         "o_custkey",
         stable_round(F.col("rev").cast("double") / 100).alias("revenue"),

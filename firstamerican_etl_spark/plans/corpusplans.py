@@ -13,9 +13,10 @@ embedding arrays. Nothing here touches Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from firstamerican_etl_spark.operators.scale import global_running_sum
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
@@ -104,18 +105,19 @@ def corpus_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doc_id order and cut bins every B=256 tokens (the
     concat-then-split packing used to fill fixed-length training
     contexts with minimal padding). The bin id is a pure function of
-    the running token offset — ONE window pass over per-doc token
-    counts (integers, never text), then a small aggregate. At 100 TB
-    the global running sum would become per-shard packing (pack within
-    range partitions) — same expression, partitioned key added."""
+    the running token offset, computed with the DISTRIBUTED prefix-sum
+    recipe (``operators/scale.global_running_sum``): range-partition by
+    doc_id, per-shard cumsum over the per-doc token counts (integers,
+    never text), driver prefix-sum of the |shards| shard totals, add
+    the broadcast base offsets — no ``WindowExec: No Partition
+    Defined`` single-task collapse; every shard packs in parallel and
+    the seams are stitched by the exact base offsets."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = t.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    c = global_running_sum(t, "doc_id", "n_tokens", out_col="run_tok")
+    c = c.withColumn("tok_offset", F.col("run_tok") - F.col("n_tokens"))
     return (
         c.groupBy(
             F.floor(F.col("tok_offset") / float(_B)).alias("bin_id")

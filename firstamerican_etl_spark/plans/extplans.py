@@ -752,9 +752,11 @@ FROM (
 )
 def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile binning via ntile — global ORDER BY window (single
-    partition: the one window shape that does NOT scale horizontally;
-    at 100 TB use approx-percentile cutpoints + a range join instead.
-    Registered with the caveat because users will reach for it)."""
+    partition: the one window shape that does NOT scale horizontally.
+    Registered as the documented CONTRAST to ``quantile_bins_scalable``
+    below, which computes the same family of bins with distributed
+    cutpoints + a broadcast range assignment — reach for that at
+    100 TB; this one exists because users will type ntile)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     binned = o.select(
@@ -763,6 +765,81 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("quartile")
     return binned.select(
         "o_orderkey", "quartile", F.count(F.lit(1)).over(wq).alias("n_in_quartile")
+    )
+
+
+@register(
+    "quantile_bins_scalable",
+    oracle="""
+WITH r AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+),
+cut AS (
+  SELECT max(CASE WHEN rn = greatest(n // 4, 1) THEN v END) AS c1,
+         max(CASE WHEN rn = greatest((2 * n) // 4, 1) THEN v END) AS c2,
+         max(CASE WHEN rn = greatest((3 * n) // 4, 1) THEN v END) AS c3
+  FROM r
+)
+SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) <= c1 THEN 1
+            WHEN CAST(o_totalprice AS DOUBLE) <= c2 THEN 2
+            WHEN CAST(o_totalprice AS DOUBLE) <= c3 THEN 3
+            ELSE 4 END AS quartile,
+       count(*) AS n_orders,
+       floor(CAST(min(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS lo,
+       floor(CAST(max(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS hi
+FROM orders, cut
+GROUP BY 1
+""",
+    tags=("window", "quantile", "scale", "range-join"),
+)
+def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile binning WITHOUT a global ORDER BY window — the 100 TB
+    shape the ``ntile_price_quartiles`` docstring promises:
+
+    1. exact quartile CUTPOINTS via the distributed rank recipe
+       (``operators/scale.global_row_index``: range exchange + shard
+       counts + driver prefix-sum — never one task), filtering the
+       three boundary ranks ⌊i·n/4⌋ and collecting exactly 3 values;
+    2. bin ASSIGNMENT as a pure broadcast range comparison against the
+       3 literal cutpoints (the degenerate broadcast range join — for
+       k≫4 bins this becomes a real broadcast non-equi join on a bins
+       table), then one ordinary aggregate per bin.
+
+    Ties at a cutpoint value fall into the lower bin by VALUE on both
+    engines, so the oracle matches bit-exactly (comparisons only, no
+    arithmetic on the cutpoints). At sketch-tolerant scale, step 1
+    swaps for a one-pass ``approx_percentile``; step 2 is unchanged."""
+    from firstamerican_etl_spark.operators.scale import global_row_index
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    n = o.count()
+    ranks = [max(1, (i * n) // 4) for i in (1, 2, 3)]
+    indexed = global_row_index(o, ["v", "o_orderkey"], index_name="idx")
+    boundary = {
+        int(r["idx"]): float(r["v"])
+        for r in indexed.filter(
+            F.col("idx").isin([r - 1 for r in ranks])
+        ).select("idx", "v").collect()
+    }
+    c1, c2, c3 = (boundary[r - 1] for r in ranks)
+    quartile = (
+        F.when(F.col("v") <= F.lit(c1), 1)
+        .when(F.col("v") <= F.lit(c2), 2)
+        .when(F.col("v") <= F.lit(c3), 3)
+        .otherwise(4)
+    )
+    return (
+        o.groupBy(quartile.alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.min("v")).alias("lo"),
+            stable_round(F.max("v")).alias("hi"),
+        )
     )
 
 

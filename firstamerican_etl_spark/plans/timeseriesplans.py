@@ -48,20 +48,18 @@ def _spined(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded per priority — spine size is |priorities| × |days|
     regardless of fact-table scale."""
     daily = _daily_revenue(spark, sf_dir)
-    # Global bounds via an unpartitioned window over the (tiny)
-    # aggregated daily table, NOT a separate agg over the fact table:
-    # every consumer of `daily` then shares one identical aggregation
-    # subtree, so Catalyst's ReuseExchange computes the orders shuffle
-    # once instead of re-scanning the fact table per branch.
-    wall = Window.partitionBy()
+    # Global bounds as a ONE-ROW aggregate (partial map-side combine →
+    # single final row) broadcast-crossed onto the distinct priorities.
+    # All three branches (bounds, priorities, the sparse join) hang off
+    # the SAME daily aggregation subtree, so Catalyst's ReuseExchange
+    # computes the orders shuffle once; nothing here ever funnels the
+    # daily table through a single task (the previous unpartitioned
+    # min/max window did exactly that, plus a WindowExec warning).
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
-        daily.select(
-            "priority",
-            F.min("day").over(wall).alias("lo"),
-            F.max("day").over(wall).alias("hi"),
-        )
-        .groupBy("priority", "lo", "hi")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        daily.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
         .select(
             "priority",
             F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
