@@ -227,3 +227,54 @@ def test_doc_chunk_windows_no_shuffle(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_pack_no_global_window(spark, sf_dir):
+    """Sequence packing must use the distributed prefix-sum recipe:
+    a range exchange and NO WindowExec anywhere (the old plan ran the
+    running token offset through one task via an unpartitioned
+    window)."""
+    df = REGISTRY["corpus_pack_contiguous"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_pareto_takes_topn_before_window(spark, sf_dir):
+    """Pareto must shrink to the top-100 BEFORE its analytic window:
+    TakeOrderedAndProject in the plan, and the window's child side is
+    the limited frame (never a window directly over the full
+    per-customer aggregate)."""
+    df = REGISTRY["pareto_cumulative_share"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan  # bounded 100-row analytic stage remains
+
+
+def test_quantile_bins_no_global_window(spark, sf_dir):
+    """The scalable quantile binning must never plan a global ORDER BY
+    window: assignment is a scan-side CASE over broadcast literal
+    cutpoints + one hash aggregate."""
+    df = REGISTRY["quantile_bins_scalable"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+
+
+def test_spine_has_no_unpartitioned_window(spark, sf_dir):
+    """The timeseries date spine computes global bounds as a one-row
+    aggregate + broadcast cross join — the gap-fill plans must contain
+    only windows WITH a partition spec (the priority key), never an
+    unpartitioned one."""
+    for name in ("gap_fill_forward", "gap_fill_interpolate"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs, f"{name}: expected window operators in plan"
+        for spec in specs:
+            assert "priority" in spec[:80], f"{name}: unpartitioned window spec: {spec[:120]}"
+        # the broadcast of the one-row bounds frame is present
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
