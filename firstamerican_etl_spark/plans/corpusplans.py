@@ -182,3 +182,68 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("q_checksum"),
         F.size("embedding").alias("dim"),
     )
+
+
+_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _BUCKETS[:-1]
+    )
+    return f"CASE {whens} ELSE {_BUCKETS[-1]} END"
+
+
+@register(
+    "length_bucket_batching",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, {_bucket_case_sql()} AS bucket_len FROM t
+)
+SELECT bucket_len,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(bucket_len - n_tokens) AS padding_waste,
+       (count(*) + greatest({_B} // bucket_len, 1) - 1) // greatest({_B} // bucket_len, 1) AS n_batches
+FROM b GROUP BY 1
+""",
+    tags=("corpus", "batching", "length-bucket"),
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: assign each document to its
+    power-of-two token bucket, then report per-bucket doc counts, the
+    padding waste of padding every sequence to the bucket length, and
+    how many fixed-budget (B=256-token) batches the bucket fills at
+    ⌊B/bucket_len⌋ sequences per batch — the standard
+    bucketing-by-length strategy that keeps padding below the naive
+    pad-to-max batch layout. All integer arithmetic (bit-tight oracle);
+    the bucket id is a scan-side CASE, so the only shuffle is the
+    ≤|buckets|-row report aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ", -1))
+    bucket = None
+    for b in _BUCKETS[:-1]:
+        clause = F.when(n_tokens <= b, F.lit(b))
+        bucket = clause if bucket is None else bucket.when(n_tokens <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(_BUCKETS[-1]))
+    t = d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket_len"))
+    seqs_per_batch = F.greatest(
+        F.floor(F.lit(_B) / F.col("bucket_len")).cast("long"), F.lit(1).cast("long")
+    )
+    return (
+        t.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tokens")).alias("padding_waste"),
+        )
+        .withColumn(
+            "n_batches",
+            F.floor(
+                (F.col("n_docs") + seqs_per_batch - 1) / seqs_per_batch
+            ).cast("long"),
+        )
+    )

@@ -183,3 +183,129 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
     )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "data", "to")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS sum_word_len,
+         len(list_filter(words, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha_words,
+         {" + ".join(f"CAST(list_contains(words, '{w}') AS INTEGER)" for w in _GOPHER_STOPWORDS)} AS n_stop_distinct
+  FROM w
+)
+SELECT doc_id, n_words, n_alpha_words, n_stop_distinct,
+       floor(CAST(sum_word_len AS DOUBLE) / n_words * 100 + 0.5) / 100 AS mean_word_len,
+       floor(CAST(n_alpha_words AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000 AS alpha_frac,
+       CASE WHEN CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+             AND n_words BETWEEN 10 AND 5000
+             AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+             AND n_stop_distinct >= 2
+            THEN 1 ELSE 0 END AS gopher_pass
+FROM sig
+""",
+    tags=("text", "quality", "gopher"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality gate (Rae et al. 2021 §A1.1
+    subset, the rules most pre-training pipelines reimplement): mean
+    word length in [3, 10], document word count in [10, 5000], ≥80% of
+    words containing alphabetic characters, and at least two distinct
+    stopwords present (the 'real prose' anchor). All signals are
+    higher-order array expressions over ONE bound tokenization
+    (dedupplans.exploded_words Generate barrier) — a pure map stage,
+    zero shuffles, same plan shape at 100 TB."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    n_words = F.size("words")
+    sum_word_len = F.aggregate(
+        "words", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter("words", lambda x: x.rlike(r"^[A-Za-z]+$")))
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        hit = F.array_contains("words", w).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    mean_len = sum_word_len.cast("double") / n_words
+    alpha_frac = n_alpha.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_distinct"),
+        stable_round(mean_len).alias("mean_word_len"),
+        stable_round(alpha_frac, 6).alias("alpha_frac"),
+        F.when(
+            mean_len.between(3, 10)
+            & n_words.between(10, 5000)
+            & (alpha_frac >= 0.8)
+            & (n_stop >= 2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("gopher_pass"),
+    )
+
+
+@register(
+    "repetition_top_bigram",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+b AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w) t
+),
+c AS (
+  SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(n) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
+FROM c GROUP BY 1
+""",
+    tags=("text", "quality", "repetition"),
+)
+def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio (the other half of the Gopher gate): fraction
+    of a document's word bigrams occupied by its single most frequent
+    bigram — boilerplate and looped generations score high and get
+    culled. Bigrams materialize map-side from the bound words array
+    (explode of an index transform); the only shuffle is the
+    (doc_id, bigram) count — keyed by document, so 100 TB spreads
+    evenly and no all-document state ever concentrates."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
+        ),
+    )
+    counts = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        stable_round(F.max("n").cast("double") / F.sum("n"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -308,3 +308,114 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("o_orderpriority", "o_orderkey")
     )
+
+
+@register(
+    "train_split_assign",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned GROUP BY 1, 2
+""",
+    tags=("sampling", "split", "training-data"),
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the first md5 byte of
+    the document key partitions the hash space ~90/5/5 ('e6' = 230/256,
+    'f3' = 243/256). Like sample_hash_deterministic, the split is a
+    pure function of the key — the same document lands in the same
+    split under repartition, retry, engine swap, or incremental
+    re-ingest (the property rand()/ntile splits lack, and the reason
+    leakage audits can re-derive membership without a stored manifest).
+    Assignment is scan-side expression work; the only shuffle is the
+    small (split, lang) report aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+s AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(words[i:i+4], ' ')) AS sh
+  FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w) t
+),
+bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       count(b.sh) AS n_matched,
+       floor(CAST(count(b.sh) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS contamination
+FROM corpus c LEFT JOIN bench b USING (sh)
+GROUP BY 1
+""",
+    tags=("dedup", "contamination", "training-data"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: fraction of each training
+    document's distinct 5-gram shingles that also occur anywhere in the
+    held-out set (here the deterministic doc_id % 50 == 0 slice stands
+    in for an eval benchmark). The decontamination step every serious
+    pre-training pipeline runs before training. Scale shape: the
+    benchmark's distinct shingle hashes are SMALL (eval suites are MBs,
+    not TBs) and broadcast; the corpus side streams through a map-side
+    hash probe — the 100 TB corpus is never shuffled by shingle, and
+    nothing all-pairs ever happens."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    shingle = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("words"), i + k) for k in range(5)]
+            )
+        ),
+    )
+    s = (
+        d.filter(n >= 5)
+        .select("doc_id", F.explode(shingle).alias("sh"))
+        .distinct()
+    )
+    bench = s.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    corpus = s.filter(F.col("doc_id") % 50 != 0)
+    hit = F.col("bench_sh").isNotNull().cast("long")
+    return (
+        corpus.join(
+            F.broadcast(bench.select(F.col("sh").alias("bench_sh"))),
+            corpus.sh == F.col("bench_sh"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).alias("n_matched"),
+            stable_round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
