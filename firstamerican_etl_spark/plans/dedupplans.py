@@ -488,3 +488,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         doc_id % 10 = 9 AS is_new
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_new),
+fresh AS (
+  SELECT b.doc_id, b.lang, b.source, b.fingerprint
+  FROM fp b LEFT JOIN corpus c USING (fingerprint)
+  WHERE b.is_new AND c.fingerprint IS NULL
+)
+SELECT doc_id, lang, source, fingerprint
+FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fresh)
+WHERE rn = 1
+""",
+    tags=("dedup", "incremental", "ingest"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape a CONTINUOUSLY growing
+    corpus actually needs (full-corpus re-dedup per batch is a 100 TB
+    non-starter): the new batch (deterministic doc_id % 10 == 9 slice)
+    anti-joins its content fingerprints against the existing corpus'
+    fingerprint set, then W1-dedups within itself. At scale the corpus
+    side is a compact fingerprint index (16 bytes/doc, not the text);
+    the anti join shuffles both sides by fingerprint — uniform hash
+    keys, no skew — and the batch-side window is keyed the same way,
+    so one exchange serves both steps."""
+    from firstamerican_etl_spark.operators.relational import dedup_top1_per_group
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(_NORM(F.col("text")))
+    )
+    is_new = F.col("doc_id") % 10 == 9
+    corpus = d.filter(~is_new).select("fingerprint")
+    batch = d.filter(is_new)
+    fresh = batch.join(corpus, "fingerprint", "left_anti")
+    return dedup_top1_per_group(
+        fresh, partition_by=["fingerprint"], order_by=[F.col("doc_id")]
+    ).select("doc_id", "lang", "source", "fingerprint")

@@ -305,3 +305,43 @@ def event_mix_gini_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday", *[f"n_{t}" for t in ("click", "error", "purchase", "signup", "view")],
         stable_round(gini, 6).alias("gini_impurity"),
     )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY 1
+""",
+    tags=("agg", "skew", "salting", "scale"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/scale.salted_groupby_agg)
+    registered as a verified query: phase 1 groups on (event_type,
+    salt) so a pathological hot key spreads across 16 reducers; phase 2
+    merges the ≤16 partials per key. The oracle is the PLAIN group-by —
+    the salted plan must be result-identical under any salt assignment,
+    which is exactly the decomposability contract (count→sum, sum→sum,
+    max→max) the helper enforces. This is the hand lever for skewed
+    aggregations that AQE's skew-join handling cannot touch."""
+    from firstamerican_etl_spark.operators.scale import salted_groupby_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return salted_groupby_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "sum", "event_type"),
+            "total_cents": ("sum", "sum", "cents"),
+            "max_cents": ("max", "max", "cents"),
+        },
+    )

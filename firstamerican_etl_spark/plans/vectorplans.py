@@ -373,3 +373,124 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.avg(cos), 3).alias("avg_cos_to_centroid"),
         )
     )
+
+
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # 64-dim → 8 subspaces × 8 dims, 16 codes
+_PQ_QUERIES = (0, 100, 200)
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+ms AS (SELECT unnest(range({_PQ_M})) AS m),
+cb AS (SELECT vec_id AS k, qe FROM qz WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT c.vec_id, ms.m, cb.k,
+         list_sum(list_transform(range({_PQ_D}), j ->
+           (c.qe[ms.m * {_PQ_D} + j + 1] - cb.qe[ms.m * {_PQ_D} + j + 1])
+         * (c.qe[ms.m * {_PQ_D} + j + 1] - cb.qe[ms.m * {_PQ_D} + j + 1]))) AS d
+  FROM qz c CROSS JOIN ms CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, k AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+qd AS (
+  SELECT q_id, m, k, d FROM dists d0(q_id, m, k, d)
+  WHERE q_id IN {_PQ_QUERIES}
+),
+adc AS (
+  SELECT qd.q_id, codes.vec_id, CAST(sum(qd.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN qd ON qd.m = codes.m AND qd.k = codes.code
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id AS c_id, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+""",
+    tags=("vector", "knn", "pq", "adc"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+    64-dim vectors split into M=8 subspaces; each subvector is encoded
+    as the id of its nearest of K=16 codebook centroids (here the
+    deterministic first-16 vectors, standing in for trained k-means
+    centroids); a query precomputes an M×K distance table and scores
+    any compressed vector with M table lookups instead of 64 float ops
+    — 8 bytes per vector instead of 256 at serving time.
+
+    Scale shape: the codebook and the query distance tables are
+    driver-collected literals (K·dim and |Q|·M·K values — metadata-
+    sized) so encoding and ADC scoring are pure scan-side expressions
+    over the corpus; the only shuffle is the per-query top-k window.
+    Everything runs on an integer grid (floor(x·1000+½)) so distances
+    are exact int64 sums — argmin and ranking are bit-reproducible and
+    the DuckDB oracle re-derives codes relationally."""
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast("long"),
+    )
+    # Generate barrier binds the quantized array (see exploded_words)
+    bound = e.select("vec_id", F.explode(F.array(quant)).alias("qe"))
+    small = {
+        int(r["vec_id"]): list(r["qe"])
+        for r in bound.filter(
+            (F.col("vec_id") < _PQ_K) | F.col("vec_id").isin(list(_PQ_QUERIES))
+        ).collect()
+    }
+    cb = [small[k] for k in range(_PQ_K)]
+
+    def sq_dist_expr(m: int, k: int):
+        total = None
+        for j in range(_PQ_D):
+            idx = m * _PQ_D + j + 1
+            delta = F.element_at("qe", idx) - F.lit(cb[k][m * _PQ_D + j])
+            term = delta * delta
+            total = term if total is None else total + term
+        return total
+
+    code_exprs = []
+    for m in range(_PQ_M):
+        darr = F.array(*[sq_dist_expr(m, k) for k in range(_PQ_K)])
+        code_exprs.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    enc = bound.select("vec_id", F.array(*code_exprs).alias("codes"))
+
+    def table_for(qv: list[int]) -> list[list[int]]:
+        return [
+            [
+                sum(
+                    (qv[m * _PQ_D + j] - cb[k][m * _PQ_D + j]) ** 2
+                    for j in range(_PQ_D)
+                )
+                for k in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+
+    queries = spark.createDataFrame(
+        [(q, table_for(small[q])) for q in _PQ_QUERIES],
+        schema="q_id bigint, dt array<array<bigint>>",
+    )
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(
+            F.element_at("dt", m + 1), F.element_at("codes", m + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = enc.crossJoin(F.broadcast(queries)).select(
+        "q_id", F.col("vec_id").alias("c_id"), adc.alias("adc_dist")
+    )
+    return top_k_per_group(
+        scored, partition_by=["q_id"], order_by=[F.col("adc_dist"), F.col("c_id")], k=5
+    ).select("q_id", "c_id", "adc_dist")

@@ -119,3 +119,52 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert n == 2
     after = sorted(map(str, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_global_running_sum_matches_naive_window(spark, sf_dir):
+    """The distributed prefix-sum must equal the single-partition
+    window's running sum for every row, at several partition counts
+    (seam stitching via base offsets is the part that can silently
+    break)."""
+    from pyspark.sql import Window
+
+    from firstamerican_etl_spark.operators.scale import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r["doc_id"]: r["rs"]
+        for r in d.withColumn("rs", F.sum("n_tokens").over(w)).collect()
+    }
+    for n_parts in (1, 3, 8):
+        got = {
+            r["doc_id"]: r["rs"]
+            for r in global_running_sum(
+                d, "doc_id", "n_tokens", out_col="rs", partitions=n_parts
+            ).collect()
+        }
+        assert got == expected, f"partitions={n_parts}"
+
+
+def test_global_row_index_composite_key(spark, sf_dir):
+    """Composite-key ordering: index over (o_totalprice, o_orderkey)
+    must equal the naive global row_number with the same tie-break."""
+    from pyspark.sql import Window
+
+    from firstamerican_etl_spark.operators.scale import global_row_index
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    expected = {
+        r["o_orderkey"]: r["idx"]
+        for r in o.withColumn("idx", F.row_number().over(w) - 1).collect()
+    }
+    got = {
+        r["o_orderkey"]: r["idx"]
+        for r in global_row_index(
+            o, ["o_totalprice", "o_orderkey"], index_name="idx", partitions=5
+        ).collect()
+    }
+    assert got == expected
