@@ -965,3 +965,40 @@ def pagination_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@register(
+    "events_from_orc",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY 1
+""",
+    tags=("source", "orc"),
+)
+def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source (the other columnar format a lake migration brings):
+    the events table staged once as ORC and aggregated from the ORC
+    scan. ORC round-trips doubles and timestamps exactly, carries
+    min/max stride statistics for predicate pushdown like parquet, and
+    Spark's reader is native + vectorized — the oracle (reading the
+    original parquet) checks the round-trip is value-exact."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fa_spark_orc_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).coalesce(2).write.mode("overwrite").orc(base)
+    ev = spark.read.orc(base)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+    )

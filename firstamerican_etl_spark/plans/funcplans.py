@@ -169,10 +169,13 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode (JVM, see posexplode_tokens) — the UDTF exists for
     logic that genuinely needs Python (custom tokenizers, model
     calls), so it's demonstrated on a bounded slice (doc_id < 50),
-    and the oracle is the pure-SQL lateral unnest."""
+    and the oracle is the pure-SQL lateral unnest. useArrow=True takes
+    the Arrow-serialization path (batch columnar transfer) instead of
+    per-row pickling — the only acceptable Python transport in the
+    engine (enforced repo-wide by tests/test_scale_hygiene.py)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token string, pos int, token_len int")
+    @udtf(returnType="token string, pos int, token_len int", useArrow=True)
     class TokenizeUdtf:
         def eval(self, text: str):
             if text is None:

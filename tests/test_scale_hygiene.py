@@ -1,0 +1,88 @@
+"""Repo-wide scale-hygiene audit: EVERY registered query's physical
+plan is machine-checked for the anti-patterns that kill 100 TB runs,
+so a new operator can't silently ship one — the per-query pins in
+test_plan_shapes.py cover the flagships; this closes the registry.
+
+Checked per plan:
+- no CartesianProduct (an un-broadcast cross join; BroadcastNestedLoop
+  over a tiny side is fine and common for scalar-bound broadcasts);
+- no BatchEvalPython (row-at-a-time Python — never acceptable);
+- Arrow-batched Python (ArrowEvalPython / MapInPandas / InPandas
+  variants) only in the explicitly-pandas operators;
+- no UNPARTITIONED window over unbounded input (single-task collapse),
+  except the three documented bounded/contrast cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from firstamerican_etl_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+#: Unpartitioned windows that are deliberate and bounded:
+#: ntile is the documented non-scaling CONTRAST to quantile_bins_scalable;
+#: share_of_total runs over the ≤|nations| aggregate;
+#: pareto's window input is LIMIT-100-bounded.
+UNPARTITIONED_WINDOW_OK = {
+    "ntile_price_quartiles",
+    "share_of_total_window",
+    "pareto_cumulative_share",
+}
+
+#: Operators whose algorithm is an Arrow-batched block computation with
+#: no Catalyst builtin equivalent (BLAS blocks, stateful streaming,
+#: distributed prefix-sum local passes, spark.ml).
+ARROW_PYTHON_OK = {
+    "multimodal_decode_stats",
+    "multimodal_resize_chain",
+    "multimodal_frame_sample",
+    "multimodal_featurize_knn",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_vectorized",
+    "streaming_sessionize_stateful",
+    "streaming_custom_source_agg",
+    "kmeans_embedding_clusters",
+    "global_row_index_scalable",
+    "corpus_pack_contiguous",
+    "quantile_bins_scalable",
+    "weighted_median_udaf",
+    "udtf_tokenize_lateral",  # Arrow-optimized UDTF (useArrow=True)
+}
+
+
+def _initial_plan(df) -> str:
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """A physical Window node prints `Window [exprs], [partition],
+    [order]`, omitting empty groups. Two groups therefore mean either
+    no-partition (second group is an order spec, carries ASC/DESC) or
+    no-order (second group is the partition keys) — only the former is
+    the single-task collapse."""
+    hits = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-: ").strip()
+        if not stripped.startswith("Window "):
+            continue
+        groups = stripped.split("], [")
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            hits.append(stripped[:160])
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_hygiene(spark, sf_dir, name):
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: un-broadcast cross join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_PYTHON_OK:
+        for marker in ("ArrowEvalPython", "MapInPandas", "InPandas"):
+            assert marker not in plan, f"{name}: unexpected Python stage ({marker})"
+    if name not in UNPARTITIONED_WINDOW_OK:
+        bad = _unpartitioned_window_lines(plan)
+        assert not bad, f"{name}: unpartitioned window(s): {bad}"
