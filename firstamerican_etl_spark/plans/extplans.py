@@ -818,6 +818,13 @@ def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
     )
     n = o.count()
+    if n == 0:  # empty input: no cutpoints to take — empty report
+        return o.select(
+            F.lit(1).alias("quartile"),
+            F.lit(0).cast("long").alias("n_orders"),
+            F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"),
+        ).limit(0)
     ranks = [max(1, (i * n) // 4) for i in (1, 2, 3)]
     indexed = global_row_index(o, ["v", "o_orderkey"], index_name="idx")
     boundary = {

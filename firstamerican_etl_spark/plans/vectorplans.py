@@ -449,6 +449,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") < _PQ_K) | F.col("vec_id").isin(list(_PQ_QUERIES))
         ).collect()
     }
+    if any(k not in small for k in range(_PQ_K)) or any(
+        q not in small for q in _PQ_QUERIES
+    ):  # corpus too small for a codebook / queries absent: empty report
+        return bound.select(
+            F.lit(0).cast("long").alias("q_id"),
+            F.lit(0).cast("long").alias("c_id"),
+            F.lit(0).cast("long").alias("adc_dist"),
+        ).limit(0)
     cb = [small[k] for k in range(_PQ_K)]
 
     def sq_dist_expr(m: int, k: int):
