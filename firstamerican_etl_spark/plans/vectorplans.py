@@ -430,49 +430,65 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — 8 bytes per vector instead of 256 at serving time.
 
     Scale shape: the codebook and the query distance tables are
-    driver-collected literals (K·dim and |Q|·M·K values — metadata-
-    sized) so encoding and ADC scoring are pure scan-side expressions
-    over the corpus; the only shuffle is the per-query top-k window.
-    Everything runs on an integer grid (floor(x·1000+½)) so distances
-    are exact int64 sums — argmin and ranking are bit-reproducible and
-    the DuckDB oracle re-derives codes relationally."""
-    e = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast("long"),
-    )
-    # Generate barrier binds the quantized array (see exploded_words)
-    bound = e.select("vec_id", F.explode(F.array(quant)).alias("qe"))
+    driver-collected (K·dim and |Q|·M·K values — metadata-sized) and
+    broadcast; ENCODING is an Arrow-batched numpy block kernel
+    (mapInPandas — the (n, M, K, D) distance tensor is one broadcasted
+    subtract-square-sum, exactly the BLAS-block pattern of
+    dedup_embedding_cosine_vectorized; the equivalent 1024-term
+    Catalyst expression tree falls out of whole-stage codegen and runs
+    ~10x slower interpreted). ADC scoring stays JVM: per-corpus-row it
+    is M table lookups against the broadcast literal tables, then one
+    per-query top-k window — the only shuffle. Everything runs on an
+    integer grid (floor(x·1000+½)) so distances are exact int64 sums —
+    argmin and ranking are bit-reproducible across numpy, Catalyst, and
+    the DuckDB oracle, which re-derives the codes relationally."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _quantize_py(vec) -> list[int]:
+        import math
+
+        return [int(math.floor(float(x) * 1000.0 + 0.5)) for x in vec]
+
     small = {
-        int(r["vec_id"]): list(r["qe"])
-        for r in bound.filter(
+        int(r["vec_id"]): _quantize_py(r["embedding"])
+        for r in e.filter(
             (F.col("vec_id") < _PQ_K) | F.col("vec_id").isin(list(_PQ_QUERIES))
         ).collect()
     }
     if any(k not in small for k in range(_PQ_K)) or any(
         q not in small for q in _PQ_QUERIES
     ):  # corpus too small for a codebook / queries absent: empty report
-        return bound.select(
+        return e.select(
             F.lit(0).cast("long").alias("q_id"),
             F.lit(0).cast("long").alias("c_id"),
             F.lit(0).cast("long").alias("adc_dist"),
         ).limit(0)
     cb = [small[k] for k in range(_PQ_K)]
 
-    def sq_dist_expr(m: int, k: int):
-        total = None
-        for j in range(_PQ_D):
-            idx = m * _PQ_D + j + 1
-            delta = F.element_at("qe", idx) - F.lit(cb[k][m * _PQ_D + j])
-            term = delta * delta
-            total = term if total is None else total + term
-        return total
+    def encode_batches(batches):
+        import numpy as np
+        import pandas as pd
 
-    code_exprs = []
-    for m in range(_PQ_M):
-        darr = F.array(*[sq_dist_expr(m, k) for k in range(_PQ_K)])
-        code_exprs.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    enc = bound.select("vec_id", F.array(*code_exprs).alias("codes"))
+        # (K, M, D) int64 codebook, broadcast once per task
+        cbt = np.asarray(cb, dtype=np.int64).reshape(_PQ_K, _PQ_M, _PQ_D)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor(emb * 1000.0 + 0.5).astype(np.int64)
+            sub = q.reshape(len(pdf), 1, _PQ_M, _PQ_D)  # (n, 1, M, D)
+            d = ((sub - cbt[None, :, :, :]) ** 2).sum(axis=3)  # (n, K, M)
+            codes = d.argmin(axis=1).astype(np.int32)  # first-min ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    enc = e.mapInPandas(encode_batches, schema="vec_id long, codes array<int>")
 
     def table_for(qv: list[int]) -> list[list[int]]:
         return [

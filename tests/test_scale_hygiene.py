@@ -49,6 +49,7 @@ ARROW_PYTHON_OK = {
     "quantile_bins_scalable",
     "weighted_median_udaf",
     "udtf_tokenize_lateral",  # Arrow-optimized UDTF (useArrow=True)
+    "pq_adc_topk",  # numpy block encode (integer grid, exact)
 }
 
 
