@@ -337,6 +337,34 @@ def global_row_index_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(o, "o_orderkey")
 
 
+@register(
+    "global_running_sum_scalable",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       sum(len(string_split(text, ' '))) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_tokens
+FROM documents
+""",
+    tags=("sort", "prefix-sum", "scale"),
+)
+def global_running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running sum the scalable way (operators/scale.py
+    global_running_sum — the recipe behind corpus_pack_contiguous):
+    range-partition + per-shard cumsum + driver prefix-sum of shard
+    totals, one range exchange total. The oracle IS the naive
+    unpartitioned running window — fine single-node, a single-task
+    collapse at 100 TB. Registered standalone so the driver checks the
+    primitive itself, row for row, not only its packed aggregate."""
+    from firstamerican_etl_spark.operators.scale import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    return global_running_sum(d, "doc_id", "n_tokens", out_col="running_tokens")
+
+
 # --------------------------------------------------------- unionByName
 
 @register(

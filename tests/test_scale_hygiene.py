@@ -45,6 +45,7 @@ ARROW_PYTHON_OK = {
     "streaming_custom_source_agg",
     "kmeans_embedding_clusters",
     "global_row_index_scalable",
+    "global_running_sum_scalable",
     "corpus_pack_contiguous",
     "quantile_bins_scalable",
     "weighted_median_udaf",
