@@ -65,6 +65,14 @@ ORDER BY window anywhere.""",
     "gap_fill_interpolate": """Date-spine interpolation: global bounds are a ONE-ROW aggregate broadcast-
 crossed onto the distinct priorities (no unpartitioned min/max window); both
 IGNORE NULLS fill directions share a single (priority, day) exchange + sort.""",
+    "contamination_ngram_overlap": """Decontamination at corpus scale: the held-out set's distinct shingle
+hashes come back via BroadcastHashJoin — the training corpus streams through a
+map-side probe and is never shuffled by shingle; per-doc overlap is then one
+keyed aggregate.""",
+    "salted_skew_agg": """Two-phase skew-resistant aggregation: phase 1 groups on (key, salt) —
+look for TWO HashAggregate+Exchange pairs — so a hot key spreads over 16
+reducers before the ≤16-partials-per-key merge. Result-identical to the plain
+group-by (that is the registered oracle).""",
 }
 
 HEADER = [
