@@ -387,3 +387,95 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_foreachbatch_ingest",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+    tags=("streaming", "foreachBatch", "incremental", "dedup"),
+)
+def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup via foreachBatch — the pattern a
+    perpetually growing training corpus runs in production: each
+    micro-batch computes content fingerprints, keeps first-per-
+    fingerprint within itself, anti-joins against the ACCUMULATED
+    fingerprint state table, and appends only genuinely new documents
+    (state is a parquet table of 16-byte fingerprints + metadata, never
+    the text). Here the corpus streams in as two files (low doc_ids
+    first, maxFilesPerTrigger=1 → two micro-batches), so cross-batch
+    duplicates exercise the state probe. The oracle is the plain
+    keep-first dedup: survivors are batch-split-INVARIANT by
+    construction (the earlier batch holds the lower ids, so the
+    cross-batch survivor is the global min doc_id — same as within-
+    batch), which is what makes an exact SQL oracle possible for an
+    incremental streaming pipeline."""
+    import glob
+    import shutil
+    import time as _time
+
+    from firstamerican_etl_spark.operators.relational import dedup_top1_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    landing = tempfile.mkdtemp(prefix="fa_stream_ingest_land_")
+    now = _time.time()
+    for tag, cond, offset in (
+        ("00a", F.col("doc_id") <= mid, 0),
+        ("00b", F.col("doc_id") > mid, 100),
+    ):
+        stage = tempfile.mkdtemp(prefix=f"fa_stream_ingest_{tag}_")
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"{tag}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (now + offset, now + offset))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    state = tempfile.mkdtemp(prefix="fa_stream_ingest_state_")
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fp = batch_df.withColumn(
+            "fingerprint",
+            F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))),
+        )
+        fresh = dedup_top1_per_group(
+            fp, partition_by=["fingerprint"], order_by=[F.col("doc_id")]
+        )
+        if glob.glob(os.path.join(state, "*.parquet")) or glob.glob(
+            os.path.join(state, "part-*")
+        ):
+            seen = s.read.parquet(state).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+        fresh.select("doc_id", "lang", "source", "fingerprint").write.mode(
+            "append"
+        ).parquet(state)
+
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_ingest_ckpt_")
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select("doc_id", "lang", "source")
