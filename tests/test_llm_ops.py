@@ -1,0 +1,67 @@
+"""Behavioral properties of the round-3 LLM-pipeline operators —
+invariants that must hold at any scale, complementing the exact
+DuckDB-oracle checks in test_oracle.py."""
+
+from __future__ import annotations
+
+from firstamerican_etl_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_contamination_bounds_and_exclusions(spark, sf_dir):
+    rows = REGISTRY["contamination_ngram_overlap"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 50 != 0  # benchmark slice never audited as training
+        assert 0 <= r["n_matched"] <= r["n_shingles"]
+        assert 0.0 <= r["contamination"] <= 1.0
+
+
+def test_train_split_proportions(spark, sf_dir):
+    rows = REGISTRY["train_split_assign"].spark(spark, sf_dir).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    # hash-range targets 230/13/13 out of 256 ≈ 89.8/5.1/5.1 — allow
+    # generous sampling noise at small corpus sizes
+    assert 0.80 <= by_split.get("train", 0) / total <= 0.97
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+
+
+def test_split_assignment_is_stable_under_recompute(spark, sf_dir):
+    a = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in REGISTRY["train_split_assign"].spark(spark, sf_dir).collect()
+    }
+    b = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in REGISTRY["train_split_assign"].spark(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_length_buckets_cover_every_document(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.io import load_table
+
+    rows = REGISTRY["length_bucket_batching"].spark(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["padding_waste"] >= 0
+        assert r["n_batches"] >= 1
+        # bucket must be large enough for every doc in it
+        assert r["total_tokens"] + r["padding_waste"] == r["bucket_len"] * r["n_docs"]
+
+
+def test_gopher_pass_subset_of_rows(spark, sf_dir):
+    rows = REGISTRY["quality_gopher_rules"].spark(spark, sf_dir).collect()
+    assert rows
+    passed = [r for r in rows if r["gopher_pass"] == 1]
+    for r in passed:
+        assert 3 <= r["mean_word_len"] <= 10
+        assert 10 <= r["n_words"] <= 5000
+        assert r["n_stop_distinct"] >= 2
