@@ -218,3 +218,30 @@ def test_corpus_pack_conserves_tokens_and_bins(spark, sf_dir):
     assert sum(r["total_tokens"] for r in bins) == total
     assert [r["bin_id"] for r in bins] == list(range(len(bins)))
     assert all(r["n_docs"] >= 1 for r in bins)
+
+
+def test_simhash_pairs_consistent_with_fingerprints(spark, sf_dir):
+    """dedup_simhash_pairs is rows-only for the driver — this supplies
+    the value check against the fingerprint table: every emitted pair's
+    hamming must equal popcount(xor) of the two simhashes, be <= 3, and
+    the pair must share at least one 16-bit band (the blocking
+    invariant that makes candidate generation sound)."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in reg["dedup_simhash"].spark(spark, sf_dir).collect()
+    }
+    pairs = reg["dedup_simhash_pairs"].spark(spark, sf_dir).collect()
+    assert pairs, "no near-dup pairs at test scale"
+    for p in pairs:
+        a, b = fps[p["doc_a"]], fps[p["doc_b"]]
+        xor = (a ^ b) & ((1 << 64) - 1)
+        assert bin(xor).count("1") == p["hamming"]
+        assert p["hamming"] <= 3
+        bands_equal = any(
+            ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF)
+            for i in range(4)
+        )
+        assert bands_equal, (p, hex(a), hex(b))
