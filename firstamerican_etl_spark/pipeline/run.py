@@ -100,6 +100,10 @@ def _prepare_inputs(
     return paths
 
 
+def _bucket_table(fam: str, input_dir: str) -> str:
+    return f"fa_bucketed_{fam}_{abs(hash(input_dir)) % 10**8}"
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -108,6 +112,7 @@ def run_pipeline(
     partition_staging_by_fips: bool = False,
     validate: bool = False,
     use_fazip_source: bool = False,
+    bucket_staging: int = 0,
 ) -> DataFrame:
     """Full ETL (O2-O7): raw/*.txt.zip → staging/*.parquet → unified/merged.
 
@@ -120,6 +125,19 @@ def run_pipeline(
     executors, one task per zip member — the scale path for a national
     run; the default driver-side unzip mirrors the reference exactly.
     Both paths produce identical staged output (tested).
+
+    ``bucket_staging=N`` (the 100 TB join-locality lever,
+    operators/scale.write_bucketed): every staged/ranked frame is
+    persisted as a PropertyID-bucketed, bucket-sorted table with N
+    buckets, so the ENTIRE unified merge — three PropertyID-keyed
+    joins — plans with ZERO shuffle exchanges (HashPartitioning on
+    PropertyID satisfies the composite (PropertyID, Year) join
+    distributions too, since same-key rows are already co-located).
+    The national shuffle happens exactly once, at staging. Bucket
+    metadata lives in the session catalog (saveAsTable); a restarted
+    session resuming from existing staged files falls back to plain
+    parquet reads — in production the catalog is a persistent
+    metastore and the fallback never triggers.
     """
     raw_dir = os.path.join(input_dir, "raw")
     staging_dir = os.path.join(input_dir, "staging")
@@ -133,6 +151,28 @@ def run_pipeline(
     families = discover_families(raw_dir, annual_file_string, value_history_file_string)
     log.info("files to process: %s", families)
     preflight(families, raw_dir)
+
+    def write_stage(df: DataFrame, path: str, tag: str, partition_by=None) -> None:
+        if bucket_staging:
+            writer = (
+                df.write.mode("overwrite")
+                .bucketBy(bucket_staging, "PropertyID")
+                .sortBy("PropertyID")
+                .option("path", path)
+            )
+            if partition_by:  # hive-partitioned AND bucketed is valid
+                writer = writer.partitionBy(*partition_by)
+            writer.format("parquet").saveAsTable(_bucket_table(tag, input_dir))
+        else:
+            write_parquet(df, path, partition_by=partition_by)
+
+    def read_stage(path: str, tag: str) -> DataFrame:
+        if bucket_staging:
+            tbl = _bucket_table(tag, input_dir)
+            if spark.catalog.tableExists(tbl):
+                return spark.table(tbl)
+            log.info("bucket table %s absent (new session) — parquet fallback", tbl)
+        return spark.read.parquet(path)
 
     staged_paths: dict[str, str] = {}
     ranked_paths: dict[str, str] = {}
@@ -185,9 +225,10 @@ def run_pipeline(
                 F.count(F.lit(1)).alias("rows_out"),
                 F.approx_count_distinct("PropertyID").alias("approx_properties"),
             )
-            write_parquet(
+            write_stage(
                 staged,
                 staged_path,
+                fam,
                 partition_by=["FIPS"]
                 if partition_staging_by_fips and "FIPS" in staged.columns
                 else None,
@@ -199,23 +240,25 @@ def run_pipeline(
         if rank_fn is not None:
             ranked_paths[fam] = ranked_path
             if not output_exists(ranked_path):
-                staged_df = spark.read.parquet(staged_path)
+                staged_df = read_stage(staged_path, fam)
                 ranked = (
                     rank_fn(staged_df, validate=validate)
                     if fam == "valhist"
                     else rank_fn(staged_df)
                 )
-                write_parquet(ranked, ranked_path)
+                write_stage(ranked, ranked_path, f"ranked_{fam}")
             else:
                 log.info("%s ranked output exists — skipping (S6)", fam)
 
-    # unified merge (fa-etl.py:583-589), re-reading staged parquet so the
-    # merge plan starts from columnar scans with stats pruning
+    # unified merge (fa-etl.py:583-589), re-reading staged output so the
+    # merge plan starts from columnar scans with stats pruning (and,
+    # under bucket_staging, from catalog tables whose HashPartitioning
+    # the joins consume without any exchange)
     merged = unify(
-        ranked_valhist=spark.read.parquet(ranked_paths["valhist"]),
-        prop=spark.read.parquet(staged_paths["prop"]),
-        ranked_deed=spark.read.parquet(ranked_paths["deed"]),
-        taxhist=spark.read.parquet(staged_paths["taxhist"]),
+        ranked_valhist=read_stage(ranked_paths["valhist"], "ranked_valhist"),
+        prop=read_stage(staged_paths["prop"], "prop"),
+        ranked_deed=read_stage(ranked_paths["deed"], "ranked_deed"),
+        taxhist=read_stage(staged_paths["taxhist"], "taxhist"),
     )
     merged_path = os.path.join(unified_dir, "merged.parquet")
     write_parquet(merged, merged_path)
@@ -235,6 +278,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--value_history_file_string", default="ValHist")
     parser.add_argument("--partition_by_fips", action="store_true")
     parser.add_argument("--validate", action="store_true")
+    parser.add_argument(
+        "--bucket_staging",
+        type=int,
+        default=0,
+        metavar="N",
+        help="stage as PropertyID-bucketed tables (N buckets) so the "
+        "unified merge plans zero shuffle exchanges",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -255,6 +306,7 @@ def main(argv: list[str] | None = None) -> None:
             args.value_history_file_string,
             partition_staging_by_fips=args.partition_by_fips,
             validate=args.validate,
+            bucket_staging=args.bucket_staging,
         )
         log.info("merged schema: %s", merged.schema.simpleString())
     except Exception:

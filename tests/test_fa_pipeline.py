@@ -350,3 +350,42 @@ def test_cli_main_end_to_end(spark, tmp_path_factory):
     assert merged.count() > 0
     assert len(merged.columns) == len(MERGED_COLUMNS)
     assert os.path.exists(log_file) and os.path.getsize(log_file) > 0
+
+
+def test_bucketed_staging_parity_and_colocated_merge(spark, fa_dirs, tmp_path_factory):
+    """--bucket_staging: staged/ranked frames persisted as PropertyID-
+    bucketed tables must (a) produce the byte-identical merged output
+    of the plain run and (b) plan the ENTIRE 4-way unified merge with
+    zero shuffle exchanges — the staging shuffle is the only one."""
+    import shutil
+
+    from firstamerican_etl_spark.operators.scale import join_is_colocated
+
+    input_dir, _ = fa_dirs
+    alt = str(tmp_path_factory.mktemp("fa_bucketed"))
+    shutil.copytree(
+        os.path.join(input_dir, "raw"), os.path.join(alt, "raw")
+    )
+    merged_b = run_pipeline(spark, alt, bucket_staging=4)
+    # fresh read: earlier tests may have rewritten the plain merged
+    # output, staling the module fixture's file index
+    merged_plain = spark.read.parquet(
+        os.path.join(input_dir, "unified", "merged.parquet")
+    )
+    assert sorted(map(str, merged_b.collect())) == sorted(
+        map(str, merged_plain.collect())
+    )
+    # re-derive the merge plan from the bucketed catalog tables: the
+    # three PropertyID joins must consume the bucket partitioning
+    from firstamerican_etl_spark.pipeline.run import _bucket_table
+    from firstamerican_etl_spark.pipeline.unify import unify
+
+    merged_from_tables = unify(
+        ranked_valhist=spark.table(_bucket_table("ranked_valhist", alt)),
+        prop=spark.table(_bucket_table("prop", alt)),
+        ranked_deed=spark.table(_bucket_table("ranked_deed", alt)),
+        taxhist=spark.table(_bucket_table("taxhist", alt)),
+    )
+    assert join_is_colocated(merged_from_tables), (
+        merged_from_tables._jdf.queryExecution().executedPlan().toString()[:2000]
+    )
