@@ -245,3 +245,52 @@ def test_simhash_pairs_consistent_with_fingerprints(spark, sf_dir):
             for i in range(4)
         )
         assert bands_equal, (p, hex(a), hex(b))
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """The third scale lever next to bucketing and runtime bloom
+    filters: AQE's OptimizeSkewedJoin must split a pathologically hot
+    join key at runtime (skew=true on the sort-merge join) once the
+    skew thresholds are crossed — thresholds are lowered here the same
+    way the bloom-filter test lowers its size gates."""
+    import pyspark.sql.functions as SF
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        # allow the split even where it would add an exchange — the
+        # explicit opt-in for skew-first plans
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 95% of rows share one key — the classic hot-key fact table
+        hot = spark.range(200_000).select(
+            SF.when(SF.col("id") % 20 != 0, SF.lit(7)).otherwise(SF.col("id") % 1000)
+            .alias("k"),
+            SF.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            SF.col("id").alias("k"), (SF.col("id") * 2).alias("attr")
+        )
+        # global aggregate downstream: no clustering requirement on the
+        # join output, so AQE is free to split the hot partition
+        joined = hot.join(dim, "k").agg(SF.sum("payload").alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan.split("== Initial Plan ==")[0][:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
