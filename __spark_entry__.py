@@ -33,7 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data-pipeline extensions). load_all() orders the dict so
+    the driver's 50-entry correctness window covers one proving query
+    per §2 operator family AND the LLM-pipeline flagships — see
+    plans/registry.py DRIVER_WINDOW (pinned by
+    tests/test_registry_window.py); everything after slot 50 carries
+    the same local DuckDB-oracle coverage in tests/test_oracle.py."""
     return {name: spec.spark for name, spec in load_all().items()}
 
 

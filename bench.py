@@ -112,15 +112,21 @@ def main() -> None:
 
     # The reference's ACTUAL workload: the full FA ETL (zips → staged
     # parquet → ranked → unified merge → written parquet), end-to-end
-    # wall time on deterministic FA-shaped inputs sized to the SF,
-    # staged partitioned by FIPS (the --partition_by_fips path).
-    # Input synthesis happens OUTSIDE the timed section.
-    try:
-        timings["fa_pipeline_e2e"] = round(_fa_pipeline_e2e(spark, sf), 3)
-        print(f"# fa_pipeline_e2e: {timings['fa_pipeline_e2e']:.3f}s", file=sys.stderr)
-    except Exception as exc:
-        failures["fa_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# fa_pipeline_e2e: FAILED {failures['fa_pipeline_e2e']}", file=sys.stderr)
+    # wall time on deterministic FA-shaped inputs sized to the SF.
+    # Two variants: FIPS-partitioned staging (the --partition_by_fips
+    # path) and PropertyID-bucketed staging (--bucket_staging — pays
+    # the staging shuffle once, then the 4-way merge plans with zero
+    # exchanges). Input synthesis happens OUTSIDE the timed sections.
+    for bench_name, kwargs in (
+        ("fa_pipeline_e2e", {"partition_staging_by_fips": True}),
+        ("fa_pipeline_e2e_bucketed", {"bucket_staging": 8}),
+    ):
+        try:
+            timings[bench_name] = round(_fa_pipeline_e2e(spark, sf, **kwargs), 3)
+            print(f"# {bench_name}: {timings[bench_name]:.3f}s", file=sys.stderr)
+        except Exception as exc:
+            failures[bench_name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {bench_name}: FAILED {failures[bench_name]}", file=sys.stderr)
 
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
@@ -140,7 +146,7 @@ def main() -> None:
     spark.stop()
 
 
-def _fa_pipeline_e2e(spark, sf: float) -> float:
+def _fa_pipeline_e2e(spark, sf: float, **pipeline_kwargs) -> float:
     """Generate FA-shaped raw zips for ~200k·sf properties into a fresh
     temp dir, then time run_pipeline (CSV scan → clean → stage → rank →
     unify → write) end-to-end. Fresh dir each call so the S6 resume
@@ -156,7 +162,7 @@ def _fa_pipeline_e2e(spark, sf: float) -> float:
     try:
         generate(work, n_props)
         t0 = time.perf_counter()
-        merged = run_pipeline(spark, work, partition_staging_by_fips=True)
+        merged = run_pipeline(spark, work, **pipeline_kwargs)
         merged.count()  # the returned frame re-reads the written parquet
         return time.perf_counter() - t0
     finally:
