@@ -294,3 +294,44 @@ def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_lsh_perfect_recall_on_exact_dups(spark, sf_dir):
+    """Soundness pin for the rows-only MinHash+LSH candidates:
+    (a) every pair of documents with IDENTICAL normalized text must be
+    emitted with all 8 bands colliding (identical signatures agree in
+    every band — exact-dup recall is 1.0 by construction), and
+    (b) every emitted candidate pair must share at least one 5-gram
+    (banding can only fire on a shared shingle hash)."""
+    from itertools import combinations
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in reg["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    assert pairs, "no candidates at test scale"
+    docs = {
+        r["doc_id"]: " ".join(r["text"].strip().lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_text: dict[str, list[int]] = {}
+    for did, text in docs.items():
+        by_text.setdefault(text, []).append(did)
+    exact_dup_pairs = [
+        tuple(sorted(p))
+        for ids in by_text.values()
+        if len(ids) > 1
+        for p in combinations(ids, 2)
+    ]
+    for p in exact_dup_pairs:
+        assert pairs.get(p) == 8, f"exact dup {p} missed or partial: {pairs.get(p)}"
+
+    def shingles(text: str) -> set[str]:
+        w = text.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    for (a, b) in pairs:
+        assert shingles(docs[a]) & shingles(docs[b]), (a, b)
