@@ -60,6 +60,8 @@ HEADLINE = [
     "rolling_7d_active_users",
     "dedup_cluster_components",
     "quantile_bins_scalable",
+    "pq_adc_topk",
+    "contamination_ngram_overlap",
 ]
 
 

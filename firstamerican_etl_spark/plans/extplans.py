@@ -879,6 +879,55 @@ def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_bins_approx",
+    oracle=None,  # sketch cutpoints are engine-specific → rows-only;
+    # tests/test_approx_accuracy.py pins bin balance vs the exact path
+    tags=("window", "quantile", "sketch", "scale"),
+)
+def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-PASS sibling of ``quantile_bins_scalable``: cutpoints
+    from ``approx_percentile`` (a mergeable GK/KLL-style sketch — one
+    aggregate over the table, 3 numbers out, NO range exchange at all)
+    instead of exact distributed ranks; the broadcast-literal CASE
+    assignment and the per-bin report are identical. This is the shape
+    to reach for first at 100 TB when rank-exact boundaries aren't
+    required: the exact variant pays a full range shuffle for its
+    cutpoints, this one pays a scan. Sketch values are engine-specific
+    so there is no SQL oracle; the accuracy contract (each bin within
+    a few percent of N/4) is pinned in tests/test_approx_accuracy.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    cuts = o.agg(
+        F.percentile_approx(
+            "v", [0.25, 0.5, 0.75], accuracy=10_000
+        ).alias("c")
+    ).collect()[0]["c"]
+    if not cuts:  # empty input
+        return o.select(
+            F.lit(1).alias("quartile"),
+            F.lit(0).cast("long").alias("n_orders"),
+            F.lit(0.0).alias("lo"),
+            F.lit(0.0).alias("hi"),
+        ).limit(0)
+    c1, c2, c3 = (float(c) for c in cuts)
+    quartile = (
+        F.when(F.col("v") <= F.lit(c1), 1)
+        .when(F.col("v") <= F.lit(c2), 2)
+        .when(F.col("v") <= F.lit(c3), 3)
+        .otherwise(4)
+    )
+    return (
+        o.groupBy(quartile.alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.min("v")).alias("lo"),
+            stable_round(F.max("v")).alias("hi"),
+        )
+    )
+
+
+@register(
     "histogram_width_bucket",
     oracle="""
 SELECT CAST(floor(o_totalprice / 25000) + 1 AS BIGINT) AS bin,

@@ -43,3 +43,24 @@ def test_approx_count_distinct_within_2pct_of_exact(spark, sf_dir):
         for ac, ec in (("approx_parts", "exact_parts"), ("approx_orders", "exact_orders")):
             rel = abs(a[ac] - e[ec]) / e[ec]
             assert rel <= 0.02, f"{flag}.{ac}: approx={a[ac]} exact={e[ec]} rel={rel:.4f}"
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_quantile_bins_approx_balanced(spark, sf_dir):
+    """The sketch-cutpoint binning must produce four bins each within
+    3% of N/4 (percentile_approx at accuracy=10k gives rank error
+    ~N/10k, far inside the envelope), and agree with the exact
+    variant's bins on total count."""
+    rows = {
+        r["quartile"]: r["n_orders"]
+        for r in load_all()["quantile_bins_approx"].spark(spark, sf_dir).collect()
+    }
+    n = sum(rows.values())
+    assert set(rows) == {1, 2, 3, 4}
+    for q, c in rows.items():
+        assert abs(c - n / 4) <= max(2, 0.03 * n), (q, c, n)
+    exact = {
+        r["quartile"]: r["n_orders"]
+        for r in load_all()["quantile_bins_scalable"].spark(spark, sf_dir).collect()
+    }
+    assert sum(exact.values()) == n
