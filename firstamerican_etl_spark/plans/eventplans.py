@@ -280,3 +280,67 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+@register(
+    "events_burst_dedup",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN ts - lag(ts) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) <= INTERVAL 5 MINUTES THEN 0 ELSE 1 END AS new_burst
+  FROM events
+),
+b AS (
+  SELECT *, sum(new_burst) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS burst_id
+  FROM g
+)
+SELECT user_id, event_type, burst_id,
+       min(event_id) AS kept_event_id,
+       count(*) - 1 AS n_suppressed
+FROM b
+GROUP BY 1, 2, 3
+""",
+    tags=("events", "dedup", "debounce", "islands"),
+)
+def events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst de-bouncing: collapse rapid-fire repeats of the same
+    (user, event_type) — retry storms, double-clicks, crawler loops —
+    keeping one representative per burst, where a burst is any run of
+    events each within 5 minutes of its predecessor (the gaps-and-
+    islands idiom: lag → new-burst flag → running sum labels). The
+    row-SELECTING twin of session windows: sessions aggregate bursts,
+    this keeps the first row and counts what it suppressed — the shape
+    log-cleaning pipelines want. One exchange on (user_id, event_type);
+    both window passes and the final aggregate ride the same
+    partitioning, and ties are broken on event_id so the survivor is a
+    pure function of the data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # timestamp - timestamp → day-time interval (works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike — same idiom as events_session_window; an
+    # epoch cast would fail on NTZ columns)
+    gap_ok = (F.col("ts") - F.lag(F.col("ts")).over(w)) <= F.expr(
+        "INTERVAL '5' MINUTE"
+    )
+    g = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_burst"),
+    )
+    b = g.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return b.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("event_id").alias("kept_event_id"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    )
