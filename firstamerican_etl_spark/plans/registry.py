@@ -62,9 +62,10 @@ def register(
 # driver's independent green row. tests/test_registry_window.py pins
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 scan / project / filter / sort / distinct
+    # §2 scan / project / filter / sort (distinct is proven by
+    # dedup_exact_keep_first + the setops below; distinct_projection
+    # stays pytest-oracled outside the window)
     "scan_filter_project",
-    "distinct_projection",
     "sort_limit_topk",
     # §2 aggregation family
     "q1_pricing_summary",
@@ -91,9 +92,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SQL interface + semi-structured sources
     "sql_interface_passthrough",
     "events_from_jsonl",
-    # TPC-H shapes in the window
+    # TPC-H shapes in the window (q21: the single-scan decorrelation)
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q21_waiting_orders",
     # the reference's own pipeline (fa-etl.py) re-expressed
     "fa_ranked_deed",
     "fa_valhist_cascade",
