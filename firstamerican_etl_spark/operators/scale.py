@@ -152,6 +152,127 @@ def repartition_for_cascade(
     return df.repartition(n, *cols) if n else df.repartition(*cols)
 
 
+def _shard_cutpoints(
+    df: DataFrame, keys: Sequence[str], n: int
+) -> list[tuple]:
+    """Deterministic shard cutpoints for the distributed prefix-sum
+    primitives: fixed-seed sample of the key columns (column-pruned
+    scan, metadata-sized collect), driver-side sort, n-1 quantile
+    picks, consecutive duplicates dropped.
+
+    The cutpoints are collected ONCE and applied as *literals* in
+    every downstream pass, which is the whole point: shard assignment
+    becomes a pure function of row values, so the totals pass and the
+    cumsum/index pass can never disagree — unlike
+    ``repartitionByRange``, whose sampled bounds are re-drawn if a
+    cached plan is recomputed (the persist-pinning race this design
+    replaces). Cutpoint *placement* only affects load balance, never
+    results: any monotone assignment consistent across passes yields
+    the exact prefix sum.
+
+    Single numeric key (the common case): ONE ``percentile_approx``
+    aggregate — a mergeable sketch, column-pruned scan, n-1 values
+    out. Composite/non-numeric keys: count + fixed-seed sample +
+    driver-side quantile picks (two pruned scans)."""
+    from pyspark.sql import types as T
+
+    if n <= 1:
+        return []
+    dt = df.schema[keys[0]].dataType
+    if len(keys) == 1 and isinstance(dt, T.NumericType):
+        probs = [i / n for i in range(1, n)]
+        qs = df.agg(
+            F.percentile_approx(keys[0], probs, 10_000).alias("q")
+        ).first()["q"]
+        if not qs:
+            return []
+        cuts = []
+        for v in qs:
+            if v is not None and (not cuts or (v,) != cuts[-1]):
+                cuts.append((v,))
+        return cuts
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    target = max(n * 200, 10_000)
+    frac = min(1.0, (target * 1.2) / cnt)
+    sample = [
+        tuple(r)
+        for r in df.select(*keys).sample(False, frac, seed=42).collect()
+        if None not in r
+    ]
+    if not sample:
+        return []
+    sample.sort()
+    cuts = []
+    for i in range(1, n):
+        c = sample[min(len(sample) - 1, (i * len(sample)) // n)]
+        if not cuts or c != cuts[-1]:
+            cuts.append(c)
+    return cuts
+
+
+def _shard_id_expr(df: DataFrame, keys: Sequence[str], cuts: list[tuple]) -> Column:
+    """Order-respecting shard id: the number of cutpoints strictly
+    below the row's key tuple — a chain of literal comparisons, fully
+    codegen'd, zero shuffle. Composite keys compare lexicographically
+    via struct comparison (both sides aliased/cast to identical field
+    names and types). Null keys compare null → shard 0 (callers
+    require unique, non-null order keys for determinism anyway)."""
+    if not cuts:
+        return F.lit(0)
+    dtypes = [df.schema[k].dataType for k in keys]
+    if len(keys) == 1:
+        row_val: Column = F.col(keys[0])
+        bound = lambda c: F.lit(c[0]).cast(dtypes[0])  # noqa: E731
+    else:
+        row_val = F.struct(
+            *[F.col(k).alias(f"f{i}") for i, k in enumerate(keys)]
+        )
+        bound = lambda c: F.struct(  # noqa: E731
+            *[F.lit(v).cast(dtypes[i]).alias(f"f{i}") for i, v in enumerate(c)]
+        )
+    pid: Column = F.lit(0)
+    for c in cuts:
+        pid = pid + F.when(row_val > bound(c), 1).otherwise(0)
+    return pid
+
+
+def _sharded_by_key(
+    df: DataFrame, keys: Sequence[str], partitions: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Stage ``df`` to temp parquet ONCE, then tag rows with a
+    deterministic range-shard id; returns (tagged, parts, n):
+    ``tagged`` for the metadata aggregate (its groupBy shuffles
+    |shards| rows after map-side partials — no data exchange),
+    ``parts`` hash-clustered on ``_pid`` and sorted by (_pid, keys)
+    for the per-shard sequential pass. All rows of a shard land in one
+    partition; a partition may hold a few shards (hash collisions),
+    which the batch kernels handle group-wise.
+
+    The staging write is both the determinism anchor and the perf
+    anchor: every downstream pass (cutpoints, totals, final) reads the
+    same static files, so an expensive upstream (e.g. tokenizing every
+    document for corpus packing) is computed exactly once instead of
+    once per pass, and there is no cached-plan state whose eviction
+    could change anything — the failure mode persist()-pinned
+    repartitionByRange had. The temp dir is removed at process exit
+    (it must outlive the returned lazy frames)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    stage_dir = tempfile.mkdtemp(prefix="fa_prefix_sum_stage_")
+    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage_dir)
+    staged = df.sparkSession.read.parquet(stage_dir)
+    cuts = _shard_cutpoints(staged, keys, n)
+    tagged = staged.withColumn("_pid", _shard_id_expr(staged, keys, cuts))
+    parts = tagged.repartition(n, "_pid").sortWithinPartitions("_pid", *keys)
+    return tagged, parts, n
+
+
 def global_row_index(
     df: DataFrame,
     order_key: str | Sequence[str],
@@ -162,44 +283,39 @@ def global_row_index(
     single-partition sort that ``row_number() OVER (ORDER BY ...)``
     plans (every row through one task — the classic 100 TB faceplant).
 
-    The distributed zipWithIndex recipe, DataFrame-native:
-    1. range-partition + sort by the key (range exchange: sampled
-       bounds, disjoint sorted partitions);
-    2. project spark_partition_id() — a pure map, no shuffle;
-    3. count rows per partition (aggregate ships |partitions| rows),
-       prefix-sum the counts driver-side into per-partition offsets;
-    4. mapInPandas with a per-partition running counter + broadcast
-       offset map: each row gets offset[pid] + local ordinal.
+    The distributed zipWithIndex recipe, DataFrame-native and
+    DETERMINISTIC end-to-end:
+    1. stage the input to temp parquet ONCE (the expensive upstream —
+       scans, tokenization — is computed exactly once; all later
+       passes read static files);
+    2. collect explicit shard cutpoints from the staged keys
+       (``_shard_cutpoints`` — metadata-sized);
+    3. tag every row with ``_pid`` = number of cutpoints below its key
+       (a literal comparison chain — pure map, codegen'd);
+    4. count rows per shard (aggregate ships |shards| rows), prefix-sum
+       the counts driver-side into per-shard offsets;
+    5. hash-cluster on ``_pid`` + sort within partitions, then
+       mapInPandas adds offset[pid] + local ordinal per shard group.
 
-    Total cost: ONE range exchange of the data + a metadata aggregate —
-    vs the naive window's full collapse to one task. Requires a unique
-    ``order_key`` (single column or composite) for a deterministic
-    result (ties across a partition boundary would otherwise be
-    order-ambiguous).
-
-    The partitioned frame is persist()ed between the two passes:
-    repartitionByRange picks its bounds by SAMPLING, so an un-pinned
-    plan could re-sample different boundaries in the count job vs the
-    index job and mis-align every offset. At warehouse scale the same
-    pinning falls out naturally by writing the sorted layout first
-    (write_range_clustered) and indexing the static files; callers
-    should unpersist() after materializing.
+    Because ``_pid`` is a pure function of row values and literals
+    over static files, the count pass and the index pass agree BY
+    CONSTRUCTION — there is no sampled-exchange or cached-plan state
+    to pin and therefore no persist() (the previous formulation's
+    repartitionByRange bounds could re-sample on cache eviction and
+    silently misalign every offset). Total cost: one materialization
+    of the input + two pruned scans of the staged files + ONE exchange
+    — vs the naive window's collapse to one task. Requires a unique
+    ``order_key`` (single column or composite) so the total order, and
+    hence the index, is well-defined.
     """
-    import pandas as pd
-
     keys = [order_key] if isinstance(order_key, str) else list(order_key)
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    tagged, parts, _ = _sharded_by_key(df, keys, partitions)
     sizes = {
-        r["_pid"]: r["n"]
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        int(r["_pid"]): int(r["n"])
+        for r in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets: dict[int, int] = {}
+    acc = 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
@@ -208,13 +324,19 @@ def global_row_index(
     cols = [f.name for f in out_schema.fields]
 
     def index_batches(batches):
-        local = 0
+        local: dict[int, int] = {}
         for pdf in batches:
-            base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[index_name] = pd.RangeIndex(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield pdf[cols]
+            if not len(pdf):
+                continue
+            pids = pdf["_pid"].astype("int64")
+            base = pids.map(offsets)  # dict map — vectorized lookup
+            prev = pids.map(local).fillna(0) if local else 0
+            ordinal = pids.groupby(pids).cumcount()
+            for p, c in pids.value_counts().items():
+                local[int(p)] = local.get(int(p), 0) + int(c)
+            out = pdf.drop(columns=["_pid"])
+            out[index_name] = (base + prev + ordinal).astype("int64")
+            yield out[cols]
 
     return parts.mapInPandas(index_batches, schema=out_schema)
 
@@ -230,32 +352,24 @@ def global_running_sum(
     order without the single-partition collapse of
     ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``.
 
-    Same distributed-prefix-sum recipe as ``global_row_index``:
-    1. range-partition + sort by the key (disjoint sorted shards);
-    2. aggregate each shard's value TOTAL (ships |partitions| rows),
-       prefix-sum the totals driver-side into per-shard base offsets;
-    3. mapInPandas cumsum per shard + broadcast base-offset map:
-       each row gets offset[pid] + local running total.
+    Same deterministic distributed-prefix-sum recipe as
+    ``global_row_index``: stage once to temp parquet, literal-cutpoint
+    shard ids (pure function of row values over static files — the
+    totals pass and the cumsum pass agree by construction, no
+    persist-pinning), per-shard value TOTALS aggregated as metadata
+    and prefix-summed driver-side, then one hash-clustered exchange +
+    per-shard vectorized cumsum with the broadcast base offsets
+    stitched in.
 
-    ONE range exchange of the data + a metadata aggregate. Requires a
-    unique order key for determinism; values are summed as int64
-    (callers with doubles should quantize first — running doubles are
-    order-sensitive anyway). The partitioned frame is persist()ed so
-    the totals pass and the cumsum pass see identical (sampled) range
-    bounds — same caveat as ``global_row_index``."""
-    import pandas as pd  # noqa: F401 (Arrow batches arrive as pandas)
-
+    One materialization of the input + two pruned scans of the staged
+    files + ONE exchange. Requires a unique, non-null order key;
+    values are summed as int64 (callers with doubles should quantize
+    first — running doubles are order-sensitive anyway)."""
     keys = [order_key] if isinstance(order_key, str) else list(order_key)
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    tagged, parts, _ = _sharded_by_key(df, keys, partitions)
     totals = {
-        r["_pid"]: int(r["t"])
-        for r in parts.groupBy("_pid")
+        int(r["_pid"]): int(r["t"])
+        for r in tagged.groupBy("_pid")
         .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
         .collect()
     }
@@ -269,15 +383,20 @@ def global_running_sum(
     cols = [f.name for f in out_schema.fields]
 
     def cumsum_batches(batches):
-        carry = 0
+        carry: dict[int, int] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            vals = pdf[value_col].to_numpy(dtype="int64")
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[out_col] = vals.cumsum() + base + carry
-            carry += int(vals.sum())
-            yield pdf[cols]
+            pids = pdf["_pid"].astype("int64")
+            vals = pdf[value_col].astype("int64")
+            csum = vals.groupby(pids).cumsum()
+            base = pids.map(offsets)
+            if carry:
+                base = base + pids.map(carry).fillna(0).astype("int64")
+            for p, s in vals.groupby(pids).sum().items():
+                carry[int(p)] = carry.get(int(p), 0) + int(s)
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = (csum + base).astype("int64")
+            yield out[cols]
 
     return parts.mapInPandas(cumsum_batches, schema=out_schema)

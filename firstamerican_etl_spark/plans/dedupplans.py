@@ -102,18 +102,22 @@ def ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# golden-ratio / murmur-finalizer constants; (2i+1)·φ is odd → a bijection
-# of Z/2^64, so each "permutation" a·h+b is a universal-hash rehash of the
-# base shingle hash. Signed-64 wraparound is fine for hashing.
+# Permutations are the classic Carter–Wegman affine hash a·h+b over the
+# Mersenne prime p = 2^31-1, with the base hash first reduced mod p and
+# a, b < p derived from golden-ratio / murmur-finalizer constants. The
+# 31-bit bound is load-bearing for ANSI mode (the driver's Spark 4
+# default session): (p-1)·a + b < 2^62 never overflows int64, so the
+# aggregate is exact under BOTH ANSI-on (would throw on overflow) and
+# ANSI-off (would silently wrap) sessions. The earlier full-range
+# formulation relied on signed-64 wraparound and threw
+# ARITHMETIC_OVERFLOW under ANSI.
 _M64 = 1 << 64
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
 def _perm_consts(i: int) -> tuple[int, int]:
-    a = ((2 * i + 1) * 0x9E3779B97F4A7C15) % _M64
-    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _M64
-    # to signed
-    a = a - _M64 if a >= _M64 // 2 else a
-    b = b - _M64 if b >= _M64 // 2 else b
+    a = (((2 * i + 1) * 0x9E3779B97F4A7C15) % _M64) % _P31 or 1
+    b = ((i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _M64) % _P31
     return a, b
 
 
@@ -182,13 +186,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
     |shingles|.
     """
     wh = exploded_word_hashes(df, text_col, keep=(key,))
+    # Reduce the full-range shingle hash to [0, p) ONCE (pmod keeps it
+    # non-negative, matching numpy's % on a positive modulus), then each
+    # permutation-min is a plain overflow-free affine aggregate.
     exploded = wh.select(
         key, F.explode(shingle_hashes_col("wh")).alias("h")
-    )
+    ).select(key, F.pmod(F.col("h"), F.lit(_P31)).alias("hp"))
     aggs = []
     for i in range(num_hashes):
         a, b = _perm_consts(i)
-        aggs.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"mh{i}"))
+        aggs.append(F.min(F.col("hp") * F.lit(a) + F.lit(b)).alias(f"mh{i}"))
     return exploded.groupBy(key).agg(*aggs)
 
 
@@ -392,8 +399,10 @@ def minhash_signatures_np(
 ) -> DataFrame:
     """MinHash signatures, Arrow/numpy path: shingle hashing stays
     JVM-side (xxhash64 over word-hash windows), the 32 permutation-mins run as one
-    vectorized ``min(h·a + b)`` per doc batch in numpy (int64 wraparound
-    matches Java long arithmetic). Same signatures as
+    vectorized ``min((h mod p)·a + b)`` per doc batch in numpy — the same
+    Mersenne-31 affine permutations as the JVM path (numpy's ``%`` on a
+    positive modulus matches Spark's ``pmod``, and products stay < 2^62,
+    so no wraparound on either engine). Bit-identical signatures to
     ``minhash_signatures``; trades the 32 codegen'd aggregates + doc
     shuffle for zero shuffle + one Arrow hop."""
     import numpy as np
@@ -410,17 +419,13 @@ def minhash_signatures_np(
     )
 
     def fn(batches):
-        old = np.seterr(over="ignore")  # int64 wraparound is the semantics
-        try:
-            for pdf in batches:
-                rows = []
-                for k, hs in zip(pdf[key], pdf["hashes"]):
-                    h = np.asarray(hs, dtype=np.int64)
-                    sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
-                    rows.append((k, *sig.tolist()))
-                yield pd.DataFrame(rows, columns=[key] + [f"mh{i}" for i in range(num_hashes)])
-        finally:
-            np.seterr(**old)
+        for pdf in batches:
+            rows = []
+            for k, hs in zip(pdf[key], pdf["hashes"]):
+                h = np.asarray(hs, dtype=np.int64) % _P31
+                sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                rows.append((k, *sig.tolist()))
+            yield pd.DataFrame(rows, columns=[key] + [f"mh{i}" for i in range(num_hashes)])
 
     wh = exploded_word_hashes(df, text_col, keep=(key,))
     hashed = wh.select(key, shingle_hashes_col("wh").alias("hashes"))

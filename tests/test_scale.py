@@ -170,6 +170,60 @@ def test_global_row_index_composite_key(spark, sf_dir):
     assert got == expected
 
 
+def test_global_prefix_sum_deterministic_across_recompute(spark, sf_dir):
+    """The r03 driver flake: the old persist-pinned repartitionByRange
+    design could re-sample shard bounds between the totals pass and a
+    later consumer action, silently misaligning every base offset.
+    The literal-cutpoint design must produce IDENTICAL output when the
+    whole plan is recomputed from scratch (two independent actions, no
+    cache), and must leave nothing persisted behind."""
+    from firstamerican_etl_spark.operators.scale import (
+        global_row_index,
+        global_running_sum,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    rs = global_running_sum(d, "doc_id", "n_tokens", out_col="rs", partitions=8)
+    first = sorted(map(tuple, rs.collect()))
+    spark.catalog.clearCache()  # simulate total eviction between actions
+    second = sorted(map(tuple, rs.collect()))
+    assert first == second
+    # a freshly-built plan over the same data must also agree
+    rs2 = global_running_sum(d, "doc_id", "n_tokens", out_col="rs", partitions=8)
+    assert sorted(map(tuple, rs2.collect())) == first
+
+    idx = global_row_index(d, "doc_id", index_name="ix", partitions=8)
+    i1 = sorted(map(tuple, idx.collect()))
+    spark.catalog.clearCache()
+    assert sorted(map(tuple, idx.collect())) == i1
+
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_global_prefix_sum_empty_and_skewed_inputs(spark):
+    """Empty input yields an empty frame with the right schema; a
+    single-value key (every cutpoint identical → deduped to none)
+    still sums correctly through one shard."""
+    from firstamerican_etl_spark.operators.scale import global_running_sum
+
+    schema = "k long, v long"
+    empty = spark.createDataFrame([], schema)
+    out = global_running_sum(empty, "k", "v", out_col="rs")
+    assert out.count() == 0
+    assert out.schema.fieldNames() == ["k", "v", "rs"]
+
+    one_key = spark.createDataFrame(
+        [(i, 2) for i in range(100)], schema
+    ).withColumn("k", F.col("k"))
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(one_key, "k", "v", out_col="rs", partitions=4).collect()
+    }
+    assert got == {i: 2 * (i + 1) for i in range(100)}
+
+
 def test_knn_lsh_emissions_are_true_cosines(spark, sf_dir):
     """knn_lsh_bucketed is rows-only for the driver (buckets aren't
     SQL-expressible) — this supplies the value check: every emitted

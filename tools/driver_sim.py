@@ -1,6 +1,20 @@
 """Simulate the round driver: smoke entry() at sf0.001, then compare
 every queries()[name] against oracle_sql()[name] via DuckDB at sf0.01
-(row-count + sorted schema + md5 of sorted row reprs)."""
+(row-count + sorted schema + md5 of sorted row reprs).
+
+Runs the comparison TWICE: once under the repo session (ANSI off, UTC,
+Arrow on — what bench/pytest use) and once under ANSI-on (the Spark 4
+default and therefore what the round driver's default-config session
+runs). The second pass exists because of r03: ``dedup_minhash_lsh``
+relied on silent int64 wraparound, green under the repo session and an
+ARITHMETIC_OVERFLOW crash in the driver. ANSI is a runtime SQL conf,
+so one JVM serves both passes.
+
+Usage:
+    python tools/driver_sim.py                 # both passes, all queries
+    python tools/driver_sim.py --only a,b,c    # subset (both passes)
+    python tools/driver_sim.py --skip-ansi     # repo-session pass only
+"""
 import hashlib
 import math
 import os
@@ -43,21 +57,7 @@ def hash_rows(cols, rows):
     return hashlib.md5("\n".join(reprs).encode()).hexdigest()
 
 
-def main():
-    spark = get_spark(app_name="driver-sim")
-    smoke = E.entry(spark)
-    n = smoke.count()
-    print(f"smoke entry(): {n} rows, schema={[f.name for f in smoke.schema.fields]}")
-    assert n >= 0
-
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(SF, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-
-    qs = E.queries()
-    oracles = E.oracle_sql()
+def run_pass(spark, con, qs, oracles, label):
     mismatch = err = 0
     for name in sorted(qs):
         try:
@@ -65,7 +65,7 @@ def main():
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
             if name not in oracles:
-                print(f"  rows-only {name}: {len(srows)} rows")
+                print(f"  [{label}] rows-only {name}: {len(srows)} rows")
                 continue
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
@@ -79,13 +79,52 @@ def main():
                 problems.append("value-hash")
             if problems:
                 mismatch += 1
-                print(f"  MISMATCH {name}: {'; '.join(problems)}")
+                print(f"  [{label}] MISMATCH {name}: {'; '.join(problems)}")
         except Exception as e:
             err += 1
-            print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
-    print(f"done: {len(qs)} queries, {mismatch} mismatch, {err} error")
+            print(f"  [{label}] ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+    print(f"[{label}] done: {len(qs)} queries, {mismatch} mismatch, {err} error")
+    return mismatch + err
+
+
+def main():
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
+    skip_ansi = "--skip-ansi" in args
+
+    spark = get_spark(app_name="driver-sim")
+    smoke = E.entry(spark)
+    n = smoke.count()
+    print(f"smoke entry(): {n} rows, schema={[f.name for f in smoke.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = E.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    oracles = E.oracle_sql()
+
+    bad = run_pass(spark, con, qs, oracles, "repo-session")
+
+    if not skip_ansi:
+        # Driver parity: the round driver builds a default-config
+        # session — Spark 4 default is ANSI ON. Flip the runtime conf
+        # and re-run everything; overflow/strict-cast sites that the
+        # repo session silently wraps will throw here.
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        bad += run_pass(spark, con, qs, oracles, "ansi-on")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
     spark.stop()
-    sys.exit(1 if (mismatch or err) else 0)
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
