@@ -101,7 +101,22 @@ def _prepare_inputs(
 
 
 def _bucket_table(fam: str, input_dir: str) -> str:
-    return f"fa_bucketed_{fam}_{abs(hash(input_dir)) % 10**8}"
+    """Catalog name for a bucketed staging table: hashlib over the
+    resolved input_dir plus the raw files' (name, mtime, size) — stable
+    across restarts (builtin hash() is per-process salted) and rolled
+    over when inputs are regenerated, so a resumed session can never
+    read a bucketed table staged from older source data."""
+    import hashlib
+
+    raw = os.path.join(input_dir, "raw")
+    h = hashlib.sha1(os.path.abspath(input_dir).encode())
+    try:
+        for f in sorted(os.listdir(raw)):
+            st = os.stat(os.path.join(raw, f))
+            h.update(f"|{f}:{st.st_mtime_ns}:{st.st_size}".encode())
+    except OSError:
+        pass
+    return f"fa_bucketed_{fam}_{h.hexdigest()[:12]}"
 
 
 def run_pipeline(
@@ -130,15 +145,24 @@ def run_pipeline(
     operators/scale.write_bucketed): every staged/ranked frame is
     persisted as a PropertyID-bucketed, bucket-sorted table with N
     buckets, so the ENTIRE unified merge — three PropertyID-keyed
-    joins — plans with ZERO shuffle exchanges (HashPartitioning on
-    PropertyID satisfies the composite (PropertyID, Year) join
-    distributions too, since same-key rows are already co-located).
-    The national shuffle happens exactly once, at staging. Bucket
-    metadata lives in the session catalog (saveAsTable); a restarted
-    session resuming from existing staged files falls back to plain
-    parquet reads — in production the catalog is a persistent
-    metastore and the fallback never triggers.
+    joins — plans with ZERO shuffle exchanges. Same-key rows are
+    already co-located, which satisfies the composite (PropertyID,
+    Year) join distributions too — but ONLY while
+    ``spark.sql.requireAllClusterKeysForCoPartition`` is false (its
+    Spark 3.3+/4 default is true, which would demand buckets on the
+    full composite key and silently re-plan the exchange), so this
+    function pins that conf whenever bucketing is requested. The
+    national shuffle happens exactly once, at staging. Bucket metadata
+    lives in the session catalog (saveAsTable); a restarted session
+    resuming from existing staged files falls back to plain parquet
+    reads — in production the catalog is a persistent metastore and
+    the fallback never triggers.
     """
+    if bucket_staging:
+        # Without this, a composite-key join against single-key buckets
+        # plans an Exchange anyway (performance, not correctness), and
+        # the zero-shuffle claim above is environment-dependent.
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     raw_dir = os.path.join(input_dir, "raw")
     staging_dir = os.path.join(input_dir, "staging")
     unzipped_dir = os.path.join(input_dir, "unzipped")

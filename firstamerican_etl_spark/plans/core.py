@@ -41,7 +41,7 @@ from firstamerican_etl_spark.operators.relational import (
     top_k_per_group,
 )
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, staging_tag
 
 
 # ---------------------------------------------------------------- scans
@@ -838,7 +838,7 @@ def events_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_jsonl_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"fa_spark_jsonl_{staging_tag(sf_dir, 'events')}"
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
@@ -883,7 +883,7 @@ def events_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_xml_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"fa_spark_xml_{staging_tag(sf_dir, 'events')}"
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
@@ -989,7 +989,7 @@ def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_orc_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"fa_spark_orc_{staging_tag(sf_dir, 'events')}"
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(
@@ -1037,7 +1037,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_evolve_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"fa_spark_evolve_{staging_tag(sf_dir, 'orders')}"
     )
     o = load_table(spark, sf_dir, "orders")
     gen_old = os.path.join(base, "gen=old")

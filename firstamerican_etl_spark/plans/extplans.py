@@ -20,7 +20,7 @@ from firstamerican_etl_spark.functions.stable import (
 )
 
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, staging_tag
 
 
 # ----------------------------------------------------------- as-of join
@@ -597,7 +597,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = staging_tag(sf_dir, "orders", "lineitem")
     base = os.path.join(tempfile.gettempdir(), f"fa_spark_bucketed_{tag}")
     ob, lb = f"orders_bk_{tag}", f"lineitem_bk_{tag}"
     if not spark.catalog.tableExists(ob):

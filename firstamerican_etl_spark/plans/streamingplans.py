@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, staging_tag
 from firstamerican_etl_spark.streaming.stateful import sessionize_with_state
 from firstamerican_etl_spark.streaming.windows import read_events_stream
 
@@ -37,7 +37,7 @@ def _stage_events(
     could drop rows (stream-stream joins)."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"fa_spark_stream_{tag}_{abs(hash(sf_dir)) % 10**8}",
+        f"fa_spark_stream_{tag}_{staging_tag(sf_dir, 'events')}",
     )
     landing = os.path.join(base, "landing")
     if not os.path.exists(os.path.join(landing, "_SUCCESS")):
@@ -419,6 +419,7 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     cross-batch survivor is the global min doc_id — same as within-
     batch), which is what makes an exact SQL oracle possible for an
     incremental streaming pipeline."""
+    import atexit
     import glob
     import shutil
     import time as _time
@@ -428,7 +429,10 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty corpus: nothing to ingest, keep the schema
+        return docs.select("doc_id", "lang", "source").limit(0)
+    mid = max_id // 2
     landing = tempfile.mkdtemp(prefix="fa_stream_ingest_land_")
     now = _time.time()
     for tag, cond, offset in (
@@ -464,18 +468,26 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         ).parquet(state)
 
     ckpt = tempfile.mkdtemp(prefix="fa_stream_ingest_ckpt_")
-    stream = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string"
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
-    q = (
-        stream.writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # landing/ckpt are fully consumed once the availableNow drain
+        # finishes; the state table backs the returned lazy frame, so
+        # it lives until process exit.
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        atexit.register(shutil.rmtree, state, ignore_errors=True)
     return spark.read.parquet(state).select("doc_id", "lang", "source")

@@ -128,6 +128,34 @@ def output_exists(path: str) -> bool:
     return p.is_dir() and (p / "_SUCCESS").exists()
 
 
+def staging_tag(sf_dir: str, *tables: str) -> str:
+    """Stable, content-tracking key for reuse-cached staging dirs and
+    bucketed-table names.
+
+    Python's builtin ``hash()`` is the wrong tool twice over: per-process
+    salting (default) means a restart never finds the previous staging
+    dir (orphan accumulation), while a pinned PYTHONHASHSEED makes the
+    name stable but CONTENT-BLIND — regenerated source data would
+    silently reuse stale staged copies and diverge from an oracle
+    reading the fresh source. This derives the key with hashlib (salt-
+    free) over the resolved path plus each named source table's
+    (mtime_ns, size), so the key survives restarts AND rolls over the
+    moment a source is regenerated; at most one staged copy exists per
+    source generation."""
+    import hashlib
+
+    root = os.path.abspath(sf_dir)
+    h = hashlib.sha1(root.encode())
+    for t in tables:
+        p = os.path.join(root, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"|{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            h.update(f"|{t}:missing".encode())
+    return h.hexdigest()[:12]
+
+
 def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
     """Driver-side ``.txt.zip`` extraction (fa-etl.py:53-55).
 
