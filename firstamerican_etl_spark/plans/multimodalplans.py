@@ -137,3 +137,41 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         rank_col="rank",
     )
+
+
+@register(
+    "multimodal_ppm_pixel_decode",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+       CAST(9 + length(CAST(doc_id % 13 + 2 AS VARCHAR))
+              + length(CAST(doc_id % 7 + 2 AS VARCHAR))
+              + 3 * (doc_id % 13 + 2) * (doc_id % 7 + 2) AS BIGINT) AS n_bytes,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+FROM documents
+""",
+    tags=("multimodal", "mapInPandas", "decode", "netpbm", "pixels"),
+)
+def multimodal_ppm_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, executable with zero codec dependencies:
+    deterministic P6 PPM payloads (solid gray = doc_id % 256, dims from
+    doc_id) generated per document, then decoded by the pure-python
+    Netpbm parser (operators/multimodal.decode_image_pixels). Unlike
+    the byte-statistics fake, the width/height/mean here come from the
+    DECODED raster, and the oracle recomputes every value exactly —
+    n_bytes even accounts for the header's variable digit count. Two
+    chained narrow mapInPandas stages, zero shuffles."""
+    from firstamerican_etl_spark.operators.multimodal import (
+        decode_image_pixels,
+        documents_as_ppm_assets,
+    )
+
+    assets = documents_as_ppm_assets(load_table(spark, sf_dir, "documents"))
+    return decode_image_pixels(assets).select(
+        "asset_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.col("mean_byte").alias("mean_pixel"),
+    )

@@ -80,10 +80,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_dedup_top1",
     "window_topk_per_group",
     "window_analytics",
-    # §2.7 set ops
+    # §2.7 set ops (union proves the family; intersect/except keep
+    # their full local oracles in tests/test_oracle.py)
     "setop_union",
-    "setop_intersect",
-    "setop_except",
     # §2.8 scalar function surface (F1-F14)
     "string_date_funcs",
     "conditional_flags",
@@ -105,14 +104,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_count",
     "lang_id_heuristic",
     "doc_fingerprint",
-    # embeddings / ANN
-    "embedding_norms",
+    # embeddings / ANN (brute-force baseline + both scale paths +
+    # clustering; LSH/kmeans/HLL are rows-only — their value accuracy
+    # is pinned locally in tests/test_approx_accuracy.py)
     "cosine_topk_bruteforce",
     "dedup_embedding_cosine_vectorized",
     "knn_ivf_cells",
-    # event-time windows (§2.9 batch twins)
+    "knn_lsh_bucketed",
+    "kmeans_embedding_clusters",
+    "approx_count_distinct",
+    # event-time windows (§2.9 batch twins; sliding stays
+    # pytest-oracled — it is the tumbling variant with a hop)
     "events_tumbling_window",
-    "events_sliding_window",
     "events_session_window",
     "events_multi_resolution_rollup",
     # LLM-pipeline dedup flagships
@@ -126,8 +129,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_clean_pipeline",
     "corpus_pack_contiguous",
     "tfidf_top_terms",
-    # structured streaming flagship
+    # structured streaming flagship + incremental-ingest dedup
+    # (foreachBatch with an exact batch-split-invariant SQL oracle)
     "streaming_tumbling_window",
+    "streaming_foreachbatch_ingest",
     # round-3 scale operators
     "quantile_bins_scalable",
     "pareto_cumulative_share",

@@ -11,7 +11,12 @@ from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW, load_all
 
 # Rows-only entries deliberately inside the window: non-SQL-expressible
 # semantics the judge should still see exercised by the driver.
-_ROWS_ONLY_OK = {"dedup_minhash_lsh"}
+_ROWS_ONLY_OK = {
+    "dedup_minhash_lsh",
+    "knn_lsh_bucketed",  # LSH buckets: value pins in test_scale.py
+    "kmeans_embedding_clusters",  # Lloyd assignments: seeded double-run pins
+    "approx_count_distinct",  # HLL estimates: accuracy pins in test_approx_accuracy.py
+}
 
 
 def test_window_is_exactly_50_unique_names():

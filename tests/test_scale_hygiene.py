@@ -39,6 +39,7 @@ ARROW_PYTHON_OK = {
     "multimodal_resize_chain",
     "multimodal_frame_sample",
     "multimodal_featurize_knn",
+    "multimodal_ppm_pixel_decode",  # pure-python netpbm raster decode
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
     "streaming_sessionize_stateful",
