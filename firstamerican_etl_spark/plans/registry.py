@@ -164,6 +164,7 @@ def load_all() -> dict[str, QuerySpec]:
         arrayplans,
         statsplans,
         corpusplans,
+        retrievalplans,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

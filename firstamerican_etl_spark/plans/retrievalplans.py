@@ -1,0 +1,258 @@
+"""Retrieval & corpus-statistics operators: BM25 ranked retrieval,
+inverted-index posting lists, exact per-label embedding centroids, and
+a chi-square independence audit over the (lang, source) mix.
+
+These extend the LLM-data-pipeline surface past dedup/ANN into the
+*retrieval* half of a training-data stack — the pieces a team needs to
+mine a 100 TB corpus for query-relevant subsets (BM25), to build the
+term → documents index that powers decontamination lookups at scale
+(posting lists), and to monitor corpus composition drift (centroids,
+chi-square).
+
+Scale notes baked into each plan:
+- BM25 never materializes a full doc×term matrix: the query-term set
+  filters the exploded term table FIRST (predicate on the generated
+  column, so the explode's output is pruned immediately), the
+  document-frequency side is |query| rows broadcast, and doc length
+  comes from one aggregate over the same exploded scan. Two shuffles
+  total (doclen agg + per-doc score agg), each keyed on doc_id.
+- Posting lists cap each list with slice() AFTER sort_array, so the
+  aggregate state per term is bounded by the distinct-doc count per
+  term, and the emitted row stays index-entry sized. At 100 TB the
+  same plan shape holds with the cap as the posting-block length.
+- Centroids use the quantized-int64 fast_avg path per (label, dim):
+  exact under any partitioning, whole-stage-codegen throughout, and
+  the shuffle key (label, dim) is perfectly uniform by construction.
+- Chi-square is three tiny aggregates (cells, row totals, column
+  totals) joined back — contingency tables are KB-sized at any corpus
+  scale, so every join side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.functions.stable import (
+    fast_avg,
+    fast_sum,
+    sql_fast_avg,
+    sql_fast_sum,
+    stable_round,
+)
+from firstamerican_etl_spark.plans.registry import register
+from firstamerican_etl_spark.sources.io import load_table
+
+# Query-term set for the BM25 demo query (synthetic-vocabulary terms
+# present at every SF). Literal in both the plan and the oracle.
+_BM25_TERMS = ("vector", "hash", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words
+  WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM words
+  WHERE term IN ('vector', 'hash', 'join') GROUP BY 1
+)
+SELECT doc_id,
+       {sql_fast_sum(
+           "floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) / 1000000"
+           f" * tf * {_BM25_K1 + 1.0}"
+           f" / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))",
+           round_to=4,
+       )} AS bm25
+FROM tf
+JOIN dfreq USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+    tags=("retrieval", "bm25", "text"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 documents for a fixed
+    query-term set. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    Lucene/Robertson-Sparck-Jones form, always positive), stably
+    rounded to 6 decimals on BOTH sides so a last-ulp ln() divergence
+    between JVM and C libm can never cross a quantization boundary;
+    per-term scores are quantized-int64 summed per doc (``fast_sum``)
+    so the result is bit-stable under any partitioning, and the top-k
+    sort tie-breaks on doc_id. The query-term filter lands directly on
+    the exploded term column, so the big scan only carries matching
+    terms into the score aggregate; dfreq and the (n_docs, avgdl)
+    stats row are metadata-sized and broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qwords = words.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qwords.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qwords.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = stable_round(
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(fast_sum(score, round_to=4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       count(*) AS df,
+       list(doc_id ORDER BY doc_id)[1:10] AS postings_head
+FROM words
+GROUP BY term
+ORDER BY term
+""",
+    tags=("retrieval", "index", "text"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (document frequency, first posting block) inverted
+    index. The DISTINCT collapses repeated in-doc occurrences before
+    the per-term aggregate (one shuffle on term), collect_set bounds
+    state by per-term distinct docs, and slice(sort_array(...), 1, 10)
+    emits a fixed-width posting head — the index-entry layout a
+    decontamination or retrieval service would store per block. The
+    whole plan is two hash aggregates; no window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    ).distinct()
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
+                "postings_head"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle=f"""
+WITH dims AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT label, dim, {sql_fast_avg("v", round_to=4, scale=8)} AS centroid_v
+FROM dims
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+    tags=("embeddings", "stats"),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label centroid of the embedding column, one row per
+    (label, dimension). posexplode unrolls the vectors (DuckDB's
+    parallel-unnest zip is the oracle twin); the per-(label, dim) mean
+    runs on the quantized-int64 ``fast_avg`` path at scale 8 (floats
+    in [-1, 1]: no overflow until ~10^10 rows per cell), so the value
+    is independent of partitioning and engine. This is the monitoring
+    twin of the KMeans quantizer: exact class centroids for drift
+    dashboards and seed initialization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    return (
+        dims.groupBy("label", "dim")
+        .agg(fast_avg(F.col("v"), round_to=4, scale=8).alias("centroid_v"))
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "chi2_lang_source",
+    oracle=f"""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+  FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+ct AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS total FROM obs)
+SELECT
+  {sql_fast_sum(
+      "(o - rl * cs / total) * (o - rl * cs / total) / (rl * cs / total)",
+      round_to=4,
+  )} AS chi2,
+  count(*) AS observed_cells
+FROM obs
+JOIN rt USING (lang)
+JOIN ct USING (source)
+CROSS JOIN n
+""",
+    tags=("stats", "quality"),
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of (lang, source)
+    — the corpus-composition drift audit: a spike means one source's
+    language mix shifted. Three aggregates over the contingency table
+    (cells, row totals, column totals); every side after the first
+    groupBy is contingency-table sized, so the joins broadcast and the
+    final sum is a handful of rows on the fast quantized path."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("total"))
+    expected = F.col("rl") * F.col("cs") / F.col("total")
+    contrib = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            fast_sum(contrib, round_to=4).alias("chi2"),
+            F.count(F.lit(1)).alias("observed_cells"),
+        )
+    )

@@ -231,14 +231,19 @@ def test_doc_chunk_windows_no_shuffle(spark, sf_dir):
 
 def test_corpus_pack_no_global_window(spark, sf_dir):
     """Sequence packing must use the distributed prefix-sum recipe:
-    a range exchange and NO WindowExec anywhere (the old plan ran the
-    running token offset through one task via an unpartitioned
-    window)."""
+    NO WindowExec anywhere (the old plan ran the running token offset
+    through one task via an unpartitioned window), and shard
+    assignment must be the deterministic literal-cutpoint expression
+    (`_pid` CASE comparison shuffled by hash) — not a sampled
+    repartitionByRange, whose bounds can silently re-sample between
+    the totals pass and the cumsum pass (the r03 driver flake)."""
     df = REGISTRY["corpus_pack_contiguous"].spark(spark, sf_dir)
     df.collect()
     plan = _plan(df)
     assert "Window" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "CASE WHEN" in plan, plan
 
 
 def test_pareto_takes_topn_before_window(spark, sf_dir):
