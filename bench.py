@@ -62,6 +62,10 @@ HEADLINE = [
     "quantile_bins_scalable",
     "pq_adc_topk",
     "contamination_ngram_overlap",
+    # round 4: retrieval family
+    "bm25_topk_retrieval",
+    "hybrid_rrf_fusion",
+    "inverted_index_postings",
 ]
 
 

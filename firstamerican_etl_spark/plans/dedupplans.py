@@ -14,7 +14,7 @@ LSH at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.plans.registry import register
@@ -114,6 +114,11 @@ def ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M64 = 1 << 64
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
 
+#: LSH buckets larger than this expand as a STAR (member ↔ min-id hub,
+#: O(bucket) candidate rows) instead of a full clique (O(bucket²)) —
+#: the mega-bucket guard for degenerate signatures at corpus scale.
+_CLIQUE_CAP = 64
+
 
 def _perm_consts(i: int) -> tuple[int, int]:
     a = (((2 * i + 1) * 0x9E3779B97F4A7C15) % _M64) % _P31 or 1
@@ -211,7 +216,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band hash become a candidate pair. The only shuffle is the
     groupBy on (band_id, band_hash) — O(n·bands) rows, never O(n²).
     Returns candidate pairs (doc_a < doc_b) with the number of
-    colliding bands. Exact-dup texts collide on all 8 bands.
+    colliding bands. Exact-dup texts collide on all 8 bands. Buckets
+    past ``_CLIQUE_CAP`` expand as a star around the min doc_id
+    instead of a clique (the mega-bucket guard — see the comment at
+    the expansion site).
     """
     d = load_table(spark, sf_dir, "documents")
     with_sig = minhash_signatures(d)  # doc_id, mh0..mh31
@@ -236,26 +244,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join-free candidate generation: bucket docs per (band, hash) and
     # expand intra-bucket pairs with an indexed transform. One shuffle,
     # and the signature pipeline runs ONCE (a self-join would recompute
-    # it for each side). Bucket sizes are near-dup cluster sizes —
-    # small — so the quadratic expansion is bounded per bucket.
+    # it for each side). Typical bucket sizes are near-dup cluster
+    # sizes — small — so the quadratic clique expansion is bounded per
+    # bucket; for the degenerate mega-bucket (e.g. millions of empty /
+    # boilerplate docs sharing one signature — guaranteed to appear
+    # somewhere in a 100 TB corpus) the clique is O(bucket²) and would
+    # OOM a single task, so buckets past _CLIQUE_CAP switch to a STAR
+    # expansion: every member pairs with the bucket's min doc_id only
+    # — O(bucket) rows, and downstream connected-components clustering
+    # (dedup_cluster_components) still groups the whole bucket, so no
+    # duplicate escapes; only the per-pair n_bands tally coarsens.
     buckets = (
         bands.groupBy("band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
+    clique = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
                 F.slice(
                     F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
                 ),
-                lambda b: F.struct(
-                    F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
-                ),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
             ),
         )
     )
+    star = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids") - 1),
+        lambda b: F.struct(
+            F.element_at(F.col("ids"), 1).alias("doc_a"), b.alias("doc_b")
+        ),
+    )
+    pair_structs = F.when(F.size("ids") <= _CLIQUE_CAP, clique).otherwise(star)
     pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -445,8 +466,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only shuffle is the groupBy on (band_id, band16);
     Hamming verification is bit arithmetic on two longs — no text
-    revisited. This completes the SimHash pipeline: fingerprint
-    (dedup_simhash) -> blocked candidate generation -> exact verify."""
+    revisited. Buckets past ``_CLIQUE_CAP`` expand as a star around
+    the min-doc_id member (same mega-bucket guard as the LSH path: a
+    16-bit band over a boilerplate-heavy corpus WILL concentrate, and
+    O(bucket²) in one task is the failure; the star keeps every member
+    reachable from the hub for downstream clustering). This completes
+    the SimHash pipeline: fingerprint (dedup_simhash) -> blocked
+    candidate generation -> exact verify."""
     sims = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
     bands = sims.select(
         "doc_id",
@@ -465,28 +491,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bd"),
     ).select("doc_id", "simhash", "bd.band_id", "bd.band16")
+    # array_sort on (doc_id, simhash) structs orders members by doc_id,
+    # so clique emission is naturally doc_a < doc_b and the star hub is
+    # element 1 — both deterministic under any partitioning.
     buckets = (
         bands.groupBy("band_id", "band16")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pair_structs = F.flatten(
+
+    def _pair(a: Column, b: Column) -> Column:
+        return F.struct(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+        )
+
+    clique = F.flatten(
         F.transform(
             F.col("ds"),
             lambda a, i: F.transform(
                 F.slice(
                     F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))
                 ),
-                lambda b: F.struct(
-                    F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
-                    F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
-                    F.bit_count(
-                        a["simhash"].bitwiseXOR(b["simhash"])
-                    ).alias("hamming"),
-                ),
+                lambda b: _pair(a, b),
             ),
         )
     )
+    star = F.transform(
+        F.slice(F.col("ds"), 2, F.size("ds") - 1),
+        lambda b: _pair(F.element_at(F.col("ds"), 1), b),
+    )
+    pair_structs = F.when(F.size("ds") <= _CLIQUE_CAP, clique).otherwise(star)
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")

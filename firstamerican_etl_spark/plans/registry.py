@@ -67,19 +67,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stays pytest-oracled outside the window)
     "scan_filter_project",
     "sort_limit_topk",
-    # §2 aggregation family
+    # §2 aggregation family (rollup/cube/grouping-sets keep full local
+    # oracles in tests/test_oracle.py)
     "q1_pricing_summary",
     "agg_groupby_full",
     "having_filter",
-    "rollup_agg",
     # §2 join family (J1-J6)
     "dim_join_broadcast",
     "left_join_null_filter",
     "asymmetric_key_join",
-    # §2 window family (W1/W2 + analytics)
+    # §2 window family (W1/W2; the lead/lag/running analytics row
+    # keeps its full local oracle in tests/test_oracle.py)
     "window_dedup_top1",
     "window_topk_per_group",
-    "window_analytics",
     # §2.7 set ops (union proves the family; intersect/except keep
     # their full local oracles in tests/test_oracle.py)
     "setop_union",
@@ -99,11 +99,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_ranked_deed",
     "fa_valhist_cascade",
     "fa_flagship_merged",
-    # text analysis
+    # text analysis + retrieval (BM25 is the lexical-retrieval
+    # flagship of the round-4 retrieval family)
     "text_quality",
     "token_count",
     "lang_id_heuristic",
     "doc_fingerprint",
+    "bm25_topk_retrieval",
     # embeddings / ANN (brute-force baseline + both scale paths +
     # clustering; LSH/kmeans/HLL are rows-only — their value accuracy
     # is pinned locally in tests/test_approx_accuracy.py)
@@ -113,6 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_lsh_bucketed",
     "kmeans_embedding_clusters",
     "approx_count_distinct",
+    "embedding_centroid_per_label",
     # event-time windows (§2.9 batch twins; sliding stays
     # pytest-oracled — it is the tumbling variant with a hop)
     "events_tumbling_window",

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.functions.stable import (
     fast_avg,
@@ -49,10 +50,10 @@ _BM25_TERMS = ("vector", "hash", "join")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-@register(
-    "bm25_topk_retrieval",
-    oracle=f"""
+# Shared oracle core: per-doc BM25 scores for the fixed query terms.
+# bm25_topk_retrieval ranks it directly; hybrid_rrf_fusion reuses it
+# as the lexical leg so the two oracles can never drift apart.
+_BM25_SCORES_SQL = f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -78,6 +79,13 @@ JOIN dfreq USING (term)
 JOIN doclen USING (doc_id)
 CROSS JOIN stats
 GROUP BY doc_id
+"""
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=f"""
+{_BM25_SCORES_SQL}
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """,
@@ -95,6 +103,17 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded term column, so the big scan only carries matching
     terms into the score aggregate; dfreq and the (n_docs, avgdl)
     stats row are metadata-sized and broadcast."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 scores for the fixed query terms — the Spark twin
+    of ``_BM25_SCORES_SQL`` (kept side-by-side so plan and oracle share
+    one definition of the score)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
@@ -127,8 +146,6 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(fast_sum(score, round_to=4).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
     )
 
 
@@ -255,4 +272,93 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             fast_sum(contrib, round_to=4).alias("chi2"),
             F.count(F.lit(1)).alias("observed_cells"),
         )
+    )
+
+
+_RRF_K = 60
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH bm25_scores AS ({_BM25_SCORES_SQL}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM bm25_scores
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id AS doc_id,
+         floor(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               * 10000 + 0.5) / 10000 AS cos_sim
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+  CROSS JOIN q
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+  FROM sims
+  ORDER BY cos_sim DESC, doc_id LIMIT 20
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       floor((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+              + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5)
+           / 1000000 AS rrf,
+       lex_rank,
+       sem_rank
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 15
+""",
+    tags=("retrieval", "hybrid", "vector", "text"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (k=60, the Cormack/Clarke constant): the BM25 top-20 (shared
+    ``_bm25_scores`` leg) fused with the cosine top-20 against a fixed
+    query embedding (vec_id 0), score = Σ 1/(k + rank) over the legs a
+    doc appears in. Both legs end in a top-k, so the fusion join is
+    over two ≤20-row frames — whatever the corpus size, the fusion
+    stage is constant-sized and broadcastable; the heavy lifting stays
+    in the legs, each of which is independently scale-shaped (BM25:
+    pruned explode + two aggs; cosine: broadcast query, one map over
+    the corpus, TakeOrdered top-k). Ranks are over stably-ROUNDED
+    scores with id tie-breaks, so rank assignment is engine-exact."""
+    from firstamerican_etl_spark.plans.vectorplans import _as_double, cosine
+
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    sims = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        stable_round(
+            cosine(_as_double(F.col("embedding")), F.col("qv")), 4
+        ).alias("cos_sim"),
+    )
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    sem = (
+        sims.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+    )
+    leg = lambda r: F.coalesce(1.0 / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0))  # noqa: E731
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            stable_round(leg("lex_rank") + leg("sem_rank"), 6).alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
     )

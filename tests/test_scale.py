@@ -389,3 +389,36 @@ def test_minhash_lsh_perfect_recall_on_exact_dups(spark, sf_dir):
 
     for (a, b) in pairs:
         assert shingles(docs[a]) & shingles(docs[b]), (a, b)
+
+
+def test_minhash_lsh_mega_bucket_star_expansion(spark, tmp_path):
+    """The mega-bucket guard: a bucket larger than _CLIQUE_CAP must
+    expand as a star around the min doc_id (O(bucket) candidate rows,
+    every member still connected to the cluster) instead of the full
+    O(bucket²) clique. 80 identical docs → every band bucket holds all
+    80 → exactly 79 star pairs, each colliding on all 8 bands, hub =
+    min doc_id."""
+    import pandas as pd
+
+    from firstamerican_etl_spark.plans.dedupplans import _CLIQUE_CAP
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    n = 80
+    assert n > _CLIQUE_CAP
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(n)),
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [46] * n,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = (
+        load_all()["dedup_minhash_lsh"].spark(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == n - 1, f"expected star (n-1 pairs), got {len(rows)}"
+    assert all(r["doc_a"] == 0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, n))
+    assert all(r["n_bands"] == 8 for r in rows)

@@ -51,9 +51,12 @@ evaluate scan-side — one pass over the corpus, not three.""",
 into an equi-join over distinct names; Levenshtein evaluates post-join on the
 (small) within-block candidate set.""",
     "corpus_pack_contiguous": """Sequence packing WITHOUT the single-task global window: the running token
-offset comes from the distributed prefix-sum recipe (range exchange + per-shard
-Arrow cumsum + broadcast base offsets) — look for RangePartitioning and NO
-WindowExec in the plan; bin aggregation is an ordinary hash aggregate.""",
+offset comes from the distributed prefix-sum recipe — tokenized docs staged to
+temp parquet ONCE, shard ids assigned by a literal-cutpoint CASE chain (pure
+function of row values: the totals pass and the cumsum pass can never disagree),
+per-shard Arrow cumsum + driver prefix-summed base offsets. Look for the CASE
+comparison feeding hashpartitioning(_pid) and NO WindowExec anywhere; bin
+aggregation is an ordinary hash aggregate.""",
     "pareto_cumulative_share": """Top-N-first Pareto: TakeOrderedAndProject ships each shard's local top-100
 (never the full per-customer aggregate through one task); the grand total is a
 one-row aggregate broadcast onto the survivors; the ranking/running-sum window
@@ -73,6 +76,17 @@ keyed aggregate.""",
 look for TWO HashAggregate+Exchange pairs — so a hot key spreads over 16
 reducers before the ≤16-partials-per-key merge. Result-identical to the plain
 group-by (that is the registered oracle).""",
+    "bm25_topk_retrieval": """BM25 ranked retrieval: the query-term IN-filter evaluates directly on the
+exploded term column (Generate → Filter before anything widens), so only
+matching terms reach the score aggregate; the |query|-row document-frequency
+side and the one-row (n_docs, avgdl) stats both come back via
+BroadcastExchange; the final top-k is TakeOrderedAndProject — per-partition
+top-20 merged at the driver, never a global sort.""",
+    "hybrid_rrf_fusion": """Reciprocal-rank fusion of the BM25 leg and a cosine leg: each leg ends in
+TakeOrderedAndProject (local top-k, no global sort), so the fusion full-outer
+join runs over two ≤20-row frames. The cosine leg broadcasts the single query
+vector and streams the corpus through one map stage. The rank windows sit
+ABOVE the LIMITs — bounded input, deliberate.""",
 }
 
 HEADER = [
