@@ -62,10 +62,11 @@ HEADLINE = [
     "quantile_bins_scalable",
     "pq_adc_topk",
     "contamination_ngram_overlap",
-    # round 4: retrieval family
+    # round 4: retrieval + geo families
     "bm25_topk_retrieval",
     "hybrid_rrf_fusion",
     "inverted_index_postings",
+    "geo_knn_grid_bucketed",
 ]
 
 

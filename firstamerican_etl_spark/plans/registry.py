@@ -116,17 +116,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_embedding_clusters",
     "approx_count_distinct",
     "embedding_centroid_per_label",
-    # event-time windows (§2.9 batch twins; sliding stays
-    # pytest-oracled — it is the tumbling variant with a hop)
+    # event-time windows (§2.9 batch twins; sliding and the
+    # multi-resolution rollup stay pytest-oracled — hop/grouping-sets
+    # variants of the same shapes)
     "events_tumbling_window",
     "events_session_window",
-    "events_multi_resolution_rollup",
+    # watermarked stream-stream attribution join (exact SQL oracle)
+    "streaming_interval_join",
     # LLM-pipeline dedup flagships
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
-    # deterministic sampling
+    # deterministic sampling (fixed-k-per-group keeps its full local
+    # oracle in tests/test_oracle.py)
     "sample_hash_deterministic",
-    "sample_fixed_k_per_group",
+    # round-4 geo family: the grid-bucketed scale path proves the
+    # whole family's candidate-pruning design in the driver
+    "geo_knn_grid_bucketed",
     # multimodal + corpus prep + TF-IDF
     "multimodal_decode_stats",
     "corpus_clean_pipeline",
@@ -168,6 +173,7 @@ def load_all() -> dict[str, QuerySpec]:
         statsplans,
         corpusplans,
         retrievalplans,
+        geoplans,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

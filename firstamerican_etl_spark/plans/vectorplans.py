@@ -355,6 +355,14 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         array_to_vector(_as_double(F.col("embedding"))).alias("features"),
     )
+    if feats.limit(1).count() == 0:
+        # spark.ml KMeans.fit throws on an empty dataset; an empty
+        # corpus has no clusters — return the empty report with the
+        # stable output schema (same recipe as the quantile/codebook
+        # collect guards).
+        return spark.createDataFrame(
+            [], "cluster_id int, n_vecs bigint, avg_cos_to_centroid double"
+        )
     model = KMeans(k=8, seed=1, maxIter=10, tol=1e-6).fit(feats)
     pred = model.transform(feats).select(
         "vec_id", F.col("prediction").alias("cluster_id"),

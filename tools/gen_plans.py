@@ -87,6 +87,11 @@ TakeOrderedAndProject (local top-k, no global sort), so the fusion full-outer
 join runs over two ≤20-row frames. The cosine leg broadcasts the single query
 vector and streams the corpus through one map stage. The rank windows sit
 ABOVE the LIMITs — bounded input, deliberate.""",
+    "geo_knn_grid_bucketed": """Grid-bucketed geo-KNN (the scale path): the 27 probe rows (query points ×
+3×3 cell neighborhood) come back via BroadcastHashJoin on (cell_y, cell_x), so
+the point set streams through ONE map-side probe — candidate cost follows cell
+occupancy, never the point count; haversine evaluates post-join on candidates
+only, and the per-query top-5 is a bounded window over the tiny candidate set.""",
 }
 
 HEADER = [
