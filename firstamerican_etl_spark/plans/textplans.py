@@ -309,3 +309,71 @@ def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or http://site' || doc_id ||
+         '.org/page today' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}'))
+         AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g')) AS redacted_md5
+FROM seeded
+ORDER BY doc_id
+""",
+    tags=("text", "pii", "redaction"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — email and URL redaction with placeholder
+    substitution, the pre-training privacy pass. The contract tables
+    carry no PII, so each doc is SEEDED with a deterministic fake
+    email + URL derived from doc_id (identically on both sides) and
+    the redaction is verified end-to-end by match counts plus md5 of
+    the fully redacted text — a full value check that the substitution
+    is byte-identical across engines. Patterns stay in the
+    Java-regex ∩ RE2 common dialect (character classes, bounded
+    quantifiers — no backrefs/lookarounds), which is also the subset
+    that compiles in every distributed engine. Pure map stage, zero
+    shuffles, codegen'd end-to-end — at 100 TB this runs at scan
+    speed. Emails redact FIRST so the URL count can never double-count
+    an address's domain."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/page today"),
+        ).alias("t"),
+    )
+    emails_gone = F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>")
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(emails_gone, F.lit(_URL_RE), 0)).alias(
+            "n_urls"
+        ),
+        F.md5(
+            F.regexp_replace(emails_gone, _URL_RE, "<URL>").cast("binary")
+        ).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -283,3 +283,18 @@ def test_spine_has_no_unpartitioned_window(spark, sf_dir):
             assert "priority" in spec[:80], f"{name}: unpartitioned window spec: {spec[:120]}"
         # the broadcast of the one-row bounds frame is present
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_geo_grid_probe_broadcasts(spark, sf_dir):
+    """The grid-KNN candidate join must broadcast the (constant-sized)
+    probe side — BroadcastHashJoin on the cell keys, never a shuffle
+    of the point set by cell and never a cartesian fallback. The
+    per-query top-5 must use the rank-limit pushdown
+    (WindowGroupLimit) so each partition pre-prunes before the
+    exchange."""
+    df = REGISTRY["geo_knn_grid_bucketed"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
