@@ -135,6 +135,17 @@ def main() -> None:
             failures[bench_name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {bench_name}: FAILED {failures[bench_name]}", file=sys.stderr)
 
+    # The LLM-data twin of the FA pipeline: raw documents → normalize →
+    # exact dedup → MinHash+LSH near-dup clustering → quality gate →
+    # PII redaction → prefix-sum sequence packing → hash-range splits →
+    # partitioned parquet, end-to-end wall time including the write.
+    try:
+        timings["corpus_build_e2e"] = round(_corpus_build_e2e(spark, sf_dir), 3)
+        print(f"# corpus_build_e2e: {timings['corpus_build_e2e']:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        failures["corpus_build_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# corpus_build_e2e: FAILED {failures['corpus_build_e2e']}", file=sys.stderr)
+
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
     # per-query timings remain for diagnosis.
@@ -151,6 +162,26 @@ def main() -> None:
         out["failures"] = failures
     print(json.dumps(out))
     spark.stop()
+
+
+def _corpus_build_e2e(spark, sf_dir: str) -> float:
+    """Time the full corpus build over the SF's documents table into a
+    fresh temp dir (stats collection + partitioned write included)."""
+    import shutil
+    import tempfile
+
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus
+    from firstamerican_etl_spark.sources.io import load_table
+
+    out = tempfile.mkdtemp(prefix="corpus_build_bench_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        stats = build_corpus(spark, docs, out)
+        return stats.seconds
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _fa_pipeline_e2e(spark, sf: float, **pipeline_kwargs) -> float:

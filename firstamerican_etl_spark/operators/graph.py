@@ -1,0 +1,66 @@
+"""Graph operators: connected components over a candidate-pair edge
+set — the clustering step every near-dup pipeline needs between
+pair-finding and survivor selection.
+
+Min-label propagation as a driver loop of join+min rounds, each round
+``localCheckpoint``-ed so the plan stays O(1) deep (without it the
+lineage doubles per round and Catalyst re-optimizes an exponentially
+growing tree). Iterations needed = graph diameter; near-dup clusters
+are small and dense, so convergence is 2-4 rounds in practice. At web
+scale the same loop with alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond")
+bounds rounds at O(log n) — the loop body below is the primitive both
+variants share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with the MIN node
+    id of its component. Returns (node, label); nodes that appear in
+    no pair are absent (callers treat them as their own singleton
+    component). The pair edge set is localCheckpoint-ed eagerly so the
+    (possibly expensive) pair-mining plan runs exactly once, not once
+    per propagation round."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

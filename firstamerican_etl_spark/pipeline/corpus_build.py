@@ -1,0 +1,155 @@
+"""End-to-end training-corpus build — the LLM-data twin of the FA ETL
+pipeline (``pipeline/run.py``): raw documents in, training-ready
+splits out, as ONE composed Spark job.
+
+Stages (every step a documented operator elsewhere in the repo — this
+module only composes them):
+
+1. normalize      — whitespace-collapse + lowercase (dedupplans._NORM)
+2. exact dedup    — md5(normalized) fingerprint, keep min doc_id
+3. near dedup     — MinHash+LSH candidate pairs
+                    (dedupplans.minhash_lsh_pairs) → connected
+                    components (operators/graph.py) → keep the min
+                    doc_id of each near-dup cluster
+4. quality gate   — Gopher-style bounds: token count, char length,
+                    alphabetic-token fraction
+5. PII redaction  — email/URL placeholder substitution (same patterns
+                    as the text_redact_pii operator)
+6. sequence pack  — distributed prefix-sum over token counts
+                    (operators/scale.global_running_sum), bin id =
+                    floor(token_offset / budget)
+7. split assign   — deterministic md5 hash-range 90/5/5
+                    train/val/test, reproducible under any
+                    partitioning/retry
+8. write          — parquet partitioned by split (train readers scan
+                    only their split's files)
+
+Scale shape: stages 1-5 and 7 are pure map work over one scan (the
+dedup anti-joins are against fingerprint/label frames that are
+|survivors|-sized); the only heavyweight exchanges are the LSH band
+groupBy, the prefix-sum's single hash-clustered exchange, and the
+final partitioned write. Nothing collects to the driver except the
+prefix-sum's per-shard totals (metadata-sized).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.operators.graph import connected_components
+from firstamerican_etl_spark.operators.scale import global_running_sum
+from firstamerican_etl_spark.plans.dedupplans import _NORM, minhash_lsh_pairs
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@dataclass(frozen=True)
+class CorpusBuildStats:
+    n_raw: int
+    n_after_exact: int
+    n_after_near: int
+    n_after_quality: int
+    n_bins: int
+    n_train: int
+    n_val: int
+    n_test: int
+    seconds: float
+
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    token_budget: int = 256,
+    min_tokens: int = 10,
+    max_chars: int = 5000,
+    min_alpha_frac: float = 0.5,
+) -> CorpusBuildStats:
+    """Run the full build over ``docs`` (doc_id, text, ...) and write
+    train/val/test parquet under ``out_dir`` partitioned by split.
+    Returns per-stage survivor counts (the counts run the lazy plan
+    stage-by-stage; the final write re-uses the composed plan)."""
+    t0 = time.perf_counter()
+    n_raw = docs.count()
+
+    # 1+2: normalize + exact dedup (keep the min doc_id per fingerprint)
+    normed = docs.withColumn("_fp", F.md5(_NORM(F.col("text"))))
+    keep_exact = normed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = normed.join(keep_exact, ["_fp", "doc_id"]).drop("_fp")
+    n_after_exact = exact.count()
+
+    # 3: near-dup clustering on the exact survivors; a doc whose
+    # component label differs from its own id is a redundant near-dup
+    pairs = minhash_lsh_pairs(exact).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    near = exact.join(losers, "doc_id", "left_anti")
+    n_after_near = near.count()
+
+    # 4: quality gate (Gopher-style bounds, all scan-side expressions)
+    toks = F.split(F.col("text"), " ", -1)
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$")))
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    quality = near.filter(
+        (F.size(toks) >= min_tokens)
+        & (F.length("text") <= max_chars)
+        & (alpha_frac >= min_alpha_frac)
+    )
+    n_after_quality = quality.count()
+
+    # 5: PII redaction (placeholder substitution, pure map)
+    redacted = quality.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+    )
+
+    # 6: sequence packing via the distributed prefix sum
+    with_tok = redacted.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
+    packed = global_running_sum(
+        with_tok, "doc_id", "n_tokens", out_col="_run_tok"
+    ).withColumn(
+        "bin_id",
+        F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget)),
+    ).drop("_run_tok")
+
+    # 7: deterministic hash-range split (90/5/5 by md5 prefix)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    packed = packed.withColumn(
+        "split",
+        F.when(bucket < "e6", "train")  # 230/256 ≈ 0.898
+        .when(bucket < "f3", "val")  # 13/256 ≈ 0.051
+        .otherwise("test"),
+    )
+
+    # 8: write partitioned by split
+    packed.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_bins = out.select("bin_id").distinct().count()
+    return CorpusBuildStats(
+        n_raw=n_raw,
+        n_after_exact=n_after_exact,
+        n_after_near=n_after_near,
+        n_after_quality=n_after_quality,
+        n_bins=n_bins,
+        n_train=by_split.get("train", 0),
+        n_val=by_split.get("val", 0),
+        n_test=by_split.get("test", 0),
+        seconds=time.perf_counter() - t0,
+    )

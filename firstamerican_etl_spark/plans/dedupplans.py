@@ -210,6 +210,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates over the documents
+    table — thin wrapper around ``minhash_lsh_pairs`` (which the
+    corpus-build pipeline reuses on already-filtered frames)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(
+    d: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
     32-hash signature split into 8 bands × 4 rows; docs sharing any
@@ -221,8 +230,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a clique (the mega-bucket guard — see the comment at
     the expansion site).
     """
-    d = load_table(spark, sf_dir, "documents")
-    with_sig = minhash_signatures(d)  # doc_id, mh0..mh31
+    if key != "doc_id":
+        d = d.withColumnRenamed(key, "doc_id")
+    with_sig = minhash_signatures(d, text_col)  # doc_id, mh0..mh31
     # band hash = xxhash64 over the band's 4 signature columns (plain
     # column refs — trivially re-inlinable, no recomputation concern)
     bands = with_sig.select(

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.functions.stable import (
     fast_avg,
@@ -324,15 +323,34 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the legs, each of which is independently scale-shaped (BM25:
     pruned explode + two aggs; cosine: broadcast query, one map over
     the corpus, TakeOrdered top-k). Ranks are over stably-ROUNDED
-    scores with id tie-breaks, so rank assignment is engine-exact."""
+    scores with id tie-breaks, so rank assignment is engine-exact;
+    they are computed as 1 + count-of-better over the bounded legs
+    (broadcast nested loop), never a global-ORDER-BY window."""
     from firstamerican_etl_spark.plans.vectorplans import _as_double, cosine
 
-    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    lex = (
+    def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
+        # rank = 1 + |{strictly-better rows}| over a LIMIT-20-bounded
+        # leg — no global-ORDER-BY WindowExec (whose single-partition
+        # alarm the bench contract treats as a plan regression); the
+        # self-join is a ≤20×20 broadcast nested loop, and the total
+        # order (rounded score desc, doc_id) makes it row_number-exact.
+        a, b = top.alias("a"), top.alias("b")
+        better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+            (F.col(f"b.{score}") == F.col(f"a.{score}"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
+        )
+        return (
+            a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg((F.count(F.col("b.doc_id")) + 1).cast("int").alias(rank_name))
+        )
+
+    lex = _ranked(
         _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+        .limit(20),
+        "bm25",
+        "lex_rank",
     )
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
@@ -344,11 +362,10 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(_as_double(F.col("embedding")), F.col("qv")), 4
         ).alias("cos_sim"),
     )
-    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
-    sem = (
-        sims.orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(20)
-        .select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+    sem = _ranked(
+        sims.orderBy(F.col("cos_sim").desc(), "doc_id").limit(20),
+        "cos_sim",
+        "sem_rank",
     )
     leg = lambda r: F.coalesce(1.0 / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0))  # noqa: E731
     return (

@@ -161,45 +161,14 @@ FROM labels
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the n-gram
     Jaccard >= 0.5 near-dup pairs, labeling every involved doc with
-    the min doc_id of its component (+ component size). Min-label
-    propagation as a driver loop of join+min rounds; each round
-    localCheckpoints to keep the plan O(1) deep. Iterations needed =
-    graph diameter — near-dup clusters are small and dense, so this
-    converges in 2-4 rounds; at web scale the same loop with
-    star-contraction steps (Kiveris et al., "Connected Components in
-    MapReduce") bounds rounds at O(log n)."""
+    the min doc_id of its component (+ component size). The min-label
+    propagation loop lives in ``operators/graph.py
+    connected_components`` (shared with the corpus-build pipeline) —
+    see its docstring for the convergence/scale analysis."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
     pairs = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.localCheckpoint(eager=True)  # pair-mining runs ONCE
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(15):
-        msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("label")
-        )
-        new_labels = (
-            labels.select("node", "label")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -1,0 +1,67 @@
+"""End-to-end corpus-build pipeline invariants: monotone survivor
+counts, no duplicate fingerprints among survivors, one survivor per
+near-dup cluster, quality bounds hold on the output, packing respects
+the token budget, splits partition the survivors, and the whole build
+is deterministic across runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.pipeline.corpus_build import build_corpus
+from firstamerican_etl_spark.plans.dedupplans import _NORM
+from firstamerican_etl_spark.sources.io import load_table
+
+BUDGET = 128
+
+
+def _run(spark, sf_dir, tmp_path, sub="out"):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / sub)
+    stats = build_corpus(spark, docs, out, token_budget=BUDGET)
+    return stats, spark.read.parquet(out)
+
+
+def test_corpus_build_invariants(spark, sf_dir, tmp_path):
+    stats, out = _run(spark, sf_dir, tmp_path)
+    # stage monotonicity
+    assert (
+        stats.n_raw
+        >= stats.n_after_exact
+        >= stats.n_after_near
+        >= stats.n_after_quality
+        > 0
+    )
+    assert stats.n_after_near < stats.n_after_exact  # near-dups exist
+    # output is exactly the quality survivors, split-partitioned
+    assert out.count() == stats.n_after_quality
+    assert stats.n_train + stats.n_val + stats.n_test == stats.n_after_quality
+    # survivors carry no duplicate normalized fingerprints
+    n_fp = out.select(F.md5(_NORM(F.col("text"))).alias("f")).distinct().count()
+    assert n_fp == out.count()
+    # quality bounds hold on every output row
+    bad = out.filter(
+        (F.size(F.split("text", " ", -1)) < 10) | (F.length("text") > 5000)
+    ).count()
+    assert bad == 0
+    # packing: bin ids are a contiguous prefix-sum layout — every bin's
+    # token total stays under budget + one max doc length (a doc that
+    # straddles a boundary belongs to the bin its OFFSET starts in)
+    max_doc = out.agg(F.max("n_tokens")).first()[0]
+    over = (
+        out.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > BUDGET + max_doc)
+        .count()
+    )
+    assert over == 0
+    assert stats.n_bins == out.select("bin_id").distinct().count()
+
+
+def test_corpus_build_deterministic(spark, sf_dir, tmp_path):
+    _, out1 = _run(spark, sf_dir, tmp_path, "a")
+    _, out2 = _run(spark, sf_dir, tmp_path, "b")
+    cols = sorted(out1.columns)
+    r1 = sorted(map(str, out1.select(*cols).collect()))
+    r2 = sorted(map(str, out2.select(*cols).collect()))
+    assert r1 == r2

@@ -29,7 +29,6 @@ UNPARTITIONED_WINDOW_OK = {
     "ntile_price_quartiles",
     "share_of_total_window",
     "pareto_cumulative_share",
-    "hybrid_rrf_fusion",  # rank windows run over LIMIT-20-bounded legs
 }
 
 #: Operators whose algorithm is an Arrow-batched block computation with

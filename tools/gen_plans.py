@@ -85,8 +85,9 @@ top-20 merged at the driver, never a global sort.""",
     "hybrid_rrf_fusion": """Reciprocal-rank fusion of the BM25 leg and a cosine leg: each leg ends in
 TakeOrderedAndProject (local top-k, no global sort), so the fusion full-outer
 join runs over two ≤20-row frames. The cosine leg broadcasts the single query
-vector and streams the corpus through one map stage. The rank windows sit
-ABOVE the LIMITs — bounded input, deliberate.""",
+vector and streams the corpus through one map stage. Ranks are 1 + count-of-better
+self-joins over the bounded legs (broadcast nested loop) — no global-ORDER-BY
+WindowExec anywhere.""",
     "geo_knn_grid_bucketed": """Grid-bucketed geo-KNN (the scale path): the 27 probe rows (query points ×
 3×3 cell neighborhood) come back via BroadcastHashJoin on (cell_y, cell_x), so
 the point set streams through ONE map-side probe — candidate cost follows cell
