@@ -153,3 +153,49 @@ def build_corpus(
         n_test=by_split.get("test", 0),
         seconds=time.perf_counter() - t0,
     )
+
+
+def main(argv: list[str] | None = None) -> CorpusBuildStats:
+    """CLI twin of ``pipeline/run.py main`` for the corpus build:
+
+        python -m firstamerican_etl_spark.pipeline.corpus_build \\
+            --input_parquet /data/docs.parquet --out_dir /data/corpus \\
+            --token_budget 2048
+
+    Prints the per-stage stats as one JSON line (the same contract as
+    bench.py: machine-readable, one line, stderr free for progress)."""
+    import argparse
+    import dataclasses
+    import json
+    import sys
+
+    from firstamerican_etl_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="training-corpus build")
+    p.add_argument("--input_parquet", required=True,
+                   help="documents parquet (doc_id, text, ... columns)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--token_budget", type=int, default=2048)
+    p.add_argument("--min_tokens", type=int, default=10)
+    p.add_argument("--max_chars", type=int, default=5000)
+    p.add_argument("--min_alpha_frac", type=float, default=0.5)
+    a = p.parse_args(argv)
+
+    spark = get_spark(app_name="corpus_build")
+    docs = spark.read.parquet(a.input_parquet)
+    stats = build_corpus(
+        spark,
+        docs,
+        a.out_dir,
+        token_budget=a.token_budget,
+        min_tokens=a.min_tokens,
+        max_chars=a.max_chars,
+        min_alpha_frac=a.min_alpha_frac,
+    )
+    print(json.dumps(dataclasses.asdict(stats)))
+    print(f"# corpus written to {a.out_dir}", file=sys.stderr)
+    return stats
+
+
+if __name__ == "__main__":
+    main()

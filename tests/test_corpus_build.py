@@ -65,3 +65,28 @@ def test_corpus_build_deterministic(spark, sf_dir, tmp_path):
     r1 = sorted(map(str, out1.select(*cols).collect()))
     r2 = sorted(map(str, out2.select(*cols).collect()))
     assert r1 == r2
+
+
+def test_corpus_build_cli(spark, sf_dir, tmp_path, capsys):
+    """The CLI entry parses args, runs the build in the existing
+    session (getOrCreate), and prints exactly one JSON stats line."""
+    import json
+
+    from firstamerican_etl_spark.pipeline.corpus_build import main
+
+    out = str(tmp_path / "cli_out")
+    stats = main(
+        [
+            "--input_parquet",
+            f"{sf_dir}/documents.parquet",
+            "--out_dir",
+            out,
+            "--token_budget",
+            str(BUDGET),
+        ]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["n_raw"] == stats.n_raw > 0
+    assert payload["n_after_quality"] == stats.n_after_quality
+    assert spark.read.parquet(out).count() == stats.n_after_quality
