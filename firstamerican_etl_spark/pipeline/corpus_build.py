@@ -77,10 +77,20 @@ def build_corpus(
     t0 = time.perf_counter()
     n_raw = docs.count()
 
-    # 1+2: normalize + exact dedup (keep the min doc_id per fingerprint)
+    # 1+2: normalize + exact dedup (keep the min doc_id per fingerprint).
+    # localCheckpoint truncates lineage at each survivor frame: the
+    # per-stage diagnostic counts AND the downstream consumers (LSH
+    # signature mining, the final write) each reuse the materialized
+    # stage instead of re-running normalize/fingerprint/anti-join per
+    # action — without it the write re-executes the whole upstream
+    # three more times.
     normed = docs.withColumn("_fp", F.md5(_NORM(F.col("text"))))
     keep_exact = normed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = normed.join(keep_exact, ["_fp", "doc_id"]).drop("_fp")
+    exact = (
+        normed.join(keep_exact, ["_fp", "doc_id"])
+        .drop("_fp")
+        .localCheckpoint(eager=True)
+    )
     n_after_exact = exact.count()
 
     # 3: near-dup clustering on the exact survivors; a doc whose
@@ -90,7 +100,7 @@ def build_corpus(
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    near = exact.join(losers, "doc_id", "left_anti")
+    near = exact.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_after_near = near.count()
 
     # 4: quality gate (Gopher-style bounds, all scan-side expressions)
