@@ -377,3 +377,67 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(emails_gone, _URL_RE, "<URL>").cast("binary")
         ).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, count(*) AS c FROM words GROUP BY 1),
+n AS (SELECT sum(c) AS total FROM tf),
+lp AS (
+  SELECT term,
+         floor(-ln(c / total) * 1000000 + 0.5) / 1000000 AS nll
+  FROM tf CROSS JOIN n
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       floor(CAST(sum(CAST(floor(nll * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*) * 10000 + 0.5) / 10000 AS avg_nll
+FROM words JOIN lp USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "lm"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram model — the (KenLM-style) perplexity quality filter in
+    its exactly-verifiable form: docs whose avg_nll is far above the
+    corpus norm are gibberish/outliers, far below are boilerplate.
+
+    Scale shape: one aggregate builds the term → count model (the
+    model table is |vocabulary| rows), the corpus total is one row,
+    and the per-token nll comes back onto the exploded term table via
+    BROADCAST join — the corpus is shuffled once, on doc_id, for the
+    final mean. Per-term -ln(p) is stably rounded to 6 decimals on
+    both sides (last-ulp ln() drift can't cross a quantization
+    boundary), summed on the quantized-int64 path, and the mean is
+    rounded to 4 — partitioning- and engine-exact."""
+    from firstamerican_etl_spark.functions.stable import fast_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    tf = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.agg(F.sum("c").alias("total"))
+    lp = tf.crossJoin(F.broadcast(n)).select(
+        "term",
+        stable_round(-F.log(F.col("c") / F.col("total")), 6).alias("nll"),
+    )
+    per_doc = (
+        words.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            fast_sum(F.col("nll"), round_to=6).alias("_sum_nll"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("_sum_nll") / F.col("n_tokens"), 4).alias("avg_nll"),
+    ).orderBy("doc_id")
