@@ -277,6 +277,24 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 
 
+def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
+    """rank = 1 + |{strictly-better rows}| over a LIMIT-bounded frame —
+    no global-ORDER-BY WindowExec (whose single-partition alarm the
+    bench contract treats as a plan regression); the self-join is a
+    bounded broadcast nested loop, and the total order (rounded score
+    desc, doc_id) makes it row_number-exact."""
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+        (F.col(f"b.{score}") == F.col(f"a.{score}"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg((F.count(F.col("b.doc_id")) + 1).cast("int").alias(rank_name))
+    )
+
+
 @register(
     "hybrid_rrf_fusion",
     oracle=f"""
@@ -328,23 +346,6 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast nested loop), never a global-ORDER-BY window."""
     from firstamerican_etl_spark.plans.vectorplans import _as_double, cosine
 
-    def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
-        # rank = 1 + |{strictly-better rows}| over a LIMIT-20-bounded
-        # leg — no global-ORDER-BY WindowExec (whose single-partition
-        # alarm the bench contract treats as a plan regression); the
-        # self-join is a ≤20×20 broadcast nested loop, and the total
-        # order (rounded score desc, doc_id) makes it row_number-exact.
-        a, b = top.alias("a"), top.alias("b")
-        better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
-            (F.col(f"b.{score}") == F.col(f"a.{score}"))
-            & (F.col("b.doc_id") < F.col("a.doc_id"))
-        )
-        return (
-            a.join(F.broadcast(b), better, "left")
-            .groupBy(F.col("a.doc_id").alias("doc_id"))
-            .agg((F.count(F.col("b.doc_id")) + 1).cast("int").alias(rank_name))
-        )
-
     lex = _ranked(
         _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
@@ -378,4 +379,92 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(15)
+    )
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+WITH bm25_scores AS ({_BM25_SCORES_SQL}),
+rel AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['vector', 'hash', 'join'])) AS rel
+  FROM documents
+),
+retrieved AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM bm25_scores ORDER BY bm25 DESC, doc_id LIMIT 10
+),
+ideal AS (
+  SELECT doc_id, rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+  FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+),
+dcg_t AS (
+  SELECT {sql_fast_sum(
+      "(power(2, rel) - 1)"
+      " * (floor(1.0 / log2(rnk + 1) * 1000000 + 0.5) / 1000000)",
+      round_to=6,
+  )} AS dcg
+  FROM retrieved JOIN rel USING (doc_id)
+),
+idcg_t AS (
+  SELECT {sql_fast_sum(
+      "(power(2, rel) - 1)"
+      " * (floor(1.0 / log2(rnk + 1) * 1000000 + 0.5) / 1000000)",
+      round_to=6,
+  )} AS idcg
+  FROM ideal
+)
+SELECT dcg, idcg,
+       floor(dcg / idcg * 1000000 + 0.5) / 1000000 AS ndcg
+FROM dcg_t CROSS JOIN idcg_t
+""",
+    tags=("retrieval", "evaluation", "ndcg"),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded relevance = number
+    of distinct query terms present in the document (0-3) — the
+    retrieval-evaluation leg that closes the loop: build the index,
+    rank, MEASURE the ranking. DCG sums (2^rel - 1)·1/log2(rank+1)
+    over the retrieved top-10; IDCG over the corpus-wide ideal
+    ordering (rel desc); discounts are stably rounded at 6 so a
+    last-ulp log2 divergence can't move the quantized sums, and both
+    rank assignments tie-break on doc_id. Scale shape: relevance is a
+    pure map over the corpus; both top-10s are TakeOrdered (local
+    top-k, no global sort); everything after is ≤10-row arithmetic."""
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    d = load_table(spark, sf_dir, "documents")
+    rel = d.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.col("text"), " ", -1)), terms
+            )
+        ).alias("rel"),
+    )
+    retrieved = _ranked(
+        _bm25_scores(spark, sf_dir).orderBy(F.col("bm25").desc(), "doc_id").limit(10),
+        "bm25",
+        "rnk",
+    )
+    ideal = _ranked(
+        rel.orderBy(F.col("rel").desc(), "doc_id").limit(10), "rel", "rnk"
+    ).join(rel, "doc_id")
+    discount = lambda: stable_round(  # noqa: E731
+        F.lit(1.0) / F.log2(F.col("rnk") + 1), 6
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    dcg_t = (
+        retrieved.join(rel, "doc_id")
+        .agg(fast_sum(gain * discount(), round_to=6).alias("dcg"))
+    )
+    idcg_t = ideal.agg(fast_sum(gain * discount(), round_to=6).alias("idcg"))
+    return (
+        dcg_t.crossJoin(F.broadcast(idcg_t))
+        .select(
+            "dcg",
+            "idcg",
+            stable_round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
     )
