@@ -93,6 +93,12 @@ WindowExec anywhere.""",
 the point set streams through ONE map-side probe — candidate cost follows cell
 occupancy, never the point count; haversine evaluates post-join on candidates
 only, and the per-query top-5 is a bounded window over the tiny candidate set.""",
+    "unigram_logprob_score": """Perplexity-style quality scoring: the term→count unigram model
+(|vocabulary| rows) and the one-row corpus total come back via
+BroadcastExchange onto the exploded term table — the corpus shuffles exactly
+once, on doc_id, for the per-doc mean. Everything numeric rides the
+stably-rounded quantized-int64 path, so the score is engine- and
+partitioning-exact despite the ln().""",
 }
 
 HEADER = [
