@@ -69,11 +69,18 @@ def build_corpus(
     min_tokens: int = 10,
     max_chars: int = 5000,
     min_alpha_frac: float = 0.5,
+    output_format: str = "parquet",
 ) -> CorpusBuildStats:
     """Run the full build over ``docs`` (doc_id, text, ...) and write
-    train/val/test parquet under ``out_dir`` partitioned by split.
-    Returns per-stage survivor counts (the counts run the lazy plan
-    stage-by-stage; the final write re-uses the composed plan)."""
+    train/val/test output under ``out_dir`` partitioned by split.
+    ``output_format``: ``parquet`` (default — columnar, predicate
+    pushdown for downstream analytics) or ``jsonl`` (gzipped
+    line-delimited JSON, the interchange format LLM training loaders
+    consume directly). Returns per-stage survivor counts (the counts
+    run the lazy plan stage-by-stage; the final write re-uses the
+    composed plan)."""
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported output_format: {output_format!r}")
     t0 = time.perf_counter()
     n_raw = docs.count()
 
@@ -145,8 +152,13 @@ def build_corpus(
     )
 
     # 8: write partitioned by split
-    packed.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    out = spark.read.parquet(out_dir)
+    writer = packed.write.mode("overwrite").partitionBy("split")
+    if output_format == "jsonl":
+        writer.option("compression", "gzip").json(out_dir)
+        out = spark.read.json(out_dir)
+    else:
+        writer.parquet(out_dir)
+        out = spark.read.parquet(out_dir)
     by_split = {
         r["split"]: r["n"]
         for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -189,6 +201,8 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
     p.add_argument("--min_tokens", type=int, default=10)
     p.add_argument("--max_chars", type=int, default=5000)
     p.add_argument("--min_alpha_frac", type=float, default=0.5)
+    p.add_argument("--output_format", choices=["parquet", "jsonl"],
+                   default="parquet")
     a = p.parse_args(argv)
 
     spark = get_spark(app_name="corpus_build")
@@ -201,6 +215,7 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
         min_tokens=a.min_tokens,
         max_chars=a.max_chars,
         min_alpha_frac=a.min_alpha_frac,
+        output_format=a.output_format,
     )
     print(json.dumps(dataclasses.asdict(stats)))
     print(f"# corpus written to {a.out_dir}", file=sys.stderr)

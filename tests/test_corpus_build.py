@@ -90,3 +90,22 @@ def test_corpus_build_cli(spark, sf_dir, tmp_path, capsys):
     assert payload["n_raw"] == stats.n_raw > 0
     assert payload["n_after_quality"] == stats.n_after_quality
     assert spark.read.parquet(out).count() == stats.n_after_quality
+
+
+def test_corpus_build_jsonl_output(spark, sf_dir, tmp_path):
+    """jsonl output: gzipped line-delimited JSON partitioned by split,
+    same row count and doc_id set as the parquet path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pq, js = str(tmp_path / "pq"), str(tmp_path / "js")
+    s1 = build_corpus(spark, docs, pq, token_budget=BUDGET)
+    s2 = build_corpus(spark, docs, js, token_budget=BUDGET, output_format="jsonl")
+    assert s1.n_after_quality == s2.n_after_quality
+    out = spark.read.json(js)
+    assert out.count() == s1.n_after_quality
+    ids_pq = {r["doc_id"] for r in spark.read.parquet(pq).select("doc_id").collect()}
+    ids_js = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids_pq == ids_js
+    import glob
+
+    gz = glob.glob(f"{js}/split=*/*.json.gz")
+    assert gz, "expected gzipped jsonl part files"
