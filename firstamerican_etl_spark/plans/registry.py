@@ -104,7 +104,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "token_count",
     "lang_id_heuristic",
-    "doc_fingerprint",
+    # perplexity-style unigram scorer (doc_fingerprint keeps its full
+    # local oracle in tests/test_oracle.py; its rolling-hash core is
+    # also driver-exercised via the dedup fingerprint queries)
+    "unigram_logprob_score",
     "bm25_topk_retrieval",
     # embeddings / ANN (brute-force baseline + both scale paths +
     # clustering; LSH/kmeans/HLL are rows-only — their value accuracy
