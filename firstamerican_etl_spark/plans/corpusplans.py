@@ -184,6 +184,96 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG = 3  # boilerplate segment length (words)
+_SEG_DOCS = 2  # a segment in more than this many distinct docs is boilerplate
+
+
+@register(
+    "boilerplate_segment_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(words[s*{_SEG}+1 : least(s*{_SEG}+{_SEG}, len(words))], ' ')) AS h
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(0, CAST(ceil(len(words)/{_SEG}.0) AS BIGINT) - 1)) AS s
+    FROM w
+  ) t
+),
+boiler AS (
+  SELECT h AS bh FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1
+  ) f WHERE nd > {_SEG_DOCS}
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+       floor((count(*) - sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS keep_ratio
+FROM segs s LEFT JOIN boiler b ON s.h = b.bh
+GROUP BY 1
+""",
+    tags=("corpus", "dedup", "boilerplate", "training-data"),
+)
+def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus segment dedup: cut every document into
+    non-overlapping 3-word segments, hash each, and mark segments
+    whose hash appears in more than 2 distinct documents as
+    boilerplate (headers, navigation chrome, license blurbs — text
+    repeated verbatim across a web corpus). Emits per-doc segment
+    counts and the keep ratio a reassembly pass would retain.
+
+    Scale shape: the corpus is shuffled ONLY inside the segment
+    frequency aggregate (map-side partials collapse each partition to
+    its distinct hashes before the exchange); the resulting
+    boilerplate set is tiny by construction — segments repeated across
+    many docs are the pathological few — so the mark-back join
+    broadcasts it and the per-doc report is a second map-side-partial
+    aggregate. The corpus is never shuffled by segment hash for the
+    join, which at 100 TB is the difference between a metadata
+    broadcast and re-exchanging every token of the corpus."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    w = exploded_words(load_table(spark, sf_dir, "documents"))
+    n_segs = F.ceil(F.size("words") / float(_SEG)).cast("long")
+    seg_hash = lambda s: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("words"), s * _SEG + 1, _SEG))
+    )
+    segs = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_segs - 1), seg_hash)
+        ).alias("h"),
+    )
+    boiler = (
+        segs.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > _SEG_DOCS)
+        .select(F.col("h").alias("bh"))
+    )
+    hit = F.col("bh").isNotNull().cast("long")
+    return (
+        segs.join(F.broadcast(boiler), segs.h == F.col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(hit).alias("n_boilerplate"),
+            (
+                F.floor(
+                    (F.count(F.lit(1)) - F.sum(hit))
+                    / F.count(F.lit(1)).cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("keep_ratio"),
+        )
+    )
+
+
 _BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 
 

@@ -177,6 +177,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpusplans,
         retrievalplans,
         geoplans,
+        graphplans,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

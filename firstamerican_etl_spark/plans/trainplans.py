@@ -388,3 +388,77 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 65536) AS BIGINT) AS thresh,
+         floor(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS target_rate
+  FROM c, m
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                     < printf('%05x', r.thresh) THEN 1 ELSE 0 END) AS n_kept,
+       any_value(r.target_rate) AS target_rate
+FROM documents d JOIN r USING (lang)
+GROUP BY 1
+""",
+    tags=("sampling", "mixture", "temperature", "training-data"),
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    recipe: sample language l with probability ∝ n_l^α, α=0.5, so
+    head languages are flattened toward the tail). Keep-rate per
+    language is sqrt(n_min/n_l) — the smallest language keeps 100%,
+    a language 4× its size keeps 50%. Rates are DATA-DEPENDENT,
+    computed in the same plan from the per-language counts, then
+    membership is the deterministic md5-prefix predicate (compare the
+    4-hex-char prefix against the rate as a 16-bit threshold, both
+    zero-extended to 5 chars so rate=1.0 → '10000' orders above every
+    prefix) — reproducible under retry/repartition/engine swap, unlike
+    rand().
+
+    Scale shape: the count aggregate ships |langs| rows; the rate
+    table is broadcast back onto the corpus (never a shuffle of the
+    corpus itself); the final report is a second |langs|-row
+    aggregate. At 100 TB this is two metadata aggregates + one
+    broadcast joined map pass."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            F.lpad(
+                F.lower(F.hex(F.floor(rate * F.lit(65536)).cast("long"))),
+                5,
+                "0",
+            ).alias("cut"),
+            (
+                F.floor(rate * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+            ).alias("target_rate"),
+        )
+    )
+    keep = (
+        F.concat(
+            F.lit("0"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        )
+        < F.col("cut")
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+            F.any_value(F.col("target_rate")).alias("target_rate"),
+        )
+    )
