@@ -67,6 +67,9 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "inverted_index_postings",
     "geo_knn_grid_bucketed",
+    # round 4: iterative graph + cross-corpus boilerplate removal
+    "pagerank_trade_graph",
+    "boilerplate_segment_dedup",
 ]
 
 

@@ -83,11 +83,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2.7 set ops (union proves the family; intersect/except keep
     # their full local oracles in tests/test_oracle.py)
     "setop_union",
-    # §2.8 scalar function surface (F1-F14)
+    # §2.8 scalar function surface (F1-F14; the F9/F10 coalesce
+    # cascade and F11 concat-fallback are driver-proven inside
+    # fa_valhist_cascade below and keep their dedicated full local
+    # oracles — coalesce_cascade_q / concat_fallback — in
+    # tests/test_oracle.py)
     "string_date_funcs",
     "conditional_flags",
-    "coalesce_cascade_q",
-    "concat_fallback",
     # SQL interface + semi-structured sources
     "sql_interface_passthrough",
     "events_from_jsonl",
@@ -126,12 +128,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_session_window",
     # watermarked stream-stream attribution join (exact SQL oracle)
     "streaming_interval_join",
-    # LLM-pipeline dedup flagships
+    # LLM-pipeline dedup flagships (+ CCNet-style cross-corpus
+    # boilerplate segment removal)
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
-    # deterministic sampling (fixed-k-per-group keeps its full local
-    # oracle in tests/test_oracle.py)
-    "sample_hash_deterministic",
+    "boilerplate_segment_dedup",
+    # deterministic sampling: the temperature-resample row subsumes the
+    # plain hash sample (same md5-prefix predicate, plus in-plan
+    # data-dependent rates); sample_hash_deterministic /
+    # sample_fixed_k_per_group keep full local oracles
+    "mixture_temperature_resample",
+    # iterative graph family (unrolled PageRank, bit-tight int oracle)
+    "pagerank_trade_graph",
     # round-4 geo family: the grid-bucketed scale path proves the
     # whole family's candidate-pruning design in the driver
     "geo_knn_grid_bucketed",
