@@ -166,6 +166,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_deg = spark.table(table)
     node_deg = with_deg.select("src", "deg").distinct()
     n_nodes = node_deg.count()  # |nodes| — metadata-sized driver scalar
+    if n_nodes == 0:
+        # empty edge set (pruned-out scan, fresh landing zone): return
+        # the stable output schema with zero rows instead of dividing
+        # by zero below
+        return spark.createDataFrame([], "node string, rank_scaled long")
     base = int((_SCALE * (_D_DEN - _D_NUM)) // (_D_DEN * n_nodes))
     # literals explicitly long: at small SFs they fit int32, and an
     # IntegerType rank silently wraps at r*85 (ANSI-off) or throws
