@@ -81,8 +81,20 @@ def build_corpus(
     composed plan)."""
     if output_format not in ("parquet", "jsonl"):
         raise ValueError(f"unsupported output_format: {output_format!r}")
+    from pyspark.sql import Observation
+
     t0 = time.perf_counter()
-    n_raw = docs.count()
+
+    # Diagnostic counts ride along as OBSERVED METRICS
+    # (CollectMetrics nodes) on actions the pipeline already runs,
+    # instead of dedicated count() passes. At 100 TB the difference is
+    # material: counting the raw input was a full extra scan of the
+    # corpus, and the split counts were a full re-read of the written
+    # output. An observation is computed by the tasks that execute the
+    # plan anyway and ships one aggregated row to the driver.
+    obs_raw = Observation("corpus_raw")
+    obs_quality = Observation("corpus_quality")
+    obs_split = Observation("corpus_split")
 
     # 1+2: normalize + exact dedup (keep the min doc_id per fingerprint).
     # localCheckpoint truncates lineage at each survivor frame: the
@@ -90,8 +102,11 @@ def build_corpus(
     # signature mining, the final write) each reuse the materialized
     # stage instead of re-running normalize/fingerprint/anti-join per
     # action — without it the write re-executes the whole upstream
-    # three more times.
-    normed = docs.withColumn("_fp", F.md5(_NORM(F.col("text"))))
+    # three more times. The eager checkpoint is also the action that
+    # fires the raw-count observation.
+    normed = docs.observe(obs_raw, F.count(F.lit(1)).alias("n")).withColumn(
+        "_fp", F.md5(_NORM(F.col("text")))
+    )
     keep_exact = normed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     exact = (
         normed.join(keep_exact, ["_fp", "doc_id"])
@@ -120,8 +135,9 @@ def build_corpus(
         (F.size(toks) >= min_tokens)
         & (F.length("text") <= max_chars)
         & (alpha_frac >= min_alpha_frac)
-    )
-    n_after_quality = quality.count()
+    ).observe(obs_quality, F.count(F.lit(1)).alias("n"))
+    # the quality count fires on the prefix-sum's staging write below —
+    # no dedicated pass over the survivors
 
     # 5: PII redaction (placeholder substitution, pure map)
     redacted = quality.withColumn(
@@ -151,28 +167,35 @@ def build_corpus(
         .otherwise("test"),
     )
 
-    # 8: write partitioned by split
-    writer = packed.write.mode("overwrite").partitionBy("split")
+    # 8: write partitioned by split; the write action fires the
+    # per-split observed sums (no re-read of the output for counts)
+    observed = packed.observe(
+        obs_split,
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    writer = observed.write.mode("overwrite").partitionBy("split")
     if output_format == "jsonl":
         writer.option("compression", "gzip").json(out_dir)
         out = spark.read.json(out_dir)
     else:
         writer.parquet(out_dir)
         out = spark.read.parquet(out_dir)
-    by_split = {
-        r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # n_bins needs a DISTINCT count, which observed metrics disallow —
+    # a column-pruned scan of just the written bin_id column (a single
+    # int column under parquet) is the remaining read
     n_bins = out.select("bin_id").distinct().count()
+    split_row = obs_split.get
     return CorpusBuildStats(
-        n_raw=n_raw,
+        n_raw=int(obs_raw.get["n"]),
         n_after_exact=n_after_exact,
         n_after_near=n_after_near,
-        n_after_quality=n_after_quality,
+        n_after_quality=int(obs_quality.get["n"]),
         n_bins=n_bins,
-        n_train=by_split.get("train", 0),
-        n_val=by_split.get("val", 0),
-        n_test=by_split.get("test", 0),
+        n_train=int(split_row["n_train"] or 0),
+        n_val=int(split_row["n_val"] or 0),
+        n_test=int(split_row["n_test"] or 0),
         seconds=time.perf_counter() - t0,
     )
 
