@@ -298,3 +298,42 @@ def test_geo_grid_probe_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pagerank_iterations_reuse_staged_buckets(spark, sf_dir):
+    """The unrolled PageRank must consume the staged src-bucketed edge
+    table: a handful of bucketed scans instead of re-running the
+    orders⋈lineitem edge build per iteration (the unstaged plan had 28
+    parquet scans), and no exchange on the edge side — only the
+    |nodes|-sized ranks frame shuffles each round, so hash exchanges
+    stay ≤ the iteration count + final agg."""
+    df = REGISTRY["pagerank_trade_graph"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 5, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_boilerplate_markback_broadcasts(spark, sf_dir):
+    """The boilerplate mark-back join must broadcast the (tiny,
+    frequency-filtered) segment set: BroadcastHashJoin, and the corpus
+    is never hash-exchanged by segment hash for the join — the only
+    segment-keyed exchange is the frequency aggregate itself."""
+    df = REGISTRY["boilerplate_segment_dedup"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: one for the frequency agg, one for the per-doc report
+    # (plus AQE may keep a reused pair) — never a third data exchange
+    # keyed on the segment hash for the join side
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_mixture_resample_broadcasts_rates(spark, sf_dir):
+    """The data-dependent rate table (|langs| rows) must broadcast
+    back onto the corpus; the document side is never shuffled — its
+    only exchanges are the two metadata-sized aggregates."""
+    df = REGISTRY["mixture_temperature_resample"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
