@@ -491,3 +491,47 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(ckpt, ignore_errors=True)
         atexit.register(shutil.rmtree, state, ignore_errors=True)
     return spark.read.parquet(state).select("doc_id", "lang", "source")
+
+
+@register(
+    "streaming_ttl_throttle",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+kept AS (
+  SELECT user_id, ts, event_id, rn, ts AS last_emit, TRUE AS emitted
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.event_id, e.rn,
+         CASE WHEN e.ts >= k.last_emit + INTERVAL 86400 SECONDS
+              THEN e.ts ELSE k.last_emit END,
+         e.ts >= k.last_emit + INTERVAL 86400 SECONDS
+  FROM ev e JOIN kept k ON e.user_id = k.user_id AND e.rn = k.rn + 1
+)
+SELECT user_id, event_id, ts FROM kept WHERE emitted
+""",
+    tags=("streaming", "stateful", "throttle", "applyInPandasWithState"),
+)
+def streaming_ttl_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time rate limiter (at most one emitted event per
+    24 event-time hours per user) as a custom stateful streaming
+    operator — ``streaming/stateful.py ttl_throttle_with_state``.
+
+    The semantics are genuinely stateful: an event passes only based
+    on which earlier events PASSED, so no lag/window expression
+    expresses it — the exact oracle is a per-key recursive CTE walking
+    the event sequence in (ts, event_id) order. Single-file landing →
+    one availableNow micro-batch, so the per-key state machine sees
+    every user's events in one sorted group and the emission set is
+    exactly the sequential semantics the oracle computes."""
+    from firstamerican_etl_spark.streaming.stateful import ttl_throttle_with_state
+
+    landing, ckpt = _stage_events(spark, sf_dir, "throttle", n_files=1)
+    stream = ttl_throttle_with_state(
+        read_events_stream(spark, landing), ttl_seconds=86400
+    )
+    name = f"stream_throttle_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    return _drain(stream, name, ckpt, "append")

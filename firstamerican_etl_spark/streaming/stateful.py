@@ -135,3 +135,87 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+#: TTL-throttle output: the kept (rate-limited) events.
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+#: State kept per user: event-time (µs) of the last EMITTED event.
+THROTTLE_STATE_SCHEMA = T.StructType([T.StructField("last_emit_us", T.LongType())])
+
+
+def _throttle_fn(ttl_seconds: int):
+    ttl_us = ttl_seconds * _US
+
+    def fn(
+        key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        kept_ids: list[int] = []
+        kept_ts: list[int] = []
+        for pdf in pdf_iter:
+            # deterministic sequential order within the batch: the
+            # throttle is a per-key state machine over (ts, event_id)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts_ns, eid in zip(pdf["ts"].astype("int64"), pdf["event_id"]):
+                ts_us = int(ts_ns) // 1000
+                if last is None or ts_us - last >= ttl_us:
+                    kept_ids.append(int(eid))
+                    kept_ts.append(ts_us)
+                    last = ts_us
+        if last is not None:
+            state.update((last,))
+        if kept_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(kept_ids),
+                    "event_id": kept_ids,
+                    "ts": pd.to_datetime(
+                        [t * 1000 for t in kept_ts], utc=True
+                    ).tz_localize(None),
+                }
+            )
+
+    return fn
+
+
+def ttl_throttle_with_state(
+    events: DataFrame,
+    ttl_seconds: int = 86400,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key event-time rate limiter: emit an event only if at least
+    ``ttl_seconds`` of EVENT TIME passed since the last emitted event
+    of the same user — the "at most one per key per interval" gate
+    (API throttling, per-source crawl politeness, training-corpus
+    per-domain caps). Inherently stateful: whether an event passes
+    depends on which earlier events PASSED, not merely on the previous
+    event — no window/lag expression computes it in one pass, which is
+    exactly when ``applyInPandasWithState`` is the right tool (the
+    SQL oracle needs a recursive CTE).
+
+    State per key is a single int64 (last emitted event-time) — at
+    100 TB the store holds |active keys| × 8 bytes, and each
+    micro-batch touches only the keys present in it. NoTimeout: the
+    throttle gate never expires by itself; swap in an event-time
+    timeout to forget idle keys once the watermark passes their last
+    emission + TTL (exactly the state-hygiene pattern the sessionizer
+    above demonstrates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _throttle_fn(ttl_seconds),
+            outputStructType=THROTTLE_SCHEMA,
+            stateStructType=THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
