@@ -175,3 +175,94 @@ def multimodal_ppm_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.col("mean_byte").alias("mean_pixel"),
     )
+
+
+def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize every 10th document as an actual ``.ppm`` FILE in a
+    reuse-cached temp dir (content-tracking key — sources/io.py
+    staging_tag), so the binaryFile ingest query below exercises the
+    real file-per-asset layout an image corpus arrives in. Files are
+    written by executors (foreachPartition), not the driver — the same
+    path a distributed fixture build would take."""
+    import os
+    import tempfile
+
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"fa_ppm_assets_{staging_tag(sf_dir, 'documents')}",
+    )
+    done = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 10 == 0
+        )
+
+        def write_files(rows):
+            from firstamerican_etl_spark.operators.multimodal import encode_ppm
+
+            for r in rows:
+                i = int(r["doc_id"])
+                w, h, g = i % 13 + 2, i % 7 + 2, i % 256
+                with open(os.path.join(base, f"asset_{i}.ppm"), "wb") as f:
+                    f.write(encode_ppm(w, h, g))
+
+        ids.foreachPartition(write_files)
+        open(done, "w").close()
+    return base
+
+
+@register(
+    "multimodal_binaryfile_ingest",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+       CAST(9 + length(CAST(doc_id % 13 + 2 AS VARCHAR))
+              + length(CAST(doc_id % 7 + 2 AS VARCHAR))
+              + 3 * (doc_id % 13 + 2) * (doc_id % 7 + 2) AS BIGINT) AS n_bytes,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+FROM documents
+WHERE doc_id % 10 = 0
+""",
+    tags=("multimodal", "source", "binaryFile", "decode"),
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus INGEST path: assets as individual files on disk,
+    read with Spark's built-in ``binaryFile`` source (one row per file:
+    path, length, content), asset ids recovered from filenames, pixels
+    decoded by the pure-python Netpbm parser. This is how a real image
+    corpus enters the engine — a directory of millions of files, not a
+    pre-built binary column.
+
+    Scale notes: binaryFile lists and partitions FILES (no splitting
+    within a file — right for whole-image payloads), supports
+    ``pathGlobFilter`` to prune non-image junk at listing time, and
+    pushes ``length`` predicates to the listing (skip oversized blobs
+    without opening them). At 100M+ files the listing itself becomes
+    the bottleneck — production layouts pack small images into
+    parquet/tar shards (exactly what the ``documents_as_assets``
+    binary-column representation models downstream)."""
+    from firstamerican_etl_spark.operators.multimodal import decode_image_pixels
+
+    asset_dir = _stage_ppm_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(asset_dir)
+    )
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("asset_id"),
+        F.col("content").alias("payload"),
+    )
+    return decode_image_pixels(assets).select(
+        "asset_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.col("mean_byte").alias("mean_pixel"),
+    )

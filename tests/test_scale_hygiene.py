@@ -40,6 +40,7 @@ ARROW_PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_featurize_knn",
     "multimodal_ppm_pixel_decode",  # pure-python netpbm raster decode
+    "multimodal_binaryfile_ingest",  # same netpbm decode over binaryFile rows
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
     "streaming_sessionize_stateful",
