@@ -266,3 +266,98 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.col("mean_byte").alias("mean_pixel"),
     )
+
+
+def _stage_wds_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Write every 10th document's PPM asset + JSON metadata record
+    into WebDataset tar shards (sources/wds.py) in a reuse-cached dir
+    — executors build the shards, the driver only commits the
+    manifest."""
+    import os
+    import tempfile
+
+    from firstamerican_etl_spark.operators.multimodal import (
+        documents_as_ppm_assets,
+    )
+    from firstamerican_etl_spark.sources.io import staging_tag
+    from firstamerican_etl_spark.sources.wds import WdsDataSource
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"fa_wds_shards_{staging_tag(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        spark.dataSource.register(WdsDataSource)
+        assets = documents_as_ppm_assets(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+        )
+        sample = assets.select(
+            F.col("asset_id").cast("string").alias("__key__"),
+            F.col("payload").alias("ppm"),
+            F.to_json(
+                F.struct(
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height"),
+                )
+            ).alias("json"),
+        )
+        (
+            sample.repartition(4)  # 4 shards — the shard is the I/O unit
+            .write.format("wds")
+            .mode("overwrite")
+            .option("path", base)
+            .save()
+        )
+    return base
+
+
+@register(
+    "multimodal_wds_roundtrip",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+       CAST(doc_id % 13 + 2 AS BIGINT) AS meta_width
+FROM documents
+WHERE doc_id % 10 = 0
+""",
+    tags=("multimodal", "source", "webdataset", "tar", "roundtrip"),
+)
+def multimodal_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip: PPM assets + JSON metadata
+    packed into ``shard-*.tar`` by the custom wds writer (one member
+    per field per sample, manifest commit), read back with the wds
+    reader (one partition per shard — the webdataset streaming unit),
+    pixels re-decoded from the tar bytes and the JSON metadata
+    re-parsed. The oracle recomputes every value closed-form from
+    doc_id, so a corruption anywhere in pack→commit→list→unpack→decode
+    flips the hash. This is the shard-packed layout that replaces
+    file-per-image at scale (the binaryFile query's listing-bottleneck
+    note); shards stream sequentially with zero listing pressure."""
+    from firstamerican_etl_spark.operators.multimodal import decode_image_pixels
+    from firstamerican_etl_spark.sources.wds import WdsDataSource
+
+    spark.dataSource.register(WdsDataSource)
+    shard_dir = _stage_wds_shards(spark, sf_dir)
+    back = (
+        spark.read.format("wds")
+        .option("path", shard_dir)
+        .option("columns", "ppm:binary,json:string")
+        .load()
+    )
+    assets = back.select(
+        F.col("__key__").cast("long").alias("asset_id"),
+        F.col("ppm").alias("payload"),
+        F.get_json_object("json", "$.width").cast("long").alias("meta_width"),
+    )
+    decoded = decode_image_pixels(assets.select("asset_id", "payload"))
+    return decoded.join(
+        assets.select("asset_id", "meta_width"), "asset_id"
+    ).select(
+        "asset_id",
+        "width",
+        "height",
+        F.col("mean_byte").alias("mean_pixel"),
+        "meta_width",
+    )

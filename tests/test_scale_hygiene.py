@@ -41,6 +41,7 @@ ARROW_PYTHON_OK = {
     "multimodal_featurize_knn",
     "multimodal_ppm_pixel_decode",  # pure-python netpbm raster decode
     "multimodal_binaryfile_ingest",  # same netpbm decode over binaryFile rows
+    "multimodal_wds_roundtrip",  # netpbm decode over wds tar-shard rows
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
     "streaming_sessionize_stateful",
