@@ -143,8 +143,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-4 geo family: the grid-bucketed scale path proves the
     # whole family's candidate-pruning design in the driver
     "geo_knn_grid_bucketed",
-    # multimodal + corpus prep + TF-IDF
-    "multimodal_decode_stats",
+    # multimodal + corpus prep + TF-IDF (the wds round trip subsumes
+    # the fake-decode stats row: custom tar-shard source pair + real
+    # pixel decode + JSON metadata, all under one closed-form oracle;
+    # multimodal_decode_stats keeps its full local oracle)
+    "multimodal_wds_roundtrip",
     "corpus_clean_pipeline",
     "corpus_pack_contiguous",
     "tfidf_top_terms",

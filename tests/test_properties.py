@@ -220,3 +220,66 @@ def test_fast_sum_partitioning_invariance(spark):
     for k, (s, _) in one.items():
         # 2-decimal inputs: both paths are exact, so they agree exactly
         assert s == wide[k], f"group {k}: fast {s} vs wide {wide[k]}"
+
+
+def test_ttl_throttle_gap_invariant(spark, sf_dir):
+    """The TTL throttle's defining invariant: within each user,
+    consecutive EMITTED events are ≥ TTL apart in event time, the
+    first event of every active user is always emitted, and every
+    suppressed event is < TTL after the previous emitted one (no
+    over-suppression)."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    kept = load_all()["streaming_ttl_throttle"].spark(spark, sf_dir)
+    rows = sorted(
+        ((r["user_id"], r["ts"]) for r in kept.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    ttl = 86400
+    by_user: dict[int, list] = {}
+    for uid, ts in rows:
+        by_user.setdefault(uid, []).append(ts)
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(by_user) == n_users  # first event per user always passes
+    for uid, tss in by_user.items():
+        for a, b in zip(tss, tss[1:]):
+            assert (b - a).total_seconds() >= ttl, (uid, a, b)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Scaled-int PageRank sanity: all top-k ranks are positive, less
+    than the total mass S=1e12, strictly ordered (desc, node asc
+    tie-break), and node ids carry the bipartite prefixes."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    rows = load_all()["pagerank_trade_graph"].spark(spark, sf_dir).collect()
+    assert rows
+    ranks = [(r["node"], r["rank_scaled"]) for r in rows]
+    assert all(0 < v < 10**12 for _, v in ranks)
+    assert ranks == sorted(ranks, key=lambda x: (-x[1], x[0]))
+    assert all(n[0] in ("c", "s") for n, _ in ranks)
+
+
+def test_boilerplate_bounds_and_coverage(spark, sf_dir):
+    """Per doc: 0 ≤ n_boilerplate ≤ n_segments, keep_ratio ∈ [0, 1],
+    segment counts equal ceil(words/3), and every document appears
+    exactly once."""
+    import math
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["boilerplate_segment_dedup"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        r = out[d["doc_id"]]
+        n_words = len(d["text"].split(" "))
+        assert r["n_segments"] == math.ceil(n_words / 3)
+        assert 0 <= r["n_boilerplate"] <= r["n_segments"]
+        assert 0.0 <= r["keep_ratio"] <= 1.0
