@@ -526,3 +526,142 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         scored, partition_by=["q_id"], order_by=[F.col("adc_dist"), F.col("c_id")], k=5
     ).select("q_id", "c_id", "adc_dist")
+
+
+@register(
+    "knn_ivf_recall_eval",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT v.vec_id, v.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(CAST(list_distance(v.embedding, c.cvec) AS DOUBLE), 4), c.cent_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, cell
+  FROM assigned WHERE vec_id >= 8 AND vec_id < 18
+),
+ivf AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.probe_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY round(CAST(list_cosine_similarity(p.pvec, a.embedding) AS DOUBLE), 4) DESC,
+                      a.vec_id
+           ) AS rn
+    FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.probe_id
+  ) WHERE rn <= 3
+),
+exact AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.probe_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY round(CAST(list_cosine_similarity(p.pvec, a.embedding) AS DOUBLE), 4) DESC,
+                      a.vec_id
+           ) AS rn
+    FROM probes p CROSS JOIN assigned a
+    WHERE a.vec_id <> p.probe_id
+  ) WHERE rn <= 3
+)
+SELECT e.probe_id,
+       count(*) AS n_exact,
+       count(i.neighbor_id) AS n_hits,
+       floor(CAST(count(i.neighbor_id) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS recall_at_3
+FROM exact e
+LEFT JOIN ivf i ON e.probe_id = i.probe_id AND e.neighbor_id = i.neighbor_id
+GROUP BY 1
+""",
+    tags=("knn", "ivf", "ann", "recall", "evaluation"),
+)
+def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY gate: recall@3 of the IVF nprobe=1 search against
+    the exact brute-force ground truth, per probe — the measurement
+    that turns "approximate" from a hope into a number (the eval every
+    production ANN deployment runs before trading recall for nprobe).
+
+    Both sides share the rounded-cosine + id tie-break discipline, so
+    the hit set is engine-stable and the oracle exact. Scale shape:
+    ground truth is the expensive side (full scan per probe) — run it
+    over a fixed probe SAMPLE, as here; the IVF side reuses the
+    inverted-file layout. The eval join is |probes|·k rows — metadata."""
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    assigned = top_k_per_group(
+        e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cent_id", l2.alias("d")
+        ),
+        partition_by=["vec_id"],
+        order_by=[F.col("d"), F.col("cent_id")],
+        k=1,
+        rank_col="__rn",
+    ).select("vec_id", "v", F.col("cent_id").alias("cell"))
+    probes = assigned.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 18)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("cell").alias("pcell"),
+    )
+    cos4 = F.round(cosine(F.col("pv"), F.col("v")), 4)
+
+    def top3(cands):
+        return top_k_per_group(
+            cands.filter(F.col("vec_id") != F.col("probe_id")).select(
+                "probe_id", F.col("vec_id").alias("neighbor_id"), cos4.alias("s")
+            ),
+            partition_by=["probe_id"],
+            order_by=[F.col("s").desc(), F.col("neighbor_id")],
+            k=3,
+            rank_col="__rn",
+        ).select("probe_id", "neighbor_id")
+
+    ivf = top3(assigned.join(F.broadcast(probes), assigned.cell == probes.pcell))
+    exact = top3(assigned.crossJoin(F.broadcast(probes)))
+    hit = F.col("i_neighbor").isNotNull().cast("long")
+    return (
+        exact.join(
+            ivf.select(
+                F.col("probe_id").alias("i_probe"),
+                F.col("neighbor_id").alias("i_neighbor"),
+            ),
+            (F.col("probe_id") == F.col("i_probe"))
+            & (F.col("neighbor_id") == F.col("i_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).alias("n_hits"),
+            (
+                F.floor(
+                    F.sum(hit).cast("double") / F.count(F.lit(1)) * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("recall_at_3"),
+        )
+    )
