@@ -345,3 +345,63 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents": ("max", "max", "cents"),
         },
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+WITH c AS (
+  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS total, count(*) AS n_keys, max(n) AS max_n FROM c
+)
+SELECT c.key, c.n,
+       floor(CAST(c.n AS DOUBLE) / tot.total * 1000000 + 0.5) / 1000000 AS share,
+       floor(CAST(c.n AS DOUBLE) * tot.n_keys / tot.total * 10000 + 0.5) / 10000 AS x_mean,
+       floor(CAST(tot.max_n AS DOUBLE) * tot.n_keys / tot.total * 10000 + 0.5) / 10000 AS skew_factor
+FROM c, tot
+ORDER BY c.n DESC, c.key
+LIMIT 10
+""",
+    tags=("diagnostics", "skew", "scale"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostic for a join/agg key: the 10 heaviest
+    values of l_suppkey with each key's share of all rows, its
+    multiple of the mean per-key load, and the table-wide skew factor
+    (max/mean) — the number that decides whether a key needs salting
+    or AQE skew handling BEFORE a 100 TB shuffle discovers it the hard
+    way (operators/scale.py holds the remedies this report picks
+    between).
+
+    Scale shape: one map-side-combined count aggregate (|keys| rows),
+    a 1-row totals aggregate over it, broadcast back; TakeOrdered for
+    the top-10. The fact table is scanned once, key column only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    r6 = lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    r4 = lambda x: F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            r6(F.col("n").cast("double") / F.col("total")).alias("share"),
+            r4(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("total")
+            ).alias("x_mean"),
+            r4(
+                F.col("max_n").cast("double") * F.col("n_keys") / F.col("total")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )

@@ -441,3 +441,53 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         stable_round(F.col("_sum_nll") / F.col("n_tokens"), 4).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+p AS (
+  SELECT substring(word, i, 2) AS pair
+  FROM (SELECT word, unnest(generate_series(1, len(word) - 1)) AS i FROM w) t
+)
+SELECT pair, count(*) AS n
+FROM p GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide counts of
+    adjacent CHARACTER pairs within words (the statistic each merge
+    round maximizes), top-20 with a deterministic tie-break. A full
+    training loop repeats this count after applying the best merge;
+    one round is the representative Spark shape — the rest is the same
+    plan re-run on re-segmented words.
+
+    Scale shape: pair extraction is map-side array work behind the
+    words Generate barrier (no per-row Python, no shuffle); the only
+    exchange carries (pair, partial count) — at most |alphabet|² rows
+    per partition after map-side combine, i.e. metadata, regardless of
+    corpus size. TakeOrdered for the top-20, no global sort."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    char_pairs = lambda w: F.when(  # noqa: E731
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select(
+        F.explode(F.flatten(F.transform(F.col("words"), char_pairs))).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
