@@ -99,6 +99,20 @@ BroadcastExchange onto the exploded term table — the corpus shuffles exactly
 once, on doc_id, for the per-doc mean. Everything numeric rides the
 stably-rounded quantized-int64 path, so the score is engine- and
 partitioning-exact despite the ln().""",
+    "pagerank_trade_graph": """Unrolled iterative PageRank. What to look for: the iteration
+joins consume the STAGED src-bucketed edge table — a handful of bucketed scans
+and NO exchange on the edge side (only the |nodes|-sized rank frame shuffles
+per round, plus the final aggregate). Without staging, Catalyst plans K
+copies of the whole edge-build subtree: 28 parquet scans, 0 ReusedExchange —
+the measured motivation for the bucketed-stage design. Ranks are scaled
+int64, so every distributed sum is exact under any partitioning (bit-tight
+oracle for an iterative algorithm).""",
+    "boilerplate_segment_dedup": """CCNet-style segment dedup. The corpus is shuffled only inside
+the segment-frequency aggregate (map-side partials collapse each partition to
+its distinct segment hashes first); the frequency-filtered boilerplate set is
+tiny by construction and comes back as a BroadcastExchange for the mark-back
+join — the corpus is never re-exchanged by segment hash. Per-doc report is a
+second map-side-combined aggregate.""",
 }
 
 HEADER = [
