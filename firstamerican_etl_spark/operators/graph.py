@@ -42,6 +42,18 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+
+    def checksum(lbls: DataFrame) -> int:
+        # labels only ever DECREASE pointwise, so the label sum is
+        # strictly monotone under change: equal sums ⟺ converged.
+        # One cheap aggregate over the just-checkpointed frame — no
+        # per-round old-vs-new join probe.
+        # decimal accumulation: exact and overflow-free for any node
+        # count (an int64 sum could overflow — ANSI would throw)
+        row = lbls.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()
+        return int(row["s"]) if row["s"] is not None else 0
+
+    prev_sum = checksum(labels)
     for _ in range(max_rounds):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("label")
@@ -53,14 +65,9 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = checksum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels

@@ -400,3 +400,89 @@ def global_running_sum(
             yield out[cols]
 
     return parts.mapInPandas(cumsum_batches, schema=out_schema)
+
+
+def values_at_global_ranks(
+    df: DataFrame,
+    keys: Sequence[str],
+    ranks: Sequence[int] | None = None,
+    partitions: int = 0,
+    ranks_of_n=None,
+) -> list[tuple]:
+    """The key tuples sitting at the given 1-based GLOBAL ranks of
+    ``df`` ordered by ``keys`` — without a global ORDER BY window and
+    without materializing a full row index.
+
+    Exact-quantile recipe: literal-cutpoint shard ids (pure map), one
+    |shards|-row count aggregate prefix-summed on the driver to locate
+    (shard, local ordinal) for each requested rank, then ONE pass
+    with a PARTITIONED row_number window filtered to those ordinals —
+    the window sorts within shards only, so no task ever sees more
+    than its shard. Output is len(ranks) rows — metadata.
+
+    Caller contract: ``df`` must read deterministic data (a parquet
+    scan — true for every registry query); for nondeterministic
+    upstream lineage use the staged primitives (``global_row_index``)
+    whose temp-parquet stage pins the data between passes. Ranks
+    outside [1, n] are ignored. Requires a unique key tuple for a
+    well-defined order.
+
+    Pass ``ranks_of_n`` (a callable n -> ranks) instead of ``ranks``
+    when the target ranks depend on the row count (quantile
+    boundaries): the count is read off the per-shard sizes this pass
+    collects anyway, saving callers a separate full count() action."""
+    from pyspark.sql.window import Window
+
+    from pyspark.sql import types as T
+
+    n_shards = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Shard on the FIRST key alone when it is numeric: shard placement
+    # only needs to be MONOTONE w.r.t. the full key order (rows with
+    # equal first-key values land in one shard, and the in-shard
+    # window below orders by the full key), and the single-numeric
+    # cutpoint path is one percentile_approx sketch + a scalar
+    # comparison chain — far cheaper than per-row struct comparisons
+    # against composite bounds.
+    shard_keys = (
+        list(keys[:1])
+        if isinstance(df.schema[keys[0]].dataType, T.NumericType)
+        else list(keys)
+    )
+    cuts = _shard_cutpoints(df, shard_keys, n_shards)
+    tagged = df.withColumn("_pid", _shard_id_expr(df, shard_keys, cuts))
+    sizes = {
+        int(r["_pid"]): int(r["n"])
+        for r in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if ranks_of_n is not None:
+        ranks = ranks_of_n(sum(sizes.values()))
+    wanted: list[tuple[int, int, int]] = []  # (pid, local_ordinal, rank)
+    offset = 0
+    sorted_pids = sorted(sizes)
+    targets = sorted(set(ranks))
+    ti = 0
+    for pid in sorted_pids:
+        size = sizes[pid]
+        while ti < len(targets) and offset < targets[ti] <= offset + size:
+            wanted.append((pid, targets[ti] - offset, targets[ti]))
+            ti += 1
+        offset += size
+    if not wanted:
+        return []
+    w = Window.partitionBy("_pid").orderBy(*[F.col(k) for k in keys])
+    cond = None
+    for pid, k, _ in wanted:
+        c = (F.col("_pid") == pid) & (F.col("_rn") == k)
+        cond = c if cond is None else (cond | c)
+    rows = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(cond)
+        .select("_pid", "_rn", *keys)
+        .collect()
+    )
+    by_loc = {(r["_pid"], r["_rn"]): tuple(r[k] for k in keys) for r in rows}
+    out = []
+    for pid, k, rank in wanted:
+        if (pid, k) in by_loc:
+            out.append(by_loc[(pid, k)])
+    return out

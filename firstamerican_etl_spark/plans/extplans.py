@@ -827,10 +827,12 @@ def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile binning WITHOUT a global ORDER BY window — the 100 TB
     shape the ``ntile_price_quartiles`` docstring promises:
 
-    1. exact quartile CUTPOINTS via the distributed rank recipe
-       (``operators/scale.global_row_index``: range exchange + shard
-       counts + driver prefix-sum — never one task), filtering the
-       three boundary ranks ⌊i·n/4⌋ and collecting exactly 3 values;
+    1. exact quartile CUTPOINTS via the rank-targeted recipe
+       (``operators/scale.values_at_global_ranks``: literal-cutpoint
+       shard ids + a |shards|-row count prefix-sum locating each
+       boundary rank ⌊i·n/4⌋, then ONE partitioned-window pass
+       filtered to those 3 ordinals — never one task, never a full
+       row-index materialization);
     2. bin ASSIGNMENT as a pure broadcast range comparison against the
        3 literal cutpoints (the degenerate broadcast range join — for
        k≫4 bins this becomes a real broadcast non-equi join on a bins
@@ -840,28 +842,37 @@ def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the oracle matches bit-exactly (comparisons only, no
     arithmetic on the cutpoints). At sketch-tolerant scale, step 1
     swaps for a one-pass ``approx_percentile``; step 2 is unchanged."""
-    from firstamerican_etl_spark.operators.scale import global_row_index
+    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
     )
-    n = o.count()
-    if n == 0:  # empty input: no cutpoints to take — empty report
+    # exact boundary values via the rank-targeted pass (shard counts +
+    # a PARTITIONED window filtered to 3 ordinals) — the input is a
+    # deterministic parquet scan, so no staging pin is needed and a
+    # full global_row_index materialization would be pure overhead.
+    # ranks_of_n reads n off the pass's own shard counts: no separate
+    # count() action.
+    seen = {"n": 0}
+
+    def quartile_ranks(n: int) -> list[int]:
+        seen["n"] = n
+        return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+
+    vals = values_at_global_ranks(
+        o, ["v", "o_orderkey"], ranks_of_n=quartile_ranks
+    )
+    if not vals:  # empty input: no cutpoints to take — empty report
         return o.select(
             F.lit(1).alias("quartile"),
             F.lit(0).cast("long").alias("n_orders"),
             F.lit(0.0).alias("lo"),
             F.lit(0.0).alias("hi"),
         ).limit(0)
-    ranks = [max(1, (i * n) // 4) for i in (1, 2, 3)]
-    indexed = global_row_index(o, ["v", "o_orderkey"], index_name="idx")
-    boundary = {
-        int(r["idx"]): float(r["v"])
-        for r in indexed.filter(
-            F.col("idx").isin([r - 1 for r in ranks])
-        ).select("idx", "v").collect()
-    }
-    c1, c2, c3 = (boundary[r - 1] for r in ranks)
+    n = seen["n"]
+    ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+    by_rank = dict(zip(ranks, (float(v[0]) for v in vals)))
+    c1, c2, c3 = (by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3))
     quartile = (
         F.when(F.col("v") <= F.lit(c1), 1)
         .when(F.col("v") <= F.lit(c2), 2)
