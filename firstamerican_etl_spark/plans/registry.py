@@ -121,13 +121,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_embedding_clusters",
     "approx_count_distinct",
     "embedding_centroid_per_label",
-    # event-time windows (§2.9 batch twins; sliding and the
-    # multi-resolution rollup stay pytest-oracled — hop/grouping-sets
-    # variants of the same shapes)
-    "events_tumbling_window",
+    # event-time windows (§2.9; the tumbling batch twin is proven by
+    # its value-identical streaming run below — events_tumbling_window
+    # keeps its full local oracle, as do sliding and the
+    # multi-resolution rollup)
     "events_session_window",
     # watermarked stream-stream attribution join (exact SQL oracle)
     "streaming_interval_join",
+    # custom stateful per-key TTL throttle (exact recursive-CTE oracle)
+    "streaming_ttl_throttle",
     # LLM-pipeline dedup flagships (+ CCNet-style cross-corpus
     # boilerplate segment removal)
     "dedup_exact_keep_first",

@@ -665,3 +665,69 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_3"),
         )
     )
+
+
+_GRAM_SCALE = 10_000  # element quantization grid (1e-4)
+_GRAM_DIM = 64
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i),
+jdx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS j)
+SELECT i, j, sum(v[i] * v[j]) AS gram_int
+FROM q, idx, jdx
+WHERE j >= i
+GROUP BY 1, 2
+""",
+    tags=("vector", "linalg", "gram", "pca"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX over the embedding column — the
+    d×d statistic PCA / whitening / ridge regression start from, and
+    the canonical distributed-linear-algebra shape: per-partition
+    numpy matmul produces a d×d PARTIAL (metadata-sized — d²=4096
+    values regardless of row count), partials sum under a shuffle of
+    |partitions|·d² rows, the corpus itself never moves. The naive
+    relational plan (explode i × explode j = N·d² rows) is the
+    100 TB faceplant this shape replaces — the oracle takes exactly
+    that route, which is fine at oracle scale.
+
+    Elements are quantized to a 1e-4 grid as int64 BEFORE multiplying
+    (functions/stable.py discipline): every partial and the final sum
+    are exact integer arithmetic — associative, partitioning-proof,
+    bit-identical to the oracle, and within int64 headroom up to
+    ~10⁹ rows at this grid (|x|≤1 ⇒ per-term ≤ {_GRAM_SCALE}²).
+    Upper triangle only (the matrix is symmetric)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].values).astype("float64")
+            xq = np.floor(x * _GRAM_SCALE + 0.5).astype("int64")
+            g = xq.T @ xq
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "p": acc[iu].astype("int64"),
+                }
+            )
+
+    partials = e.mapInPandas(gram_partials, schema="i int, j int, p long")
+    return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_int"))

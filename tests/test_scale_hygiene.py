@@ -54,6 +54,7 @@ ARROW_PYTHON_OK = {
     "weighted_median_udaf",
     "udtf_tokenize_lateral",  # Arrow-optimized UDTF (useArrow=True)
     "pq_adc_topk",  # numpy block encode (integer grid, exact)
+    "embedding_gram_matrix",  # numpy partial-matmul blocks (integer grid, exact)
 }
 
 
