@@ -731,3 +731,64 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = e.mapInPandas(gram_partials, schema="i int, j int, p long")
     return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_int"))
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not ANSI-SQL-expressible;
+    # orthogonality/variance accuracy pinned in tests/test_approx_accuracy.py
+    tags=("vector", "linalg", "pca", "projection"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA end-to-end on the distributed-linalg stack: the exact
+    integer Gram matrix (see ``embedding_gram_matrix``) collects as
+    d²-row metadata, the driver eigendecomposes the 64×64 matrix
+    (numpy ``eigh`` — micro work), and every embedding projects onto
+    the top-2 principal directions as a pure JVM expression (zip_with
+    dot product against the broadcast literal eigenvectors). The
+    corpus is touched exactly twice, map-only both times: once for
+    Gram partials, once for projection — no shuffle of vectors, ever.
+
+    Eigenvector sign is fixed by convention (largest-|component|
+    positive) so the projection is reproducible; the Gram is exact
+    integer arithmetic, so the eigenbasis is identical under any
+    partitioning. Non-SQL-expressible (rows-only check); variance
+    ordering and orthogonality are pinned in
+    tests/test_approx_accuracy.py."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    if not gram_rows:
+        return e.select(
+            "vec_id", F.lit(0.0).alias("pc1"), F.lit(0.0).alias("pc2")
+        ).limit(0)
+    d = _GRAM_DIM
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram_int"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram_int"]
+    g /= float(_GRAM_SCALE) ** 2
+    w, vecs = np.linalg.eigh(g)
+    comps = []
+    for k in (1, 2):
+        vec = vecs[:, -k]
+        if abs(vec[np.argmax(np.abs(vec))]) != vec[np.argmax(np.abs(vec))]:
+            vec = -vec  # sign convention: largest-|component| positive
+        comps.append(vec)
+
+    def project(vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return e.select(
+        "vec_id",
+        stable_round(project(list(comps[0])), 6).alias("pc1"),
+        stable_round(project(list(comps[1])), 6).alias("pc2"),
+    )

@@ -64,3 +64,19 @@ def test_quantile_bins_approx_balanced(spark, sf_dir):
         for r in load_all()["quantile_bins_scalable"].spark(spark, sf_dir).collect()
     }
     assert sum(exact.values()) == n
+
+
+def test_pca_projection_spectral_invariants(spark, sf_dir):
+    """The PCA projection must satisfy the spectral identities of the
+    second-moment matrix it was derived from: Σpc1² ≥ Σpc2² (top
+    eigenvalue first), and Σ pc1·pc2 ≈ 0 (projections onto distinct
+    eigenvectors of G are G-orthogonal by construction)."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    rows = load_all()["embedding_pca_project"].spark(spark, sf_dir).collect()
+    assert rows
+    e1 = sum(r["pc1"] ** 2 for r in rows)
+    e2 = sum(r["pc2"] ** 2 for r in rows)
+    cross = sum(r["pc1"] * r["pc2"] for r in rows)
+    assert e1 >= e2 > 0
+    assert abs(cross) < 1e-3 * (e1 * e2) ** 0.5  # numerically orthogonal
