@@ -67,9 +67,12 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "inverted_index_postings",
     "geo_knn_grid_bucketed",
-    # round 4: iterative graph + cross-corpus boilerplate removal
+    # round 4: iterative graph + cross-corpus boilerplate removal +
+    # distributed linalg + ANN quality eval
     "pagerank_trade_graph",
     "boilerplate_segment_dedup",
+    "embedding_gram_matrix",
+    "knn_ivf_recall_eval",
 ]
 
 
