@@ -116,11 +116,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # is pinned locally in tests/test_approx_accuracy.py)
     "cosine_topk_bruteforce",
     "dedup_embedding_cosine_vectorized",
-    "knn_ivf_cells",
+    # recall eval subsumes the plain IVF row (it recomputes the IVF
+    # search AND grades it against exact ground truth); knn_ivf_cells
+    # and embedding_centroid_per_label keep full local oracles
+    "knn_ivf_recall_eval",
     "knn_lsh_bucketed",
     "kmeans_embedding_clusters",
     "approx_count_distinct",
-    "embedding_centroid_per_label",
+    # distributed linear algebra (exact integer Gram)
+    "embedding_gram_matrix",
     # event-time windows (§2.9; the tumbling batch twin is proven by
     # its value-identical streaming run below — events_tumbling_window
     # keeps its full local oracle, as do sliding and the
