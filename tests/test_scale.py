@@ -427,3 +427,34 @@ def test_minhash_lsh_mega_bucket_star_expansion(spark, tmp_path):
     assert all(r["doc_a"] == 0 for r in rows)
     assert sorted(r["doc_b"] for r in rows) == list(range(1, n))
     assert all(r["n_bands"] == 8 for r in rows)
+
+
+def test_values_at_global_ranks_exact(spark):
+    """The rank-targeted pass returns exactly the key tuples a full
+    sort would place at those 1-based ranks — including rank 1, rank
+    n, heavy first-key ties, out-of-range ranks (ignored), and the
+    ranks_of_n callback (n read off the pass's own shard counts)."""
+    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
+
+    df = spark.range(1, 1501).selectExpr(
+        "cast(id % 40 as double) as v", "id"
+    )
+    expect = sorted((float(r["v"]), r["id"]) for r in df.collect())
+
+    got = values_at_global_ranks(df, ["v", "id"], [1, 2, 750, 1500, 9999])
+    assert [tuple(g) for g in got] == [expect[0], expect[1], expect[749], expect[1499]]
+
+    seen = {}
+    got2 = values_at_global_ranks(
+        df, ["v", "id"], ranks_of_n=lambda n: seen.setdefault("r", [n // 2, n])
+    )
+    assert seen["r"] == [750, 1500]
+    assert [tuple(g) for g in got2] == [expect[749], expect[1499]]
+
+
+def test_values_at_global_ranks_empty(spark):
+    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
+
+    df = spark.range(0).selectExpr("cast(id as double) as v", "id")
+    assert values_at_global_ranks(df, ["v", "id"], [1, 5]) == []
+    assert values_at_global_ranks(df, ["v", "id"], ranks_of_n=lambda n: [n]) == []
