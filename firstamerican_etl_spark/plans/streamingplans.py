@@ -107,7 +107,39 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sessionize_stateful",
-    oracle=None,  # custom stateful emission (closed-sessions-only) is not ANSI-SQL-expressible
+    oracle="""
+WITH closer AS (
+  SELECT user_id, max(ts) + INTERVAL 30 DAYS AS ts,
+         0.0 AS value, TRUE AS is_closer
+  FROM events GROUP BY user_id
+),
+ev AS (
+  SELECT user_id, ts, value, FALSE AS is_closer FROM events
+  UNION ALL SELECT user_id, ts, value, is_closer FROM closer
+),
+flag AS (
+  SELECT user_id, ts, value, is_closer,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS sum_value
+FROM g
+GROUP BY user_id, sid
+HAVING max(CASE WHEN is_closer THEN 1 ELSE 0 END) = 0
+""",
     tags=("streaming", "stateful", "applyInPandasWithState"),
 )
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +147,14 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     timeout) drained over the events stream. Emits CLOSED sessions; a
     per-user far-future closer row is appended to the landing data so
     the watermark passes every real session's horizon and the emission
-    set is deterministic."""
+    set is deterministic — and, since the closers are a pure function
+    of the events table, SQL-SYNTHESIZABLE: the oracle regenerates
+    them, runs the batch islands idiom over events ∪ closers, and
+    drops the closer-only sessions (still open on the stream side).
+    Values accumulate in exact 1e-6 int64 units inside the state
+    handler (functions/stable.py discipline), so the emitted sums are
+    bit-identical to the oracle's quantized sums — a FULL value oracle
+    for a custom stateful streaming operator."""
     base_landing, ckpt = _stage_events(spark, sf_dir, "sess")
     # landing + closers in a separate dir so the shared staged copy stays pure
     landing = tempfile.mkdtemp(prefix="fa_stream_sess_land_")
@@ -143,7 +182,22 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         watermark="1 minute",
     )
     name = f"stream_sess_{abs(hash((sf_dir, ckpt))) % 10**8}"
-    return _drain(stream, name, ckpt, "append")
+    out = _drain(stream, name, ckpt, "append")
+    # The closers exist only to advance the watermark; whether a
+    # closer's OWN single-row session also times out before the drain
+    # ends depends on how far that user's last real event sits behind
+    # the global maximum (watermark is global, timers are per-key).
+    # Anti-join the known closer keys so the emission is exactly the
+    # real sessions — the set the oracle computes — regardless of that
+    # per-user timing.
+    closer_keys = closer.select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    return out.join(
+        closer_keys,
+        (out.user_id == F.col("c_uid")) & (out.session_start == F.col("c_ts")),
+        "left_anti",
+    )
 
 
 @register(

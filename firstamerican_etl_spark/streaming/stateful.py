@@ -16,6 +16,7 @@ per-key-batch (Arrow), not per-row.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import pandas as pd
@@ -30,6 +31,8 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_start", T.TimestampType()),
         T.StructField("session_end", T.TimestampType()),
         T.StructField("n_events", T.LongType()),
+        # emitted as exact 1e-6-unit accumulation ÷ 1e6 — see
+        # STATE_SCHEMA below
         T.StructField("sum_value", T.DoubleType()),
     ]
 )
@@ -40,7 +43,10 @@ STATE_SCHEMA = T.StructType(
         T.StructField("start_us", T.LongType()),
         T.StructField("end_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        # value accumulates in 1e-6 units as int64 (functions/stable.py
+        # discipline): exact, associative, engine-identical — emitted as
+        # units/1e6, so the batch islands idiom is a bit-tight oracle
+        T.StructField("sum_units", T.LongType()),
     ]
 )
 
@@ -56,17 +62,17 @@ def _session_fn(gap_seconds: int):
         (user_id,) = key
         # load open-session state (if any)
         if state.exists:
-            start_us, end_us, n_events, sum_value = state.get
+            start_us, end_us, n_events, sum_units = state.get
         else:
             start_us = end_us = None
-            n_events, sum_value = 0, 0.0
+            n_events, sum_units = 0, 0
 
         closed: list[tuple] = []
 
         if state.hasTimedOut:
             # watermark passed the open session's horizon → emit + clear
             if start_us is not None:
-                closed.append((user_id, start_us, end_us, n_events, sum_value))
+                closed.append((user_id, start_us, end_us, n_events, sum_units))
             state.remove()
         else:
             for pdf in pdf_iter:
@@ -76,21 +82,22 @@ def _session_fn(gap_seconds: int):
                 ):
                     # pandas int64 of a timestamp is nanoseconds
                     ts_us = ts // 1000
+                    units = int(math.floor(float(value) * 1e6 + 0.5))
                     if start_us is None:
                         start_us, end_us = ts_us, ts_us
-                        n_events, sum_value = 1, float(value)
+                        n_events, sum_units = 1, units
                     elif ts_us - end_us > gap_us:
                         closed.append(
-                            (user_id, start_us, end_us, n_events, sum_value)
+                            (user_id, start_us, end_us, n_events, sum_units)
                         )
                         start_us, end_us = ts_us, ts_us
-                        n_events, sum_value = 1, float(value)
+                        n_events, sum_units = 1, units
                     else:
                         end_us = max(end_us, ts_us)
                         n_events += 1
-                        sum_value += float(value)
+                        sum_units += units
             if start_us is not None:
-                state.update((start_us, end_us, n_events, sum_value))
+                state.update((start_us, end_us, n_events, sum_units))
                 # close the open session once event time passes end+gap
                 state.setTimeoutTimestamp((end_us + gap_us) // 1000)
 
@@ -105,7 +112,7 @@ def _session_fn(gap_seconds: int):
                         [c[2] * 1000 for c in closed], utc=True
                     ).tz_localize(None),
                     "n_events": [c[3] for c in closed],
-                    "sum_value": [c[4] for c in closed],
+                    "sum_value": [c[4] / 1e6 for c in closed],
                 }
             )
 
