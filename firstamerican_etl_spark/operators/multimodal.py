@@ -398,21 +398,25 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 256, every: int = 1) -> D
 # ------------------------------------------------------ featurization
 
 def featurize(assets: DataFrame, dim: int = 8) -> DataFrame:
-    """Feature extraction: payload → fixed-dim float vector (the shape
-    an embedding model produces). Deterministic: dimension j is a
-    scaled 32-bit slice of sha256(payload ‖ j). Output feeds directly
-    into the vector ops (cosine top-k / LSH) over ``array<float>``."""
+    """Feature extraction: payload → fixed-dim vector (the shape an
+    embedding model produces). Deterministic: dimension j is a scaled
+    32-bit slice of sha256(payload ‖ ascii(j)) — the ASCII-digit salt
+    and the exact power-of-two divide keep every feature SQL-
+    recomputable (DuckDB sha256 + hex-prefix cast), which is what lets
+    the downstream KNN query carry a full value oracle. Doubles, not
+    float32: float32 products would round differently from any SQL
+    engine and poison value comparison at the last bits."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
 
     def vec(payload: bytes) -> list[float]:
         out = []
         for j in range(dim):
-            h = hashlib.sha256(payload + bytes([j])).digest()
+            h = hashlib.sha256(payload + str(j).encode()).digest()
             out.append(int.from_bytes(h[:4], "big") / 2**32)
         return out
 

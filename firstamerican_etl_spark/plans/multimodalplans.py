@@ -98,16 +98,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feat_sql(j: int) -> str:
+    """Dimension j of the deterministic featurizer, recomputed in SQL:
+    the same sha256(utf8 ‖ ascii(j)) 32-bit slice over 2³² the pandas
+    path produces (operators/multimodal.featurize)."""
+    return (
+        f"CAST(CAST(concat('0x', substr(sha256(text || '{j}'), 1, 8)) "
+        f"AS UBIGINT) AS DOUBLE) / 4294967296.0"
+    )
+
+
+def _chain(side: str, other: str) -> str:
+    """Left-associated dot-product chain — the same addition order as
+    Spark's aggregate() fold, so the doubles are bit-identical."""
+    return " + ".join(f"{side}.f{j} * {other}.f{j}" for j in range(8))
+
+
 @register(
     "multimodal_featurize_knn",
-    oracle=None,  # sha256-derived float vectors have no SQL oracle; rows-only
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id AS asset_id,
+         {", ".join(f"{_feat_sql(j)} AS f{j}" for j in range(8))}
+  FROM documents
+),
+scored AS (
+  SELECT p.asset_id AS probe_id, c.asset_id AS asset_id,
+         floor(({_chain('p', 'c')})
+               / (sqrt({_chain('p', 'p')}) * sqrt({_chain('c', 'c')}))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM feat p CROSS JOIN feat c
+  WHERE p.asset_id < 10 AND c.asset_id >= 10
+)
+SELECT probe_id, asset_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cosine DESC, asset_id
+  ) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
     tags=("multimodal", "mapInPandas", "features", "knn"),
 )
 def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal → vector-search chain: binary payload →
     8-dim deterministic features → brute-force cosine top-3 neighbors
     for the 10 lowest asset_ids (array ops JVM-side: F.zip_with dot
-    product after L2 normalization in the featurizer's output)."""
+    product fold). Full value oracle: the featurizer's sha256-slice
+    features are SQL-recomputable and every floating-point reduction
+    is a left-associated double chain on both sides, so the cosines
+    agree bit-for-bit before the stable floor-rounding."""
     feats = featurize(_assets(spark, sf_dir), dim=8)
     probes = feats.filter(F.col("asset_id") < 10).select(
         F.col("asset_id").alias("probe_id"), F.col("features").alias("probe_vec")
@@ -120,11 +159,12 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    cos_raw = dot / (norm(F.col("probe_vec")) * norm(F.col("features")))
     scored = (
         probes.crossJoin(feats.filter(F.col("asset_id") >= 10))
         .withColumn(
             "cosine",
-            F.round(dot / (norm(F.col("probe_vec")) * norm(F.col("features"))), 6),
+            F.floor(cos_raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0),
         )
         .select("probe_id", "asset_id", "cosine")
     )
@@ -136,7 +176,7 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("cosine").desc(), F.col("asset_id")],
         k=3,
         rank_col="rank",
-    )
+    ).select("probe_id", "asset_id", "cosine")
 
 
 @register(
