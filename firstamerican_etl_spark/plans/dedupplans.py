@@ -585,3 +585,124 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_top1_per_group(
         fresh, partition_by=["fingerprint"], order_by=[F.col("doc_id")]
     ).select("doc_id", "lang", "source", "fingerprint")
+
+
+def _mh32_sql(i: int) -> str:
+    """Hash i of a shingle string in SQL: the first 32 bits of
+    md5(s ‖ ':' ‖ i) — the same value the Spark side computes with
+    conv(substr(md5(..), 1, 8), 16, 10)."""
+    return (
+        f"CAST(concat('0x', substr(md5(s || ':' || '{i}'), 1, 8)) "
+        f"AS UBIGINT)"
+    )
+
+
+def _band_sql(b: int) -> str:
+    cols = ", ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(b * 4, b * 4 + 4))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+@register(
+    "dedup_minhash_lsh_oracled",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(words[i : least(i + 2, len(words))], ' ') AS s
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+    FROM w
+  ) t
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min({_mh32_sql(i)}) AS mh{i}" for i in range(32))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, {_band_sql(b)} AS band_hash FROM sig"
+      for b in range(8)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    tags=("dedup", "minhash", "lsh", "verification-twin"),
+)
+def dedup_minhash_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFICATION TWIN of ``dedup_minhash_lsh``: the identical
+    MinHash + 8×4 LSH banding pipeline with every hash swapped from
+    xxhash64 to an md5 32-bit slice — which makes the whole thing
+    SQL-recomputable, so the flagship near-dup family carries a FULL
+    value oracle (signatures, band hashes, candidate pairs, collision
+    counts all hash-checked against DuckDB). The xxhash64 path stays
+    the production default (~3-5× cheaper per token and the same
+    collision behavior — its recall/soundness is pinned in
+    tests/test_scale.py); this twin exists so correctness of the
+    *algorithm* is provable end-to-end, not just its determinism.
+
+    Same scale shape as the fast path: min-aggregates after map-side
+    combine (the exchange carries |docs|·32 values, not shingles), one
+    band groupBy; candidate generation here is the band self-join —
+    equivalent to the fast path's intra-bucket expansion, and the
+    form the SQL oracle can mirror exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = exploded_words(d)
+    n = F.size("words")
+    shingle = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, 3)),
+        )
+    )
+    sh = w.select("doc_id", shingle.alias("s"))
+    h32 = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("s"), F.lit(f":{i}"))), 1, 8), 16, 10
+    ).cast("long")
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(h32(i)).alias(f"mh{i}") for i in range(32)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{i}").cast("string")
+                                    for i in range(b * 4, b * 4 + 4)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

@@ -122,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_ivf_recall_eval",
     "knn_lsh_bucketed",
     "kmeans_embedding_clusters",
-    "approx_count_distinct",
     # distributed linear algebra (exact integer Gram)
     "embedding_gram_matrix",
     # event-time windows (§2.9; the tumbling batch twin is proven by
@@ -138,6 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # boilerplate segment removal)
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
+    # the md5 verification twin gives the flagship near-dup family a
+    # FULL value oracle in the driver (the xxhash64 fast path above
+    # stays rows-only by design); replaces the approx_count_distinct
+    # rows-only slot (HLL accuracy stays pinned locally)
+    "dedup_minhash_lsh_oracled",
     "boilerplate_segment_dedup",
     # deterministic sampling: the temperature-resample row subsumes the
     # plain hash sample (same md5-prefix predicate, plus in-plan
