@@ -706,3 +706,117 @@ def dedup_minhash_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+@register(
+    "dedup_simhash_oracled",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(word), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(words) AS word FROM w) t
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) g
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS fp
+  FROM bits GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, fp, b, (fp >> (b * 8)) & 255 AS bv
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) gb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 6
+""",
+    tags=("dedup", "simhash", "verification-twin"),
+)
+def dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash VERIFICATION TWIN (companion to the
+    ``dedup_minhash_lsh_oracled`` pattern): the same
+    32-bit-fingerprint + 4-band-pigeonhole + Hamming-verify pipeline
+    as ``dedup_simhash_pairs``, with token hashes swapped to md5
+    32-bit slices so EVERY stage is SQL-recomputable — per-bit
+    majority sums, fingerprints, band buckets, candidate pairs and
+    popcount distances all value-check against DuckDB. The xxhash64
+    64-bit fast path stays the production default; this twin proves
+    the algorithm, not just its determinism.
+
+    The per-bit majority here takes the relational route (explode
+    32 bit positions per token — |tokens|·32 rows into a map-side
+    combined aggregate) because that is the route SQL can mirror; the
+    fast path folds bits JVM-side without the explode."""
+    d = load_table(spark, sf_dir, "documents")
+    w = exploded_words(d)
+    tokens = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.col("words"),
+                lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("h"),
+    )
+    bits = (
+        tokens.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+        )
+        .selectExpr(
+            "doc_id",
+            "j",
+            "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END AS c",
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    fp = (
+        bits.selectExpr(
+            "doc_id",
+            "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+            "ELSE CAST(0 AS BIGINT) END AS bit_val",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("fp"))
+    )
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).selectExpr("doc_id", "fp", "b", "shiftright(fp, CAST(b * 8 AS INT)) & 255 AS bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= 6)
