@@ -792,3 +792,104 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(project(list(comps[0])), 6).alias("pc1"),
         stable_round(project(list(comps[1])), 6).alias("pc2"),
     )
+
+
+def _lsh_weights(planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights, seeded from md5 of
+    '(pos):(plane)' — computed ONCE at plan-build time and inlined as
+    literals on BOTH the Spark and the oracle side, so the twin's
+    buckets are identical by construction (the weights are
+    data-independent constants; no RNG, no engine hash involved)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _lsh_oracle() -> str:
+    ws = _lsh_weights()
+    projs = []
+    for p, w in enumerate(ws):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w[i]:.1f}" for i in range(64)
+        )
+        projs.append(f"CASE WHEN ({chain}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS q_id, c.vec_id AS c_id, a.bucket,
+         round(CAST(list_cosine_similarity(a.embedding, c.embedding) AS DOUBLE), 4) AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  WHERE a.vec_id < 5
+)
+SELECT q_id, c_id, bucket, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, c_id
+  ) AS rn FROM sims
+) WHERE rn <= 1
+"""
+
+
+@register(
+    "knn_lsh_bucketed_oracled",
+    oracle=_lsh_oracle(),
+    tags=("vector", "knn", "lsh", "verification-twin"),
+)
+def knn_lsh_bucketed_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH VERIFICATION TWIN (same pattern as the MinHash and
+    SimHash twins): identical 8-hyperplane bucket + intra-bucket
+    top-1 search as ``knn_lsh_bucketed``, with the ±1 hyperplane
+    weights precomputed as md5-seeded literals inlined on both sides —
+    bucket assignments, candidate sets and cosines all value-check
+    against DuckDB. Projections are sequential left folds (bit-stable
+    addition order); the production path derives weights JVM-side from
+    xxhash64 instead of carrying d×planes literals in the plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    ws = _lsh_weights()
+    bucket = None
+    for p, w in enumerate(ws):
+        lit_w = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(v, lit_w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucketed = e.select("vec_id", v.alias("vd"), bucket.alias("bucket"))
+    a = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("c_id"), F.col("vd").alias("cv"), "bucket"
+    )
+    sims = (
+        a.join(c, on="bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "bucket",
+            stable_round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        sims,
+        partition_by=["q_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("c_id")],
+        k=1,
+        rank_col="__rn",
+    ).select("q_id", "c_id", "bucket", "cos_sim")
