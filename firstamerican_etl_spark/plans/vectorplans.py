@@ -893,3 +893,91 @@ def knn_lsh_bucketed_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         rank_col="__rn",
     ).select("q_id", "c_id", "bucket", "cos_sim")
+
+
+@register(
+    "kmeans_lloyd_step_oracled",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT v.vec_id, v.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(CAST(list_distance(v.embedding, c.cvec) AS DOUBLE), 4), c.cent_id
+           ) AS rn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT cell, d AS dim,
+         CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM assigned, (SELECT unnest(generate_series(1, 64)) AS d) g
+)
+SELECT cell, dim,
+       count(*) AS n_members,
+       CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS centroid
+FROM dims GROUP BY 1, 2
+""",
+    tags=("vector", "kmeans", "lloyd", "verification-twin"),
+)
+def kmeans_lloyd_step_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration, fully value-oracled (the k-means companion
+    to the hashing verification twins): assign every vector to its
+    nearest of 8 fixed coarse centroids (the ``knn_ivf_cells``
+    assignment, rounded-distance + id tie-break), then recompute each
+    cell's centroid as the per-dimension MEAN on the quantized-int64
+    grid — sums of exact integers divided by exact counts, so the new
+    centroids are bit-identical to DuckDB under any partitioning (a
+    raw double mean would be summation-order-dependent). The full
+    training loop (``kmeans_embedding_clusters``, spark.ml, stays
+    rows-only) is this step iterated with re-broadcast centroids; one
+    verified step proves the update arithmetic.
+
+    Scale shape: assignment is a broadcast cross join vs k centroids;
+    the update is one (cell, dim)-keyed aggregate — k·d output rows,
+    map-side combined, corpus shuffled once."""
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    assigned = top_k_per_group(
+        e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cent_id", l2.alias("d")
+        ),
+        partition_by=["vec_id"],
+        order_by=[F.col("d"), F.col("cent_id")],
+        k=1,
+        rank_col="__rn",
+    ).select("v", F.col("cent_id").alias("cell"))
+    dims = assigned.select(
+        "cell",
+        F.posexplode(
+            F.transform(
+                "v",
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+            )
+        ).alias("dim0", "q"),
+    ).select("cell", (F.col("dim0") + 1).alias("dim"), "q")
+    return dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias(
+            "centroid"
+        ),
+    )
