@@ -43,7 +43,11 @@ from firstamerican_etl_spark.pipeline.convert import (
     valhist_long,
 )
 from firstamerican_etl_spark.pipeline.unify import unify
-from firstamerican_etl_spark.sources.io import extract_zips, output_exists, write_parquet
+from firstamerican_etl_spark.sources.io import (
+    extract_zips,
+    stage_is_fresh,
+    write_parquet,
+)
 
 log = logging.getLogger("fa_pipeline")
 
@@ -206,7 +210,12 @@ def run_pipeline(
         staged_paths[fam] = staged_path
         ranked_path = os.path.join(staging_dir, f"ranked_{fam}")
 
-        if not output_exists(staged_path):
+        # freshness-aware S6: skip only if the staged output postdates
+        # every raw file of the family — a NEW county arriving after
+        # the first run forces a restage of exactly this family (a
+        # bare existence check would serve stale staging forever)
+        raw_inputs = [os.path.join(raw_dir, f) for f in filenames]
+        if not stage_is_fresh(staged_path, raw_inputs):
             if use_fazip_source and all(f.endswith(".zip") for f in filenames):
                 from pyspark.sql import functions as F
 
@@ -263,7 +272,10 @@ def run_pipeline(
 
         if rank_fn is not None:
             ranked_paths[fam] = ranked_path
-            if not output_exists(ranked_path):
+            # ranked stage is fresh iff it postdates its staged input
+            if not stage_is_fresh(
+                ranked_path, [os.path.join(staged_path, "_SUCCESS")]
+            ):
                 staged_df = read_stage(staged_path, fam)
                 ranked = (
                     rank_fn(staged_df, validate=validate)

@@ -324,3 +324,27 @@ def write_zorder_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def stage_is_fresh(path: str, input_paths: list[str]) -> bool:
+    """Content-aware idempotent-resume guard: a staged output may be
+    skipped only if it exists (``_SUCCESS``) AND is at least as new as
+    every input that feeds it (nanosecond mtimes). A bare existence
+    check — the reference's resume (fa-etl.py:45-47) and this repo's
+    earlier ``output_exists`` gate — silently serves STALE staging
+    when new inputs arrive after the first run (the national operating
+    mode: counties land incrementally); freshness tracking turns
+    "resume" into "incremental recompute of exactly the touched
+    stages"."""
+    p = Path(path)
+    success = p / "_SUCCESS"
+    if not (p.is_dir() and success.exists()):
+        return False
+    out_ns = success.stat().st_mtime_ns
+    for ip in input_paths:
+        try:
+            if os.stat(ip).st_mtime_ns > out_ns:
+                return False
+        except OSError:
+            return False  # missing/unreadable input → recompute
+    return True

@@ -389,3 +389,56 @@ def test_bucketed_staging_parity_and_colocated_merge(spark, fa_dirs, tmp_path_fa
     assert join_is_colocated(merged_from_tables), (
         merged_from_tables._jdf.queryExecution().executedPlan().toString()[:2000]
     )
+
+
+def test_incremental_county_append(spark, tmp_path_factory):
+    """The national-scale operating mode: new counties arrive after an
+    initial run. The freshness-aware resume must (a) skip all staging
+    on a no-change rerun, (b) RESTAGE when a new county's raw files
+    land (a bare existence check would serve stale staging forever —
+    the bug class stage_is_fresh exists for), and (c) produce a merged
+    output that includes the new county while preserving the original
+    county's rows."""
+    input_dir = str(tmp_path_factory.mktemp("fa_incr"))
+    raw_dir = os.path.join(input_dir, "raw")
+    os.makedirs(raw_dir)
+    _write_zip(raw_dir, "Deed36061", DEED_HEADER, DEED_36061)
+    _write_zip(raw_dir, "Prop36061", PROP_HEADER, PROP_36061)
+    _write_zip(raw_dir, "TaxHist36061", TAXHIST_HEADER, TAXHIST_36061)
+    _write_zip(raw_dir, "ValHist36061", VALHIST_HEADER, VALHIST_36061)
+    merged1 = run_pipeline(spark, input_dir)
+    rows1 = {tuple(r) for r in merged1.collect()}
+    assert rows1
+
+    staging = os.path.join(input_dir, "staging")
+
+    def staged_mtimes():
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(staging)
+            for f in fs
+            if f == "_SUCCESS"
+        }
+
+    before = staged_mtimes()
+    assert before
+
+    # (a) no-change rerun: every stage skipped, nothing rewritten
+    run_pipeline(spark, input_dir)
+    assert staged_mtimes() == before
+
+    # the new county lands → (b) the touched families restage
+    _write_zip(raw_dir, "Deed06037", DEED_HEADER, DEED_06037)
+    _write_zip(raw_dir, "Prop06037", PROP_HEADER, PROP_06037)
+    _write_zip(raw_dir, "TaxHist06037", TAXHIST_HEADER, TAXHIST_06037)
+    _write_zip(raw_dir, "ValHist06037", VALHIST_HEADER, VALHIST_06037)
+    merged2 = run_pipeline(spark, input_dir)
+    rows2 = {tuple(r) for r in merged2.collect()}
+    after = staged_mtimes()
+    assert all(after[p] > before[p] for p in before), "stale staging served"
+
+    # (c) new county present, original county's rows preserved
+    ids = {r[0] for r in rows2}
+    assert {10, 11} & ids, ids
+    assert rows1 <= rows2
+    assert len(rows2) > len(rows1)
