@@ -401,3 +401,62 @@ def multimodal_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_byte").alias("mean_pixel"),
         "meta_width",
     )
+
+
+@register(
+    "corpus_byte_histogram",
+    oracle="""
+WITH chars AS (
+  SELECT unicode(substr(text, i, 1)) AS o
+  FROM documents,
+       (SELECT unnest(generate_series(1, 5000)) AS i) g
+  WHERE i <= length(text)
+)
+SELECT CAST(o // 16 AS BIGINT) AS bucket, count(*) AS n_bytes
+FROM chars GROUP BY 1
+""",
+    tags=("multimodal", "mapInArrow", "bytes", "histogram"),
+)
+def corpus_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide byte-value histogram (16 buckets of 16 values) via
+    ``mapInArrow`` — the Arrow-NATIVE batch path: the kernel reads the
+    pyarrow column's buffers straight into numpy (zero pandas
+    conversion, zero per-row Python) and emits one 16-row partial per
+    batch; partials merge in a |buckets|-sized aggregate. This is the
+    byte-level profiling pass a multimodal ingest runs to sanity-check
+    encodings/corruption before decode, and it completes the repo's
+    Python-interop surface: pandas UDF, applyInPandas(WithState),
+    mapInPandas, UDTF, Python DataSource, and now mapInArrow. The
+    oracle unrolls characters relationally (the text is single-byte
+    ASCII by construction, so char ordinals ARE the utf-8 bytes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def hist_batches(batches):
+        for batch in batches:
+            col = batch.column(0)
+            acc = np.zeros(16, dtype="int64")
+            # buffers()[2] is the utf-8 data buffer of a StringArray;
+            # offsets bound the valid region (sliced batches)
+            for chunk in (col.combine_chunks(),) if isinstance(col, pa.ChunkedArray) else (col,):
+                offsets = np.frombuffer(chunk.buffers()[1], dtype="int32")
+                data = np.frombuffer(chunk.buffers()[2], dtype="uint8")
+                lo = offsets[chunk.offset]
+                hi = offsets[chunk.offset + len(chunk)]
+                acc += np.bincount(data[lo:hi] >> 4, minlength=16)[:16]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(16, dtype="int64")),
+                    pa.array(acc),
+                ],
+                names=["bucket", "n"],
+            )
+
+    partials = d.mapInArrow(hist_batches, schema="bucket long, n long")
+    return (
+        partials.groupBy("bucket")
+        .agg(F.sum("n").alias("n_bytes"))
+        .filter(F.col("n_bytes") > 0)
+    )

@@ -55,6 +55,7 @@ ARROW_PYTHON_OK = {
     "udtf_tokenize_lateral",  # Arrow-optimized UDTF (useArrow=True)
     "pq_adc_topk",  # numpy block encode (integer grid, exact)
     "embedding_gram_matrix",  # numpy partial-matmul blocks (integer grid, exact)
+    "corpus_byte_histogram",  # mapInArrow buffer-level numpy bincount
 }
 
 
@@ -87,7 +88,7 @@ def test_plan_hygiene(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}: un-broadcast cross join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ARROW_PYTHON_OK:
-        for marker in ("ArrowEvalPython", "MapInPandas", "InPandas"):
+        for marker in ("ArrowEvalPython", "MapInPandas", "InPandas", "MapInArrow"):
             assert marker not in plan, f"{name}: unexpected Python stage ({marker})"
     if name not in UNPARTITIONED_WINDOW_OK:
         bad = _unpartitioned_window_lines(plan)
