@@ -972,7 +972,7 @@ def pagination_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1
 """,
@@ -1010,7 +1010,7 @@ def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        count(*) AS n_rows,
        count(o_clerk_id) AS n_with_clerk,
-       sum(coalesce(o_clerk_id, -1)) AS clerk_checksum
+       CAST(sum(coalesce(o_clerk_id, -1)) AS BIGINT) AS clerk_checksum
 FROM (
   SELECT o_orderstatus, CAST(NULL AS BIGINT) AS o_clerk_id
   FROM orders WHERE o_orderkey % 2 = 0

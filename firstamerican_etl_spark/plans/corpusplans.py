@@ -92,7 +92,7 @@ c AS (
 )
 SELECT CAST(floor(tok_offset / {_B}.0) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM c
@@ -142,7 +142,7 @@ WITH s AS (
 )
 SELECT vec_id,
        floor(sc * 1000000 + 0.5) / 1000000 AS scale,
-       (SELECT sum(CAST(floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS BIGINT))
+       (SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) AS BIGINT)) AS BIGINT)
           FROM unnest(embedding) AS u(x)) AS q_checksum,
        len(embedding) AS dim
 FROM s
@@ -210,7 +210,7 @@ boiler AS (
 )
 SELECT s.doc_id,
        count(*) AS n_segments,
-       sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+       CAST(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
        floor((count(*) - sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END))
              / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS keep_ratio
 FROM segs s LEFT JOIN boiler b ON s.h = b.bh
@@ -295,8 +295,8 @@ b AS (
 )
 SELECT bucket_len,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(bucket_len - n_tokens) AS padding_waste,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_len - n_tokens) AS BIGINT) AS padding_waste,
        (count(*) + greatest({_B} // bucket_len, 1) - 1) // greatest({_B} // bucket_len, 1) AS n_batches
 FROM b GROUP BY 1
 """,

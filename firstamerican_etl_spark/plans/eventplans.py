@@ -209,7 +209,7 @@ def events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -293,10 +293,10 @@ WITH g AS (
   FROM events
 ),
 b AS (
-  SELECT *, sum(new_burst) OVER (
+  SELECT *, CAST(sum(new_burst) OVER (
            PARTITION BY user_id, event_type ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS burst_id
+         ) AS BIGINT) AS burst_id
   FROM g
 )
 SELECT user_id, event_type, burst_id,

@@ -62,9 +62,9 @@ def _oracle() -> str:
     it = """
 it{k} AS (
   SELECT e.dst AS node,
-         (SELECT b FROM base) + sum(
+         (SELECT b FROM base) + CAST(sum(
            CAST(floor(CAST(r.r * {dnum} AS DOUBLE) / (d.deg * {dden})) AS BIGINT)
-         ) AS r
+         ) AS BIGINT) AS r
   FROM sym e
   JOIN it{prev} r ON e.src = r.node
   JOIN deg d ON e.src = d.node

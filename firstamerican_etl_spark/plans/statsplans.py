@@ -312,7 +312,7 @@ def event_mix_gini_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
        max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
 FROM events
 GROUP BY 1

@@ -381,7 +381,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_type,
        count(*) AS n_events,
-       sum(event_id) AS id_sum
+       CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM (
   SELECT i AS event_id,
          i % 50 AS user_id,

@@ -271,7 +271,7 @@ c AS (
   SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(n) AS n_bigrams,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
        count(*) AS n_distinct_bigrams,
        floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) / 1000000 AS top_bigram_frac
 FROM c GROUP BY 1

@@ -403,8 +403,8 @@ r AS (
 )
 SELECT d.lang,
        count(*) AS n_docs,
-       sum(CASE WHEN '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-                     < printf('%05x', r.thresh) THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                     < printf('%05x', r.thresh) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        any_value(r.target_rate) AS target_rate
 FROM documents d JOIN r USING (lang)
 GROUP BY 1

@@ -681,7 +681,7 @@ WITH q AS (
 ),
 idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i),
 jdx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS j)
-SELECT i, j, sum(v[i] * v[j]) AS gram_int
+SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS gram_int
 FROM q, idx, jdx
 WHERE j >= i
 GROUP BY 1, 2

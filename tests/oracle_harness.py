@@ -21,9 +21,13 @@ def run_oracle(sql: str, sf_dir: str):
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    # Arrow fetch, not DBAPI fetchall(): the round driver fetches
+    # through Arrow, where DuckDB HUGEINT arrives as Decimal (r04
+    # lesson).  DBAPI coerces it to int and hides the divergence.
+    tbl = con.execute(sql).arrow()
+    cols = tbl.column_names
+    pydata = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pydata)) if cols else []
     con.close()
     return cols, rows
 
@@ -76,7 +80,10 @@ def compare(name: str, spark_df, oracle: str, sf_dir: str) -> list[str]:
     sc, sn = normalize(s_cols, s_rows)
     oc, on = normalize(o_cols, o_rows)
     for i, (a, b) in enumerate(zip(sn, on)):
-        if a != b:
+        # repr comparison, not ==: Python says 3 == Decimal('3'), but
+        # the driver's typed hash does not — a DuckDB HUGEINT leaking
+        # into an oracle must FAIL here (r04 lesson).
+        if repr(a) != repr(b):
             errs.append(f"{name}: first row diff at {i}:\n  cols ={sc}\n  spark={a}\n  duck ={b}")
             break
     return errs

@@ -31,7 +31,24 @@ SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def fetch_oracle(con, sql):
+    """Fetch an oracle result the way the round driver does: through
+    Arrow.  DBAPI ``fetchall()`` coerces DuckDB HUGEINT to plain Python
+    int, hiding the Decimal-vs-int hash divergence the driver sees
+    (r04: five red rows the sim called green).  Arrow keeps HUGEINT as
+    decimal128 → Python ``Decimal``, so the sim hashes what the driver
+    hashes."""
+    tbl = con.execute(sql).arrow()
+    cols = tbl.column_names
+    pydata = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pydata)) if cols else []
+    return cols, rows
+
+
 def norm(v):
+    # NOTE: type-faithful on purpose — Decimal passes through unchanged
+    # so repr() hashing distinguishes Decimal('3') from int 3, exactly
+    # like the driver's typed value-hash.
     if v is None:
         return None
     if isinstance(v, float):
@@ -67,9 +84,7 @@ def run_pass(spark, con, qs, oracles, label):
             if name not in oracles:
                 print(f"  [{label}] rows-only {name}: {len(srows)} rows")
                 continue
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            ocols, orows = fetch_oracle(con, oracles[name])
             problems = []
             if sorted(scols) != sorted(ocols):
                 problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
