@@ -435,6 +435,8 @@ def values_at_global_ranks(
 
     from pyspark.sql import types as T
 
+    if ranks is None and ranks_of_n is None:
+        raise ValueError("values_at_global_ranks: pass ranks or ranks_of_n")
     n_shards = partitions or df.sparkSession.sparkContext.defaultParallelism
     # Shard on the FIRST key alone when it is numeric: shard placement
     # only needs to be MONOTONE w.r.t. the full key order (rows with
@@ -483,6 +485,14 @@ def values_at_global_ranks(
     by_loc = {(r["_pid"], r["_rn"]): tuple(r[k] for k in keys) for r in rows}
     out = []
     for pid, k, rank in wanted:
-        if (pid, k) in by_loc:
-            out.append(by_loc[(pid, k)])
+        if (pid, k) not in by_loc:
+            # a located (shard, ordinal) target MUST exist — silently
+            # skipping would shorten the result and misalign callers
+            # that zip results against requested ranks (quantile_bins)
+            raise RuntimeError(
+                f"values_at_global_ranks: rank {rank} located at shard {pid} "
+                f"ordinal {k} but absent from the window pass — "
+                "nondeterministic upstream lineage between passes?"
+            )
+        out.append(by_loc[(pid, k)])
     return out

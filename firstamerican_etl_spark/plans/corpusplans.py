@@ -187,6 +187,34 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG = 3  # boilerplate segment length (words)
 _SEG_DOCS = 2  # a segment in more than this many distinct docs is boilerplate
 
+# Conf key + default for the mark-back broadcast guard. The boilerplate
+# hash set is staged to parquet (distributed write, small side only) and
+# broadcast ONLY if its on-disk size is under this cap; otherwise the
+# mark-back falls back to a shuffle hash join. "Tiny by construction"
+# is false at web scale — common trigrams ("all rights reserved",
+# function-word runs) put a large fraction of distinct shingles over the
+# >2-docs threshold, and an unguarded broadcast of that set OOMs every
+# executor. 16 MiB of snappy-parquet md5 hashes is ~4× that in-heap;
+# past it, re-exchanging the corpus by segment hash is the honest cost.
+_BOILER_CAP_KEY = "spark.firstamerican.boilerplate.broadcastCapBytes"
+_BOILER_CAP_DEFAULT = str(16 << 20)
+
+_BOILER_STAGE_DIR: str | None = None
+
+
+def _boiler_stage_dir() -> str:
+    """One staging dir per process, cleaned at exit — repeated
+    invocations overwrite in place rather than accumulating copies."""
+    global _BOILER_STAGE_DIR
+    if _BOILER_STAGE_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _BOILER_STAGE_DIR = tempfile.mkdtemp(prefix="fa_boilerplate_set_")
+        atexit.register(shutil.rmtree, _BOILER_STAGE_DIR, ignore_errors=True)
+    return _BOILER_STAGE_DIR
+
 
 @register(
     "boilerplate_segment_dedup",
@@ -228,13 +256,18 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus is shuffled ONLY inside the segment
     frequency aggregate (map-side partials collapse each partition to
-    its distinct hashes before the exchange); the resulting
-    boilerplate set is tiny by construction — segments repeated across
-    many docs are the pathological few — so the mark-back join
-    broadcasts it and the per-doc report is a second map-side-partial
-    aggregate. The corpus is never shuffled by segment hash for the
-    join, which at 100 TB is the difference between a metadata
-    broadcast and re-exchanging every token of the corpus."""
+    its distinct hashes before the exchange). The resulting boilerplate
+    set is then staged to parquet (a distributed write of the SMALL
+    side — the corpus never moves for this) and its measured on-disk
+    size decides the mark-back strategy: under the cap
+    (``spark.firstamerican.boilerplate.broadcastCapBytes``, default
+    16 MiB) it is broadcast and the per-doc report is a second
+    map-side-partial aggregate with zero extra corpus movement; over
+    the cap — which WILL happen on a web corpus, where common trigrams
+    push a large share of shingles past the >2-docs threshold — the
+    mark-back is a shuffle hash join, the honest cost when the
+    boilerplate set itself is too big for executor memory. Measured,
+    not hoped: the earlier unconditional broadcast OOMs at 100 TB."""
     from firstamerican_etl_spark.plans.dedupplans import exploded_words
 
     w = exploded_words(load_table(spark, sf_dir, "documents"))
@@ -254,9 +287,29 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > _SEG_DOCS)
         .select(F.col("h").alias("bh"))
     )
+    # Stage the (aggregated, filtered) boilerplate set once, measure it,
+    # then pick the join strategy from the measurement. The frequency
+    # agg — the one unavoidable corpus shuffle — runs exactly once.
+    import os
+
+    stage = os.path.join(_boiler_stage_dir(), "boiler")
+    boiler.write.mode("overwrite").parquet(stage)
+    staged_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(stage)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    cap = int(spark.conf.get(_BOILER_CAP_KEY, _BOILER_CAP_DEFAULT))
+    boiler_staged = spark.read.parquet(stage)
+    if staged_bytes <= cap:
+        build = F.broadcast(boiler_staged)
+    else:
+        # too big to broadcast: shuffle hash join (no sort — the build
+        # side hashes, the corpus side exchanges by segment hash once)
+        build = boiler_staged.hint("shuffle_hash")
     hit = F.col("bh").isNotNull().cast("long")
     return (
-        segs.join(F.broadcast(boiler), segs.h == F.col("bh"), "left")
+        segs.join(build, segs.h == F.col("bh"), "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),

@@ -42,7 +42,7 @@ from firstamerican_etl_spark.operators.scale import write_bucketed
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
-_STAGE_SEQ = 0  # unique per-invocation staging-table suffix
+_STAGE_DIR = None  # one staging dir per process, overwritten in place
 
 _SCALE = 10**12  # rank unit: 1e-12
 _D_NUM, _D_DEN = 85, 100  # damping 0.85 as exact integers
@@ -114,6 +114,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized graph has no dangling nodes by construction, so no
     dangling-mass redistribution term is needed."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -150,11 +151,19 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    vector, so this is the shuffle that matters. The DataFrame
     #    analogue of GraphX's mandatory edge-RDD persist, without
     #    pinning executor memory (dir removed at process exit).
-    global _STAGE_SEQ
-    _STAGE_SEQ += 1
-    stage_dir = tempfile.mkdtemp(prefix="fa_pagerank_edges_")
-    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
-    table = f"fa_pagerank_edges_{_STAGE_SEQ}"
+    # One FIXED table name + staging dir per process, replaced on every
+    # invocation: a long driver session re-running this query (bench
+    # min-of-2) must leave exactly one staged copy live, not accumulate
+    # warehouse state until process exit.
+    global _STAGE_DIR
+    if _STAGE_DIR is None:
+        _STAGE_DIR = tempfile.mkdtemp(prefix="fa_pagerank_edges_")
+        atexit.register(shutil.rmtree, _STAGE_DIR, ignore_errors=True)
+    table = "fa_pagerank_edges"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(_STAGE_DIR, ignore_errors=True)
+    os.makedirs(_STAGE_DIR)
+    stage_dir = _STAGE_DIR
     write_bucketed(
         sym_deg,
         table,

@@ -407,9 +407,12 @@ def multimodal_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_byte_histogram",
     oracle="""
 WITH chars AS (
+  -- series bound derived from the data, not a fixed 5000: a document
+  -- longer than any assumed constant would silently undercount here
+  -- while the Spark side counts every byte
   SELECT unicode(substr(text, i, 1)) AS o
   FROM documents,
-       (SELECT unnest(generate_series(1, 5000)) AS i) g
+       (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i) g
   WHERE i <= length(text)
 )
 SELECT CAST(o // 16 AS BIGINT) AS bucket, count(*) AS n_bytes

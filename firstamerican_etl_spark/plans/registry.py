@@ -89,7 +89,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # oracles — coalesce_cascade_q / concat_fallback — in
     # tests/test_oracle.py)
     "string_date_funcs",
-    "conditional_flags",
+    # (conditional_flags — F7/F8 flag surface — retired to local-oracle
+    # coverage in r5: its scalar family is also driver-proven inside
+    # string_date_funcs + fa_ranked_deed; slot reused for the Arrow
+    # UDAF family the driver had never seen)
+    "weighted_median_udaf",
     # SQL interface + semi-structured sources
     "sql_interface_passthrough",
     "events_from_jsonl",
@@ -104,7 +108,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis + retrieval (BM25 is the lexical-retrieval
     # flagship of the round-4 retrieval family)
     "text_quality",
-    "token_count",
+    # (token_count retired to local-oracle coverage in r5 — whitespace
+    # + BPE-ish counting is also exercised inside corpus_pack/BM25;
+    # slot reused for Spark 4 recursive CTE, a driver-unseen family)
+    "recursive_cte_hierarchy",
     "lang_id_heuristic",
     # perplexity-style unigram scorer (doc_fingerprint keeps its full
     # local oracle in tests/test_oracle.py; its rolling-hash core is
@@ -115,7 +122,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # clustering; LSH/kmeans/HLL are rows-only — their value accuracy
     # is pinned locally in tests/test_approx_accuracy.py)
     "cosine_topk_bruteforce",
-    "dedup_embedding_cosine_vectorized",
+    # (dedup_embedding_cosine_vectorized retired to local-oracle
+    # coverage in r5 — the cosine family stays triple-proven by the
+    # brute-force baseline, IVF recall eval and LSH rows; slot reused
+    # for the VariantType semi-structured shred, a driver-unseen
+    # family)
+    "events_variant_shred",
     # recall eval subsumes the plain IVF row (it recomputes the IVF
     # search AND grades it against exact ground truth); knn_ivf_cells
     # and embedding_centroid_per_label keep full local oracles

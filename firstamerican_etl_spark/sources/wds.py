@@ -88,9 +88,21 @@ class WdsWriter(DataSourceWriter):
                     f"got {f.dataType.simpleString()} (encode upstream)"
                 )
         self.fields = names
+        # Crash-safe overwrite: do NOT delete anything up front — a
+        # failed job must leave the previous generation (shards +
+        # _SUCCESS manifest) fully readable. Old shards are removed in
+        # commit(), after the new generation is durable; until then the
+        # reader keeps resolving the OLD manifest and never sees the
+        # in-flight shard files (uuid names cannot collide). Only
+        # *.tar files are ever touched — subdirectories are ignored.
+        self.overwrite = overwrite
+        self._old_shards: list[str] = []
         if overwrite and os.path.isdir(self.path):
-            for f in os.listdir(self.path):
-                os.remove(os.path.join(self.path, f))
+            self._old_shards = [
+                e.name
+                for e in os.scandir(self.path)
+                if e.is_file() and e.name.endswith(".tar")
+            ]
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _ShardCommit:
@@ -115,6 +127,14 @@ class WdsWriter(DataSourceWriter):
         manifest = sorted(m.filename for m in messages)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("\n".join(manifest))
+        # new generation is durable; now retire the old shards
+        keep = set(manifest)
+        for name in self._old_shards:
+            if name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -276,3 +276,52 @@ def test_wds_schema_inference_from_first_sample(spark, tmp_path):
     kinds = dict(back.dtypes)
     assert kinds["img"] == "binary" and kinds["json"] == "string"
     assert back.count() == 5
+
+
+def test_wds_overwrite_is_crash_safe(spark, tmp_path):
+    """Overwrite must not destroy the previous generation before the
+    new one commits: old shards are retired in commit(), a subdirectory
+    in the target dir is never touched, and a second overwrite leaves
+    exactly the new generation (no stale shards accumulating)."""
+    import os
+
+    from firstamerican_etl_spark.sources.wds import WdsDataSource, WdsWriter
+
+    spark.dataSource.register(WdsDataSource)
+    out = str(tmp_path / "wds_ow")
+
+    def write_gen(n):
+        src = spark.range(n).select(
+            F.col("id").cast("string").alias("__key__"),
+            F.col("id").cast("string").cast("binary").alias("ppm"),
+        )
+        src.coalesce(1).write.format("wds").mode("overwrite").option("path", out).save()
+
+    write_gen(5)
+    gen1 = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    # a subdirectory must survive overwrite (the old code crashed on it)
+    os.makedirs(os.path.join(out, "subdir"), exist_ok=True)
+
+    # simulate the pre-commit window of a second overwrite: constructing
+    # the writer (what a starting job does) must leave gen1 readable
+    schema = spark.range(1).select(
+        F.lit("k").alias("__key__"), F.lit(b"x").alias("ppm")
+    ).schema
+    WdsWriter(schema, {"path": out}, overwrite=True)
+    still = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert still == gen1
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    write_gen(7)
+    gen2 = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert not set(gen1) & set(gen2)  # old generation fully retired
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read().splitlines() == gen2
+    assert os.path.isdir(os.path.join(out, "subdir"))
+    back = (
+        spark.read.format("wds")
+        .option("path", out)
+        .option("columns", "ppm:binary")
+        .load()
+    )
+    assert back.count() == 7

@@ -65,7 +65,9 @@ PROBE = [
 
 
 def build_sf1(spark) -> str:
-    out = os.path.join("/tmp", f"fa_sf1_derived_{staging_tag(SRC, 'lineitem')}")
+    # cache key = source content tag + derivation version (v2: per-copy
+    # content perturbation so clones are not mutual near-duplicates)
+    out = os.path.join("/tmp", f"fa_sf1_derived_v2_{staging_tag(SRC, 'lineitem')}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -83,6 +85,40 @@ def build_sf1(spark) -> str:
                 d = src
                 for c in cols:
                     d = d.withColumn(c, F.col(c) + F.lit(k * _SHIFT))
+                # Perturb CONTENT per copy, not just keys: verbatim
+                # clones would be mutual near-duplicates, inflating
+                # dedup/ANN candidate counts ~45 pairs per group — the
+                # probe would read super-linear for data-construction
+                # reasons, the exact false flag it exists to catch.
+                if t == "documents" and k > 0:
+                    # suffix every word with the copy index: copies
+                    # share ZERO shingles with the original, so MinHash/
+                    # SimHash/Jaccard see no cross-copy similarity;
+                    # within-copy duplicate relations are preserved
+                    # (same rewrite applied to all rows of the copy)
+                    # and per-doc word counts are unchanged.
+                    d = d.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda w: F.concat(w, F.lit(f"_{k}")),
+                            ),
+                            " ",
+                        ),
+                    )
+                if t == "embeddings" and k > 0:
+                    # constant per-copy offset: within-copy geometry is
+                    # preserved, cross-copy vectors are no longer
+                    # clones, so cosine/LSH/IVF candidate counts scale
+                    # with data, not with copy multiplicity
+                    d = d.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x: (x + F.lit(0.61 * k)).cast("float"),
+                        ),
+                    )
                 parts.append(d)
             big = parts[0]
             for p in parts[1:]:
