@@ -73,6 +73,9 @@ HEADLINE = [
     "boilerplate_segment_dedup",
     "embedding_gram_matrix",
     "knn_ivf_recall_eval",
+    # round 5: semantic dedup + importance-weighted data selection
+    "semdedup_cluster_prune",
+    "dsir_importance_weights",
 ]
 
 

@@ -24,6 +24,40 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def process_stage_dir(prefix: str) -> str:
+    """One temp staging dir per (process, prefix), removed at process
+    exit. Callers overwrite in place on re-invocation, so a long driver
+    session (bench min-of-2) never accumulates staged copies.
+
+    Staging exists because Catalyst does not CSE a subtree referenced
+    from multiple join branches: an expensive intermediate referenced
+    N times is recomputed N times unless it is materialized. Writing it
+    once to parquet and re-scanning is the lineage-free alternative to
+    persist() — no executor memory pinned, deterministic re-reads."""
+    if prefix not in _STAGE_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"fa_stage_{prefix}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STAGE_DIRS[prefix] = d
+    return _STAGE_DIRS[prefix]
+
+
+def stage_once(df: DataFrame, prefix: str) -> DataFrame:
+    """Materialize ``df`` to a per-process staging dir (overwriting any
+    previous generation) and return a fresh scan of it. Use when a plan
+    references the same expensive subtree from 2+ branches."""
+    import os
+
+    path = os.path.join(process_stage_dir(prefix), "data")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
 
 def write_bucketed(
     df: DataFrame,

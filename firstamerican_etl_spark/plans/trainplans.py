@@ -462,3 +462,141 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("target_rate")).alias("target_rate"),
         )
     )
+
+
+_DSIR_B = 256  # hashed n-gram feature buckets
+_DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 2)) AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w) t
+),
+raw AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS ct FROM grams WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS r,
+         CAST(coalesce(sum(CASE WHEN t.bucket IS NOT NULL THEN ct END), 0) AS BIGINT) AS tt
+  FROM raw LEFT JOIN tgt t USING (bucket)
+),
+lr AS (
+  SELECT raw.bucket,
+         CAST(floor(ln(((coalesce(ct, 0) + 1.0) * (r + {_DSIR_B}))
+                       / ((cr + 1.0) * (tt + {_DSIR_B}))) * 1000000 + 0.5) AS BIGINT) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+),
+dc AS (SELECT doc_id, lang, bucket, count(*) AS n FROM grams GROUP BY 1, 2, 3)
+SELECT dc.doc_id,
+       any_value(dc.lang) AS lang,
+       CAST(sum(n) AS BIGINT) AS n_grams,
+       CAST(sum(n * lr) AS BIGINT) AS logweight_scaled
+FROM dc JOIN lr USING (bucket)
+GROUP BY 1
+""",
+    tags=("sampling", "dsir", "importance", "training-data"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by its hashed-bigram importance weight
+    log(p_target/p_raw), where both distributions are bag-of-hashed-
+    bigram models with Laplace smoothing — target = the 'en' slice,
+    raw = the whole corpus. High-weight docs look like the target
+    domain and get preferentially sampled into the training mix.
+
+    Exactness: the per-bucket log-ratio is quantized ONCE to an int64
+    (1e-6 units) on a 256-row frame; the per-document score is then an
+    integer dot product Σ count·lr — associative, so ANY partitioning
+    gives bit-identical results, and the oracle matches exactly (no
+    float summation over data-sized frames, the same discipline as
+    PageRank's scaled-int ranks).
+
+    Scale shape: bigrams materialize map-side from the bound words
+    array; the corpus shuffles only on document-keyed groupBys
+    ((doc_id, bucket) counts, then the per-doc sum). Both distribution
+    frames collapse to ≤256 rows before they move, and the log-ratio
+    table re-joins the corpus via broadcast — at 100 TB nothing
+    document-sized is ever exchanged by anything but doc_id."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(
+        load_table(spark, sf_dir, "documents"), keep=("doc_id", "lang")
+    )
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
+        ),
+    )
+    grams = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(bigrams).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    # ONE corpus pass: collapse to per-(doc, bucket) counts first and
+    # stage that (≤256 rows/doc — ~100× smaller than the exploded
+    # grams), then derive both distribution frames from the staged
+    # counts. Unstaged, Catalyst re-exploded the corpus three times
+    # (raw, target, and per-doc branches).
+    from firstamerican_etl_spark.operators.scale import stage_once
+
+    dc = stage_once(
+        grams.groupBy("doc_id", "bucket").agg(
+            F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n")
+        ),
+        "dsir_doc_buckets",
+    )
+    raw = dc.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        dc.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    stats = raw.join(tgt, "bucket", "left")
+    tot = stats.agg(
+        F.sum("cr").alias("r"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+    )
+    lr = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) * (F.col("r") + _DSIR_B))
+                    / ((F.col("cr") + F.lit(1.0)) * (F.col("tt") + _DSIR_B))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr")).alias("logweight_scaled"),
+        )
+    )

@@ -981,3 +981,165 @@ def kmeans_lloyd_step_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid"
         ),
     )
+
+
+_SEMDEDUP_K = 8  # coarse cells (deterministic centroids: vec_id < K)
+_SEMDEDUP_TAU = (2, 5)  # cosine threshold τ = 2/5 as an exact rational
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < {_SEMDEDUP_K}),
+assigned AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT e.vec_id, e.q, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(CAST(list_distance(e.v, c.cvec) AS DOUBLE), 4), c.cent_id
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+n2 AS (
+  SELECT vec_id, cell, q,
+         CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS nn
+  FROM assigned
+),
+dups AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM n2 a JOIN n2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND {_SEMDEDUP_TAU[1] ** 2} * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+                               * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        >= {_SEMDEDUP_TAU[0] ** 2} * a.nn * b.nn
+  GROUP BY 1
+)
+SELECT n2.vec_id, n2.cell, d.dup_of,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM n2 LEFT JOIN dups d ON n2.vec_id = d.vec_id
+""",
+    tags=("dedup", "embedding", "semdedup", "cluster", "training-data"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by cluster-then-prune — coarse-cluster the embedding
+    space, then within each cluster mark every vector whose cosine
+    similarity to a LOWER-id cluster-mate exceeds τ as a semantic
+    duplicate (the lower id is the kept representative). This is the
+    web-scale recipe for pruning paraphrases/re-renders that exact and
+    MinHash dedup cannot see, at Σ|cell|² cost instead of N².
+
+    Exactness: pairwise similarity is tested on 1e-3-quantized int64
+    vectors via the cross-multiplied inequality
+    25·dot² ≥ 4·‖a‖²·‖b‖² (τ = 2/5) — all-integer arithmetic, no sqrt,
+    no float accumulation, so the oracle matches bit-for-bit under any
+    partitioning (same discipline as the Gram/PageRank operators).
+    Overflow-safe under ANSI: |x|≤0.578 ⇒ dot ≤ 64·578² ≈ 2.1e7,
+    25·dot² ≈ 1.1e16 < 2⁶³.
+
+    Scale shape: assignment is a broadcast cross join vs K centroids +
+    top-1 (the IVF pattern); the pairing join keys on cell, so each
+    vector moves ONCE into its cell bucket and candidate pairs are
+    Σ|cell|² — bound K to keep cells task-sized (production: k-means
+    with √N cells, same plan). The dup report re-joins doc-keyed."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    cents = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    from firstamerican_etl_spark.operators.scale import stage_once
+
+    # Stage the assignment once: three join branches (both pair sides +
+    # the final report) reference it, and Catalyst would re-run the
+    # centroid cross join + window per branch. Staging is also the real
+    # IVF build artifact — assign once, search many.
+    assigned = stage_once(
+        top_k_per_group(
+            e.crossJoin(F.broadcast(cents)).select(
+                "vec_id", "q", "cent_id", l2.alias("d")
+            ),
+            partition_by=["vec_id"],
+            order_by=[F.col("d"), F.col("cent_id")],
+            k=1,
+            rank_col="__rn",
+        ).select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            "q",
+        ),
+        "semdedup_assigned",
+    )
+    # Pair scoring: one shuffle by cell into an EXACT int64 BLAS kernel
+    # (numpy int64 matmul — modular semantics never engaged, values
+    # ≤2.1e7 — so Q·Qᵀ is bit-identical to the oracle's list_dot_product
+    # over the same quantized ints). A join-based variant (zip_with +
+    # aggregate fold per pair) is value-identical but pays interpreted-
+    # lambda cost per element; the BLAS path scores all Σ|cell|² pairs
+    # of a cell in one matmul, same trade as
+    # dedup_embedding_cosine_vectorized.
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    t_num, t_den = _SEMDEDUP_TAU
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("is_dup", T.LongType()),
+        ]
+    )
+
+    def cell_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        d = q @ q.T
+        nn = np.diagonal(d)
+        ok = (d > 0) & (
+            (t_den * t_den) * d * d >= (t_num * t_num) * np.outer(nn, nn)
+        )
+        # only LOWER-id mates count as representatives: row i, col j, i<j
+        iu = np.triu_indices(len(ids), k=1)
+        ok_pairs = ok[iu]
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i, j in zip(iu[0][ok_pairs], iu[1][ok_pairs]):
+            if dup_of[j] < 0 or ids[i] < dup_of[j]:
+                dup_of[j] = ids[i]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "dup_of": pd.array(
+                    [None if v < 0 else int(v) for v in dup_of], dtype="Int64"
+                ),
+                "is_dup": (dup_of >= 0).astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(cell_prune, schema=out_schema)

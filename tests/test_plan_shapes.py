@@ -377,3 +377,29 @@ def test_mixture_resample_broadcasts_rates(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_stages_assignment_and_joins_on_cell(spark, sf_dir):
+    """SemDeDup's returned plan must consume the STAGED assignment (the
+    centroid cross join ran once at build time — no BroadcastNestedLoop
+    left in the query plan), pair candidates via an equi-join on cell
+    (never a cartesian product), and re-join the dup report doc-keyed."""
+    df = REGISTRY["semdedup_cluster_prune"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one corpus-side exchange: the groupBy(cell) into the
+    # int64 BLAS kernel — pairing needs no join at all
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_dsir_broadcasts_logratio_frame(spark, sf_dir):
+    """DSIR's ≤256-row log-ratio frame must broadcast back onto the
+    per-doc counts; the corpus-sized side is only ever exchanged by
+    document-keyed aggregates, never by the distribution frames."""
+    df = REGISTRY["dsir_importance_weights"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

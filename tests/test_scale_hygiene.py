@@ -44,6 +44,7 @@ ARROW_PYTHON_OK = {
     "multimodal_wds_roundtrip",  # netpbm decode over wds tar-shard rows
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
+    "semdedup_cluster_prune",  # per-cell int64 BLAS pair kernel (exact)
     "streaming_sessionize_stateful",
     "streaming_custom_source_agg",
     "kmeans_embedding_clusters",
