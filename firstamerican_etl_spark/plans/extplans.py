@@ -613,17 +613,18 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     o = spark.table(ob)
     li = spark.table(lb)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = li.join(o, li.l_orderkey == o.o_orderkey)
-        assert join_is_colocated(joined), "bucketed join re-shuffled"
-        return joined.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            fast_sum(F.col("l_extendedprice")).alias("revenue"),
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # MERGE hint, not a session-conf flip: at test scale the planner
+    # would broadcast the small side and hide the bucket co-location
+    # this query exists to prove. The hint is plan-scoped — no mutation
+    # of spark.sql.autoBroadcastJoinThreshold, so concurrent queries in
+    # the same session are unaffected (the old conf set/restore was not
+    # thread-safe).
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert join_is_colocated(joined), "bucketed join re-shuffled"
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        fast_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
 
 
 # ------------------------------------------- correlated-subquery shapes

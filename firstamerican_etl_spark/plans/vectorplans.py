@@ -987,9 +987,7 @@ _SEMDEDUP_K = 8  # coarse cells (deterministic centroids: vec_id < K)
 _SEMDEDUP_TAU = (2, 5)  # cosine threshold τ = 2/5 as an exact rational
 
 
-@register(
-    "semdedup_cluster_prune",
-    oracle=f"""
+_SEMDEDUP_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(embedding,
@@ -1024,10 +1022,10 @@ dups AS (
 SELECT n2.vec_id, n2.cell, d.dup_of,
        CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
 FROM n2 LEFT JOIN dups d ON n2.vec_id = d.vec_id
-""",
-    tags=("dedup", "embedding", "semdedup", "cluster", "training-data"),
-)
-def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by cluster-then-prune — coarse-cluster the embedding
     space, then within each cluster mark every vector whose cosine
@@ -1057,7 +1055,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
         ).alias("q"),
     )
-    cents = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
     )
     l2 = F.round(
@@ -1143,3 +1141,36 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return assigned.groupBy("cell").applyInPandas(cell_prune, schema=out_schema)
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "embedding", "semdedup", "cluster", "training-data"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled SemDeDup at the fixed K the SQL oracle mirrors
+    (K=8). See ``_semdedup`` for the algorithm and exactness analysis.
+    Fixed K makes per-cell pair work N²/K — fine at oracle scale,
+    quadratic at growth; the `_sqrtk` twin below is the scale path."""
+    return _semdedup(spark, sf_dir, _SEMDEDUP_K)
+
+
+@register(
+    "semdedup_cluster_prune_sqrtk",
+    oracle=None,
+    tags=("dedup", "embedding", "semdedup", "cluster", "scale"),
+)
+def semdedup_cluster_prune_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup scale path: K grows as √N (the paper's cell sizing), so
+    per-cell candidate pairs stay Σ|cell|² ≈ N·√N-bounded instead of
+    N²/K — the measured fixed-K probe ratio was 4.8× per 10× data,
+    this variant holds ~linear (SCALING.md). Deterministic: centroids
+    are the first K vectors by vec_id, ties in assignment break by
+    cent_id, so a double run is bit-identical (pinned by the rows-only
+    determinism sweep in tests/test_oracle.py). No SQL oracle — K is
+    data-dependent, so the semantics are not expressible as one static
+    SQL string; the fixed-K twin above value-pins the shared kernel."""
+    n = load_table(spark, sf_dir, "embeddings").count()  # metadata scalar
+    k = max(_SEMDEDUP_K, int(n**0.5) // 2)
+    return _semdedup(spark, sf_dir, k)

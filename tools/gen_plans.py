@@ -110,9 +110,21 @@ oracle for an iterative algorithm).""",
     "boilerplate_segment_dedup": """CCNet-style segment dedup. The corpus is shuffled only inside
 the segment-frequency aggregate (map-side partials collapse each partition to
 its distinct segment hashes first); the frequency-filtered boilerplate set is
-tiny by construction and comes back as a BroadcastExchange for the mark-back
-join — the corpus is never re-exchanged by segment hash. Per-doc report is a
-second map-side-combined aggregate.""",
+staged to parquet and broadcast back ONLY under a measured size cap
+(spark.firstamerican.boilerplate.broadcastCapBytes, default 16 MiB) — over the
+cap (a web corpus) the mark-back degrades to a shuffle hash join instead of
+OOMing executors. Per-doc report is a second map-side-combined aggregate.""",
+    "semdedup_cluster_prune": """SemDeDup semantic dedup (arXiv:2303.09540). Broadcast-centroid
+cell assignment (IVF pattern) is staged once; the returned plan is ONE
+exchange — groupBy(cell) into an exact int64 BLAS pair kernel that scores all
+Σ|cell|² intra-cell pairs per task with a single integer matmul. No pair join,
+no cartesian product, no float accumulation (25·dot² ≥ 4·‖a‖²‖b‖² on
+quantized ints matches the oracle bit-for-bit).""",
+    "dsir_importance_weights": """DSIR importance weighting (arXiv:2302.03169). One corpus pass:
+per-(doc, bucket) hashed-bigram counts are staged; both 256-row distribution
+frames derive from the staged counts and the int64-quantized log-ratio frame
+re-joins via BroadcastExchange. The per-doc score is an exact integer dot
+product, so any partitioning gives bit-identical weights.""",
 }
 
 HEADER = [

@@ -61,6 +61,9 @@ PROBE = [
     "bm25_topk_retrieval",
     "contamination_ngram_overlap",
     "cosine_topk_bruteforce",
+    "semdedup_cluster_prune",
+    "semdedup_cluster_prune_sqrtk",
+    "dsir_importance_weights",
 ]
 
 
@@ -108,15 +111,18 @@ def build_sf1(spark) -> str:
                         ),
                     )
                 if t == "embeddings" and k > 0:
-                    # constant per-copy offset: within-copy geometry is
-                    # preserved, cross-copy vectors are no longer
-                    # clones, so cosine/LSH/IVF candidate counts scale
-                    # with data, not with copy multiplicity
+                    # rotate coordinates by k positions per copy: norms
+                    # and within-copy geometry are EXACTLY preserved
+                    # (it's a permutation), value ranges unchanged (no
+                    # overflow risk in the int-quantized kernels), and
+                    # cross-copy cosine decorrelates to ~0 for random
+                    # vectors — so cosine/LSH/IVF candidate counts
+                    # scale with data, not with copy multiplicity
                     d = d.withColumn(
                         "embedding",
-                        F.transform(
-                            F.col("embedding"),
-                            lambda x: (x + F.lit(0.61 * k)).cast("float"),
+                        F.concat(
+                            F.slice(F.col("embedding"), k + 1, 64 - k),
+                            F.slice(F.col("embedding"), 1, k),
                         ),
                     )
                 parts.append(d)
@@ -162,7 +168,10 @@ def main() -> None:
         "## The next decade: sf0.1 → derived sf1 (10× facts, measured)",
         "",
         "Derived sf1 = 10 key-shifted copies of the sf0.1 fact/corpus",
-        "tables (join relationships preserved, dimensions shared) — see",
+        "tables (join relationships preserved, dimensions shared;",
+        "document text and embeddings are perturbed per copy so clones",
+        "are NOT mutual near-duplicates — dedup/ANN ratios measure",
+        "data growth, not construction artifacts) — see",
         "`tools/scale_probe_10x.py`. At this size the data term clears",
         "Spark's fixed per-query floor for the heavy operators, so the",
         "ratio is a real slope, not floor noise. 10× data on the same",
