@@ -73,9 +73,12 @@ HEADLINE = [
     "boilerplate_segment_dedup",
     "embedding_gram_matrix",
     "knn_ivf_recall_eval",
-    # round 5: semantic dedup + importance-weighted data selection
+    # round 5: semantic dedup + importance-weighted data selection +
+    # windowed substring dedup + mergeable frequency sketch
     "semdedup_cluster_prune",
     "dsir_importance_weights",
+    "duplicate_span_report",
+    "heavy_hitters_cms",
 ]
 
 

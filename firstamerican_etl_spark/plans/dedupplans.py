@@ -820,3 +820,140 @@ def dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= 6)
+
+
+_SPAN_L = 8  # duplicate-span window length (tokens)
+
+
+@register(
+    "duplicate_span_report",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {_SPAN_L}
+),
+wins AS (
+  SELECT doc_id, i,
+         md5(array_to_string(words[i:i+{_SPAN_L - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, len(words) - {_SPAN_L - 1})) AS i
+    FROM w
+  ) t
+),
+dupset AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+  ) f WHERE nd > 1
+),
+marked AS (
+  SELECT wi.doc_id, wi.i,
+         CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS dup
+  FROM wins wi LEFT JOIN dupset d ON wi.h = d.h
+),
+runs AS (
+  SELECT doc_id, i, dup,
+         i - row_number() OVER (
+           PARTITION BY doc_id, dup ORDER BY i
+         ) AS grp
+  FROM marked
+),
+run_lens AS (
+  SELECT doc_id, count(*) AS run_len
+  FROM runs WHERE dup = 1 GROUP BY doc_id, grp
+)
+SELECT m.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(m.dup) AS BIGINT) AS n_dup_windows,
+       coalesce(any_value(r.longest), 0) AS longest_dup_run,
+       floor(sum(m.dup) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS dup_window_frac
+FROM marked m
+LEFT JOIN (SELECT doc_id, max(run_len) AS longest FROM run_lens GROUP BY 1) r
+  ON m.doc_id = r.doc_id
+GROUP BY 1
+""",
+    tags=("dedup", "substring", "span", "training-data"),
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection — the windowed form of suffix-
+    array substring dedup (Lee et al. 2022, arXiv:2107.06499): hash
+    every overlapping 8-token window, mark windows whose hash recurs
+    in another document, and merge consecutive duplicated windows into
+    maximal runs per document. Reports per-doc window counts, the
+    longest duplicated run (in windows; +L−1 gives tokens covered) and
+    the duplicated-window fraction — the signal a span-removal pass
+    cuts on, where boilerplate_segment_dedup's non-overlapping
+    segments would miss duplicates straddling segment boundaries.
+
+    Scale shape: windows materialize map-side from the bound words
+    array; the corpus shuffles once into the window-hash frequency
+    aggregate (map-side partials first). The mark-back join is keyed
+    on window hash with NO broadcast assumption — the duplicated-span
+    set of a web corpus is huge, that is the point of the operator —
+    so AQE picks broadcast only when the measured build side is small.
+    Run-merging is a per-doc window function over doc-keyed exchanges:
+    nothing document-sized ever moves on anything but doc_id/hash."""
+    from pyspark.sql.window import Window
+
+    w = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    wins = (
+        w.filter(n >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SPAN_L - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("words"), i, _SPAN_L))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.col("win.i").alias("i"), F.col("win.h").alias("h"))
+    )
+    dupset = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select(F.col("h").alias("dh"))
+    )
+    marked = wins.join(dupset, wins.h == F.col("dh"), "left").select(
+        "doc_id", "i", F.col("dh").isNotNull().cast("long").alias("dup")
+    )
+    grp_w = Window.partitionBy("doc_id", "dup").orderBy("i")
+    runs = marked.withColumn("grp", F.col("i") - F.row_number().over(grp_w))
+    run_lens = (
+        runs.filter(F.col("dup") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    longest = run_lens.groupBy("doc_id").agg(F.max("run_len").alias("longest"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("dup").alias("n_dup_windows"),
+            (
+                F.floor(
+                    F.sum("dup") / F.count(F.lit(1)).cast("double") * 1000000
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_window_frac"),
+        )
+        .join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.coalesce(F.col("longest"), F.lit(0).cast("long")).alias(
+                "longest_dup_run"
+            ),
+            "dup_window_frac",
+        )
+    )

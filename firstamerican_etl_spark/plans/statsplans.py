@@ -405,3 +405,126 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(10)
     )
+
+
+_CMS_D = 4  # count-min sketch depth (independent hash rows)
+_CMS_W = 64  # sketch width (buckets per row)
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(j: str, term: str) -> str:
+    """DuckDB: md5-derived bucket for hash row ``j`` — 4 hex chars →
+    0..65535, reduced mod W. Same formula as the Spark side."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 4)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+hashed AS (
+  SELECT term, j, {_cms_bucket_sql('j', 'term')} AS b
+  FROM words CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) rows
+),
+counters AS (
+  SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_n FROM words GROUP BY 1
+  ORDER BY exact_n DESC, term LIMIT {_CMS_TOPK}
+),
+probe AS (
+  SELECT term, exact_n, j, {_cms_bucket_sql('j', 'term')} AS b
+  FROM exact CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) rows
+)
+SELECT p.term, any_value(p.exact_n) AS exact_n,
+       min(c.c) AS cms_estimate,
+       min(c.c) - any_value(p.exact_n) AS overestimate
+FROM probe p JOIN counters c ON p.j = c.j AND p.b = c.b
+GROUP BY 1
+""",
+    tags=("sketch", "count-min", "heavy-hitters", "mergeable"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation, graded against exact truth: build a d×w = 4×64 counter
+    sketch over the corpus term stream, then estimate the true top-10
+    terms' counts as min over hash rows — reporting estimate and
+    (always ≥0) overestimate per term.
+
+    Why CMS and not Misra-Gries here: CMS counters are SUMS, so the
+    sketch is mergeable by addition and its content is INDEPENDENT of
+    partitioning and merge order — a deterministic result under any
+    cluster layout, value-checkable against a single-node SQL oracle.
+    (Misra-Gries merges are order-sensitive; its output cannot be
+    pinned bit-exactly in a distributed run.)
+
+    Scale shape: the corpus collapses map-side into d·w = 256 counter
+    partials per partition before the one tiny exchange (the same
+    mergeable-aggregate shape as stats_moments_stable); the exact
+    top-k pass is a word count + top-k — also map-side combined. The
+    probe joins the 256-row counter frame via broadcast. At 100 TB the
+    sketch costs one pass and 2 KB of state per executor; the exact
+    pass exists to GRADE it (production keeps only the sketch)."""
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+
+    def bucket(j: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 4), 16, 10
+            ).cast("long")
+            % _CMS_W
+        )
+
+    hashed = words.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bucket(j, F.col("term")).alias("b"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    counters = hashed.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(_CMS_TOPK)
+    )
+    probe = exact.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bucket(j, F.col("term")).alias("b"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", "exact_n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    return (
+        probe.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("term")
+        .agg(
+            F.any_value("exact_n").alias("exact_n"),
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") - F.any_value("exact_n")).alias("overestimate"),
+        )
+    )

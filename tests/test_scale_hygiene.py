@@ -45,6 +45,7 @@ ARROW_PYTHON_OK = {
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
     "semdedup_cluster_prune",  # per-cell int64 BLAS pair kernel (exact)
+    "semdedup_cluster_prune_sqrtk",  # same kernel, sqrt(N) cells
     "streaming_sessionize_stateful",
     "streaming_custom_source_agg",
     "kmeans_embedding_clusters",
