@@ -99,7 +99,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_from_jsonl",
     # TPC-H shapes in the window (q21: the single-scan decorrelation)
     "q3_shipping_priority",
-    "q5_region_revenue",
+    # (q5_region_revenue retired to local-oracle coverage in r5 — the
+    # multi-join + agg shape stays driver-proven by q3/q21 and the FA
+    # flagship; slot reused for SemDeDup, a driver-unseen family)
+    "semdedup_cluster_prune",
     "q21_waiting_orders",
     # the reference's own pipeline (fa-etl.py) re-expressed
     "fa_ranked_deed",
@@ -113,10 +116,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slot reused for Spark 4 recursive CTE, a driver-unseen family)
     "recursive_cte_hierarchy",
     "lang_id_heuristic",
-    # perplexity-style unigram scorer (doc_fingerprint keeps its full
-    # local oracle in tests/test_oracle.py; its rolling-hash core is
-    # also driver-exercised via the dedup fingerprint queries)
-    "unigram_logprob_score",
+    # (unigram_logprob_score retired to local-oracle coverage in r5 —
+    # scalar text scoring stays driver-proven via lang_id/text_quality/
+    # bm25; slot reused for DSIR importance weighting. doc_fingerprint
+    # keeps its full local oracle as before.)
+    "dsir_importance_weights",
     "bm25_topk_retrieval",
     # embeddings / ANN (brute-force baseline + both scale paths +
     # clustering; LSH/kmeans/HLL are rows-only — their value accuracy
@@ -155,6 +159,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rows-only slot (HLL accuracy stays pinned locally)
     "dedup_minhash_lsh_oracled",
     "boilerplate_segment_dedup",
+    # r5: windowed exact substring-span dedup (driver-unseen family)
+    "duplicate_span_report",
     # deterministic sampling: the temperature-resample row subsumes the
     # plain hash sample (same md5-prefix predicate, plus in-plan
     # data-dependent rates); sample_hash_deterministic /
@@ -176,10 +182,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # structured streaming flagship + incremental-ingest dedup
     # (foreachBatch with an exact batch-split-invariant SQL oracle)
     "streaming_tumbling_window",
-    "streaming_foreachbatch_ingest",
+    # (streaming_foreachbatch_ingest retired to local-oracle coverage
+    # in r5 — streaming stays triple-proven by interval_join/
+    # ttl_throttle/tumbling; slot reused for the count-min sketch)
+    "heavy_hitters_cms",
     # round-3 scale operators
     "quantile_bins_scalable",
-    "pareto_cumulative_share",
+    # (pareto_cumulative_share retired to local-oracle coverage in r5 —
+    # ordered-cumulative windows stay driver-proven by quantile_bins +
+    # the prefix-sum family; slot count back to 50)
 )
 
 
