@@ -916,14 +916,28 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("win.i").alias("i"), F.col("win.h").alias("h"))
     )
-    dupset = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select(F.col("h").alias("dh"))
-    )
-    marked = wins.join(dupset, wins.h == F.col("dh"), "left").select(
-        "doc_id", "i", F.col("dh").isNotNull().cast("long").alias("dup")
+    # Cross-doc recurrence as ONE window pass instead of agg + join:
+    # a window hash recurs in another document iff min(doc_id) ≠
+    # max(doc_id) over its hash partition. This halves the corpus-wide
+    # exchanges (one shuffle by h total; the agg+join formulation
+    # exchanged the corpus by h twice) and removes the join entirely.
+    # Skew on hot hashes is the same exposure the join variant had on
+    # its probe side; AQE's skew handling applies to both.
+    hw = Window.partitionBy("h")
+    # Stage the marked windows (3 narrow columns — no text, no hashes):
+    # both the run-merge branch and the per-doc report consume it, and
+    # without staging each branch re-runs the whole corpus pass.
+    from firstamerican_etl_spark.operators.scale import stage_once
+
+    marked = stage_once(
+        wins.select(
+            "doc_id",
+            "i",
+            (F.min("doc_id").over(hw) != F.max("doc_id").over(hw))
+            .cast("long")
+            .alias("dup"),
+        ),
+        "span_marked",
     )
     grp_w = Window.partitionBy("doc_id", "dup").orderBy("i")
     runs = marked.withColumn("grp", F.col("i") - F.row_number().over(grp_w))
