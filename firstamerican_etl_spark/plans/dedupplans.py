@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, staging_tag
 
 _NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
 
@@ -938,6 +938,7 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup"),
         ),
         "span_marked",
+        reuse_key=staging_tag(sf_dir, "documents"),
     )
     grp_w = Window.partitionBy("doc_id", "dup").orderBy("i")
     runs = marked.withColumn("grp", F.col("i") - F.row_number().over(grp_w))

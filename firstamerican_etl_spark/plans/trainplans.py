@@ -558,11 +558,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (raw, target, and per-doc branches).
     from firstamerican_etl_spark.operators.scale import stage_once
 
+    from firstamerican_etl_spark.sources.io import staging_tag
+
     dc = stage_once(
         grams.groupBy("doc_id", "bucket").agg(
             F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n")
         ),
         "dsir_doc_buckets",
+        reuse_key=staging_tag(sf_dir, "documents"),
     )
     raw = dc.groupBy("bucket").agg(F.sum("n").alias("cr"))
     tgt = (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.operators.relational import top_k_per_group
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, staging_tag
 
 
 def _as_double(col: Column) -> Column:
@@ -1089,6 +1089,7 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             "q",
         ),
         "semdedup_assigned",
+        reuse_key=f"{staging_tag(sf_dir, 'embeddings')}_{k}",
     )
     # Pair scoring: one shuffle by cell into an EXACT int64 BLAS kernel
     # (numpy int64 matmul — modular semantics never engaged, values

@@ -325,9 +325,23 @@ def test_pagerank_staging_does_not_accumulate(spark, sf_dir):
     REGISTRY["pagerank_trade_graph"].spark(spark, sf_dir).collect()
     staged = [t.name for t in spark.catalog.listTables() if "pagerank" in t.name]
     assert staged == ["fa_pagerank_edges"], staged
-    # and the staging dir holds exactly one table's files (no *_1, *_2 dirs)
-    entries = os.listdir(graphplans._STAGE_DIR)
-    assert any(e.endswith(".parquet") or e.startswith("part-") for e in entries), entries
+    # exactly one staged edge copy + its content tag (no *_1, *_2 dirs)
+    entries = sorted(os.listdir(graphplans._STAGE_DIR))
+    assert entries == ["_TAG", "edges"], entries
+    # and the content-keyed reuse actually engaged: the staged files'
+    # mtimes predate the second invocation (no silent rebuild)
+    import time
+
+    edges_dir = os.path.join(graphplans._STAGE_DIR, "edges")
+    before = max(
+        os.path.getmtime(os.path.join(edges_dir, f)) for f in os.listdir(edges_dir)
+    )
+    time.sleep(0.05)
+    REGISTRY["pagerank_trade_graph"].spark(spark, sf_dir).collect()
+    after = max(
+        os.path.getmtime(os.path.join(edges_dir, f)) for f in os.listdir(edges_dir)
+    )
+    assert after == before, "staged edges were rebuilt despite unchanged inputs"
 
 
 def test_boilerplate_markback_broadcasts_under_cap(spark, sf_dir):
