@@ -166,10 +166,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = staging_tag(sf_dir, "orders", "lineitem")
     table = "fa_pagerank_edges"
     tag_file = os.path.join(_STAGE_DIR, "_TAG")
-    staged_tag = None
+    staged_tag, n_nodes = None, None
     if os.path.exists(tag_file):
         with open(tag_file) as fh:
-            staged_tag = fh.read().strip()
+            parts = fh.read().split()
+            if len(parts) == 2:
+                staged_tag, n_nodes = parts[0], int(parts[1])
     if staged_tag != tag or not spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(_STAGE_DIR, ignore_errors=True)
@@ -182,11 +184,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             path=os.path.join(_STAGE_DIR, "edges"),
             sort_by=["src"],
         )
+        # cache |nodes| with the tag: it is a pure function of the
+        # staged content, and re-counting it cost a full distinct pass
+        # per invocation on the reuse path
+        n_nodes = (
+            spark.table(table).select("src").distinct().count()
+        )  # metadata-sized driver scalar
         with open(tag_file, "w") as fh:
-            fh.write(tag)
+            fh.write(f"{tag} {n_nodes}")
     with_deg = spark.table(table)
     node_deg = with_deg.select("src", "deg").distinct()
-    n_nodes = node_deg.count()  # |nodes| — metadata-sized driver scalar
     if n_nodes == 0:
         # empty edge set (pruned-out scan, fresh landing zone): return
         # the stable output schema with zero rows instead of dividing
