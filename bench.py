@@ -79,6 +79,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "duplicate_span_report",
     "heavy_hitters_cms",
+    "jaccard_prefix_filter_pairs",
 ]
 
 

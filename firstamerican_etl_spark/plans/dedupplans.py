@@ -339,12 +339,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    # Jaccard is hash-independent (distinct shingles ↔ distinct shingle
-    # hashes, collisions aside), so the oracle recomputes it over the raw
-    # string shingles — a full value check despite the xxhash64 impl.
-    oracle="""
+# Jaccard is hash-independent (distinct shingles ↔ distinct shingle
+# hashes, collisions aside), so the oracle recomputes it over the raw
+# string shingles — a full value check despite the xxhash64 impl.
+# Shared by ngram_jaccard_pairs AND jaccard_prefix_filter_pairs: prefix
+# filtering is LOSSLESS at the threshold, so two different physical
+# candidate strategies must produce the identical exact pair set.
+_JACCARD_PAIRS_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 5
@@ -363,7 +364,12 @@ SELECT doc_a, doc_b,
        round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
-""",
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,4 +977,104 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "dup_window_frac",
         )
+    )
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
+    tags=("dedup", "jaccard", "prefix-filter", "scale"),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 pairs via PREFIX FILTERING (Bayardo
+    et al. 2007, "Scaling Up All Pairs Similarity Search") — the same
+    result set as ``ngram_jaccard_pairs``, proven by sharing its exact
+    oracle, from a different (and at corpus scale, far cheaper)
+    candidate generator: order every document's distinct shingles by
+    global rarity (document frequency asc, hash asc) and index ONLY
+    each doc's first p = n − ⌈t·n⌉ + 1 shingles. If J(A,B) ≥ t the two
+    prefixes must share a shingle, so recall is lossless while the
+    inverted index shrinks from Σ|doc| postings to roughly (1−t)·Σ|doc|
+    — and, decisively, the pair-expansion cost concentrates in RARE
+    shingles' short posting lists (stopword-shingle mega-postings never
+    enter the index; the all-shingles variant needs a star-expansion
+    guard exactly because of them).
+
+    Shuffle shape: one shingle-keyed exchange for document frequency,
+    one doc-keyed window to rank shingles within each doc, one
+    shingle-keyed exchange of the (1−t)-prefix postings, then exact
+    verification joins the two candidate docs' bounded shingle-hash
+    arrays (array_intersect in the JVM — no Python). Candidate pairs,
+    not all pairs, flow through verification."""
+    from pyspark.sql.window import Window
+
+    t_num, t_den = 1, 2  # Jaccard threshold t = 1/2
+    d = load_table(spark, sf_dir, "documents")
+    wdf = exploded_word_hashes(d).filter(F.size("wh") >= 5)
+    docs = wdf.select(
+        "doc_id",
+        F.explode(F.array(F.array_distinct(shingle_hashes_col("wh")))).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    dfreq = docs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = docs.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # p = n - ceil(t*n) + 1, in exact integer arithmetic:
+    # ceil(n*t_num/t_den) = (n*t_num + t_den - 1) div t_den
+    plen = (
+        F.col("n_sh")
+        - F.floor((F.col("n_sh") * t_num + (t_den - 1)) / t_den).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    cand = (
+        prefix.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("ds"),
+                                i + 2,
+                                F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                            ),
+                            lambda b: F.struct(
+                                F.least(a, b).alias("doc_a"),
+                                F.greatest(a, b).alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sets = docs.groupBy("doc_id").agg(
+        F.any_value("n_sh").alias("n"), F.collect_set("shingle").alias("ss")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("ss").alias("sa"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("ss").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
     )
