@@ -458,3 +458,38 @@ def test_values_at_global_ranks_empty(spark):
     df = spark.range(0).selectExpr("cast(id as double) as v", "id")
     assert values_at_global_ranks(df, ["v", "id"], [1, 5]) == []
     assert values_at_global_ranks(df, ["v", "id"], ranks_of_n=lambda n: [n]) == []
+
+
+def test_stage_once_reuse_semantics(spark):
+    """stage_once: a reuse_key skips the rewrite for the same
+    (prefix, key) within a process, a different key restages, and no
+    key always restages (overwrite-in-place)."""
+    import os
+    import time
+
+    from firstamerican_etl_spark.operators import scale
+
+    df = spark.range(10)
+
+    def mtime(prefix, key):
+        d = os.path.join(scale._STAGE_DIRS[prefix], key)
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    out1 = scale.stage_once(df, "t_reuse", reuse_key="k1")
+    assert out1.count() == 10
+    m1 = mtime("t_reuse", "k1")
+    time.sleep(0.05)
+    # same key: reused, no rewrite (even with different df content —
+    # the key CONTRACT is that it tracks the inputs)
+    out2 = scale.stage_once(spark.range(99), "t_reuse", reuse_key="k1")
+    assert mtime("t_reuse", "k1") == m1
+    assert out2.count() == 10  # staged generation, not the new frame
+    # different key: restaged
+    out3 = scale.stage_once(spark.range(5), "t_reuse", reuse_key="k2")
+    assert out3.count() == 5
+    # no key: every call rewrites
+    scale.stage_once(df, "t_nokey")
+    m_nokey = mtime("t_nokey", "data")
+    time.sleep(0.05)
+    scale.stage_once(df, "t_nokey")
+    assert mtime("t_nokey", "data") > m_nokey
