@@ -70,6 +70,7 @@ def build_corpus(
     max_chars: int = 5000,
     min_alpha_frac: float = 0.5,
     output_format: str = "parquet",
+    weight_target_lang: str | None = None,
 ) -> CorpusBuildStats:
     """Run the full build over ``docs`` (doc_id, text, ...) and write
     train/val/test output under ``out_dir`` partitioned by split.
@@ -149,6 +150,27 @@ def build_corpus(
         ),
     )
 
+    # 5.5 (optional): DSIR importance weights against a target-language
+    # slice (arXiv:2302.03169) — annotates every survivor with its
+    # hashed-bigram logweight so the training loader can importance-
+    # sample the mix. Pure doc-keyed join; the distribution frames are
+    # ≤256 rows (see plans/trainplans.dsir_logweights). Docs without
+    # bigram evidence (<2 words) weight 0.
+    if weight_target_lang is not None:
+        from firstamerican_etl_spark.plans.trainplans import dsir_logweights
+
+        if "lang" not in redacted.columns:
+            raise ValueError(
+                "weight_target_lang requires a 'lang' column on the input docs"
+            )
+        weights = dsir_logweights(redacted, target_lang=weight_target_lang).select(
+            "doc_id", "logweight_scaled"
+        )
+        redacted = redacted.join(weights, "doc_id", "left").withColumn(
+            "logweight_scaled",
+            F.coalesce(F.col("logweight_scaled"), F.lit(0).cast("long")),
+        )
+
     # 6: sequence packing via the distributed prefix sum
     with_tok = redacted.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
     packed = global_running_sum(
@@ -226,6 +248,9 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
     p.add_argument("--min_alpha_frac", type=float, default=0.5)
     p.add_argument("--output_format", choices=["parquet", "jsonl"],
                    default="parquet")
+    p.add_argument("--weight_target_lang", default=None,
+                   help="attach DSIR importance weights against this "
+                        "target-language slice (requires a lang column)")
     a = p.parse_args(argv)
 
     spark = get_spark(app_name="corpus_build")
@@ -239,6 +264,7 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
         max_chars=a.max_chars,
         min_alpha_frac=a.min_alpha_frac,
         output_format=a.output_format,
+        weight_target_lang=a.weight_target_lang,
     )
     print(json.dumps(dataclasses.asdict(stats)))
     print(f"# corpus written to {a.out_dir}", file=sys.stderr)

@@ -468,6 +468,90 @@ _DSIR_B = 256  # hashed n-gram feature buckets
 _DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target_lang: str = _DSIR_TARGET_LANG,
+    reuse_key: str | None = None,
+) -> DataFrame:
+    """Reusable core of ``dsir_importance_weights``: per-document
+    hashed-bigram importance weights over any (doc_id, lang, text)
+    frame — the registered query applies it to the ``documents`` table;
+    ``pipeline/corpus_build.py`` applies it mid-pipeline to annotate
+    survivors. Returns (doc_id, lang, n_grams, logweight_scaled);
+    docs with <2 words are absent (no bigram evidence). See the
+    registered query's docstring for exactness and scale analysis."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(docs, keep=("doc_id", "lang"))
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
+        ),
+    )
+    grams = (
+        d.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("gram"))
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    # ONE corpus pass: collapse to per-(doc, bucket) counts first and
+    # stage that (≤256 rows/doc — ~100× smaller than the exploded
+    # grams), then derive both distribution frames from the staged
+    # counts. Unstaged, Catalyst re-exploded the corpus three times
+    # (raw, target, and per-doc branches).
+    dc = stage_once(
+        grams.groupBy("doc_id", "bucket").agg(
+            F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n")
+        ),
+        "dsir_doc_buckets",
+        reuse_key=reuse_key,
+    )
+    raw = dc.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        dc.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    stats = raw.join(tgt, "bucket", "left")
+    tot = stats.agg(
+        F.sum("cr").alias("r"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+    )
+    lr = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) * (F.col("r") + _DSIR_B))
+                    / ((F.col("cr") + F.lit(1.0)) * (F.col("tt") + _DSIR_B))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lr")).alias("logweight_scaled"),
+        )
+    )
+
+
 @register(
     "dsir_importance_weights",
     oracle=f"""
@@ -524,82 +608,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames collapse to ≤256 rows before they move, and the log-ratio
     table re-joins the corpus via broadcast — at 100 TB nothing
     document-sized is ever exchanged by anything but doc_id."""
-    from firstamerican_etl_spark.plans.dedupplans import exploded_words
-
-    d = exploded_words(
-        load_table(spark, sf_dir, "documents"), keep=("doc_id", "lang")
-    )
-    n = F.size("words")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
-        ),
-    )
-    grams = (
-        d.filter(n >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(bigrams).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10)
-            .cast("long")
-            .alias("bucket"),
-        )
-    )
-    # ONE corpus pass: collapse to per-(doc, bucket) counts first and
-    # stage that (≤256 rows/doc — ~100× smaller than the exploded
-    # grams), then derive both distribution frames from the staged
-    # counts. Unstaged, Catalyst re-exploded the corpus three times
-    # (raw, target, and per-doc branches).
-    from firstamerican_etl_spark.operators.scale import stage_once
-
     from firstamerican_etl_spark.sources.io import staging_tag
 
-    dc = stage_once(
-        grams.groupBy("doc_id", "bucket").agg(
-            F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n")
-        ),
-        "dsir_doc_buckets",
+    return dsir_logweights(
+        load_table(spark, sf_dir, "documents"),
+        target_lang=_DSIR_TARGET_LANG,
         reuse_key=staging_tag(sf_dir, "documents"),
-    )
-    raw = dc.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt = (
-        dc.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("ct"))
-    )
-    stats = raw.join(tgt, "bucket", "left")
-    tot = stats.agg(
-        F.sum("cr").alias("r"),
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
-    )
-    lr = (
-        stats.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.floor(
-                F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) * (F.col("r") + _DSIR_B))
-                    / ((F.col("cr") + F.lit(1.0)) * (F.col("tt") + _DSIR_B))
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("lr"),
-        )
-    )
-    return (
-        dc.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("lang").alias("lang"),
-            F.sum("n").alias("n_grams"),
-            F.sum(F.col("n") * F.col("lr")).alias("logweight_scaled"),
-        )
     )

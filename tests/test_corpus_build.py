@@ -109,3 +109,41 @@ def test_corpus_build_jsonl_output(spark, sf_dir, tmp_path):
 
     gz = glob.glob(f"{js}/split=*/*.json.gz")
     assert gz, "expected gzipped jsonl part files"
+
+
+def test_corpus_build_dsir_weight_stage(spark, sf_dir, tmp_path):
+    """With weight_target_lang set, every written doc carries a
+    logweight_scaled column whose values match the standalone
+    dsir_logweights computation over the SAME survivor set (and docs
+    without bigram evidence default to 0)."""
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus
+    from firstamerican_etl_spark.plans.trainplans import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_w")
+    build_corpus(spark, docs, out, weight_target_lang="en")
+    written = spark.read.parquet(out)
+    assert "logweight_scaled" in written.columns
+    survivors = docs.join(written.select("doc_id"), "doc_id")
+    # recompute weights over the surviving frame after the same
+    # redaction the pipeline applies (redaction alters bigrams)
+    redacted = survivors.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"https?://[^\s]+",
+            "<URL>",
+        ),
+    )
+    expect = {
+        r["doc_id"]: r["logweight_scaled"]
+        for r in dsir_logweights(redacted, target_lang="en").collect()
+    }
+    got = {r["doc_id"]: r["logweight_scaled"] for r in written.collect()}
+    assert set(got) == set(r["doc_id"] for r in survivors.collect())
+    for doc_id, w in got.items():
+        assert w == expect.get(doc_id, 0), (doc_id, w, expect.get(doc_id))
