@@ -48,7 +48,12 @@ def process_stage_dir(prefix: str) -> str:
     return _STAGE_DIRS[prefix]
 
 
-def stage_once(df: DataFrame, prefix: str, reuse_key: str | None = None) -> DataFrame:
+def stage_once(
+    df: DataFrame,
+    prefix: str,
+    reuse_key: str | None = None,
+    return_path: bool = False,
+):
     """Materialize ``df`` to a per-process staging dir (overwriting any
     previous generation) and return a fresh scan of it. Use when a plan
     references the same expensive subtree from 2+ branches.
@@ -59,14 +64,30 @@ def stage_once(df: DataFrame, prefix: str, reuse_key: str | None = None) -> Data
     inputs (bench min-of-2, a long driver session) re-scans instead of
     re-computing. The key MUST roll over when inputs change; callers
     pass a tag derived from the source tables' (mtime, size), never a
-    constant. Without a key, every invocation restages."""
+    constant. Without a key, every invocation restages. When a NEW key
+    is staged, superseded generations under the same prefix are
+    retired (after the new write lands), so at most one generation per
+    prefix lives at a time — a probe session walking several scale
+    factors never accumulates staged copies. CONTRACT (as for every
+    replaced-in-place stage): consume the returned DataFrame before
+    invoking again with different inputs.
+
+    ``return_path=True`` additionally returns the staged directory —
+    for callers that measure the materialized size to pick a join
+    strategy (the boilerplate broadcast guard)."""
     import os
+    import shutil
 
     base = process_stage_dir(prefix)
-    path = os.path.join(base, reuse_key if reuse_key else "data")
+    key = reuse_key if reuse_key else "data"
+    path = os.path.join(base, key)
     if not (reuse_key and os.path.exists(os.path.join(path, "_SUCCESS"))):
         df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+        for e in os.scandir(base):
+            if e.name != key:
+                shutil.rmtree(e.path, ignore_errors=True)
+    scan = df.sparkSession.read.parquet(path)
+    return (scan, path) if return_path else scan
 
 
 def write_bucketed(

@@ -1008,7 +1008,13 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not all pairs, flow through verification."""
     from pyspark.sql.window import Window
 
-    t_num, t_den = 1, 2  # Jaccard threshold t = 1/2
+    # Prefix sizing uses a threshold slightly BELOW the reported 0.5:
+    # the output filter is round(J, 4) >= 0.5, which admits true J in
+    # [0.49995, 0.5). Prefix filtering at exactly t = 1/2 is only
+    # lossless for true J >= 1/2, so sizing at t' = 4999/10000 keeps
+    # the index lossless for every pair the (shared, rounded) oracle
+    # emits — at the cost of prefixes one shingle longer.
+    t_num, t_den = 4999, 10000
     d = load_table(spark, sf_dir, "documents")
     wdf = exploded_word_hashes(d).filter(F.size("wh") >= 5)
     docs = wdf.select(

@@ -160,7 +160,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation on unchanged inputs (bench min-of-2, a long driver
     # session) re-reads the staged buckets instead of rebuilding them;
     # a changed source rolls the tag and triggers DROP + restage. Never
-    # more than one staged copy lives at a time.
+    # more than one staged copy lives at a time. CONTRACT: consume the
+    # returned DataFrame before re-invoking with DIFFERENT inputs — the
+    # restage replaces the table a previously returned lazy plan reads
+    # (the driver/bench/sim callers all collect immediately; a caller
+    # juggling plans across input generations must persist first).
     from firstamerican_etl_spark.sources.io import staging_tag
 
     tag = staging_tag(sf_dir, "orders", "lineitem")

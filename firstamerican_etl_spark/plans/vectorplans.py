@@ -1165,8 +1165,8 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_cluster_prune_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup scale path: K grows as √N (the paper's cell sizing), so
     per-cell candidate pairs stay Σ|cell|² ≈ N·√N-bounded instead of
-    N²/K — the measured fixed-K probe ratio was 4.8× per 10× data,
-    this variant holds ~linear (SCALING.md). Deterministic: centroids
+    N²/K — the measured fixed-K probe ratio was 3.2× per 10× data vs
+    2.2× for this variant (SCALING.md; both still floor-dominated). Deterministic: centroids
     are the first K vectors by vec_id, ties in assignment break by
     cent_id, so a double run is bit-identical (pinned by the rows-only
     determinism sweep in tests/test_oracle.py). No SQL oracle — K is

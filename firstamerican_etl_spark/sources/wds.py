@@ -125,8 +125,16 @@ class WdsWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         manifest = sorted(m.filename for m in messages)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # atomic manifest swap: a crash mid-commit must leave either
+        # the old generation's manifest or the new one, never a
+        # truncated half-written file (os.replace is atomic on POSIX)
+        final = os.path.join(self.path, "_SUCCESS")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(manifest))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
         # new generation is durable; now retire the old shards
         keep = set(manifest)
         for name in self._old_shards:

@@ -484,9 +484,10 @@ def test_stage_once_reuse_semantics(spark):
     out2 = scale.stage_once(spark.range(99), "t_reuse", reuse_key="k1")
     assert mtime("t_reuse", "k1") == m1
     assert out2.count() == 10  # staged generation, not the new frame
-    # different key: restaged
+    # different key: restaged, and the superseded generation retired
     out3 = scale.stage_once(spark.range(5), "t_reuse", reuse_key="k2")
     assert out3.count() == 5
+    assert sorted(os.listdir(scale._STAGE_DIRS["t_reuse"])) == ["k2"]
     # no key: every call rewrites
     scale.stage_once(df, "t_nokey")
     m_nokey = mtime("t_nokey", "data")
