@@ -1084,3 +1084,126 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# Exact 3-gram Jaccard truth for grading the LSH twin: SAME shingle
+# definition as dedup_minhash_lsh_oracled (3-word shingles), so the
+# recall number measures the banding scheme, not a representation gap.
+_JACCARD3_TRUTH_SQL = """
+w3 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+dist3 AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[g.i:least(g.i+2, len(ws))], ' ') AS s
+  FROM w3, LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS g(i)
+),
+sizes3 AS (SELECT doc_id, count(*) AS n FROM dist3 GROUP BY 1),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM dist3 a JOIN dist3 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i JOIN sizes3 sa ON sa.doc_id = i.doc_a JOIN sizes3 sb ON sb.doc_id = i.doc_b
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+)
+"""
+
+
+def _minhash_eval_oracle() -> str:
+    from firstamerican_etl_spark.plans.registry import REGISTRY
+
+    twin = REGISTRY["dedup_minhash_lsh_oracled"].oracle
+    return f"""
+WITH pred AS (SELECT doc_a, doc_b FROM ({twin})),
+{_JACCARD3_TRUTH_SQL.strip().rstrip()},
+hit AS (SELECT count(*) AS c FROM pred JOIN truth USING (doc_a, doc_b)),
+np AS (SELECT count(*) AS c FROM pred),
+nt AS (SELECT count(*) AS c FROM truth)
+SELECT CAST(np.c AS BIGINT) AS n_candidates,
+       CAST(nt.c AS BIGINT) AS n_true_pairs,
+       CAST(hit.c AS BIGINT) AS n_hits,
+       CAST(floor(hit.c * 1000000.0 / greatest(np.c, 1) + 0.5) AS BIGINT) AS precision_ppm,
+       CAST(floor(hit.c * 1000000.0 / greatest(nt.c, 1) + 0.5) AS BIGINT) AS recall_ppm
+FROM np, nt, hit
+"""
+
+
+@register(
+    "minhash_lsh_recall_eval",
+    oracle=_minhash_eval_oracle(),
+    tags=("dedup", "minhash", "lsh", "eval", "recall"),
+)
+def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the MinHash+LSH banding IN-PLAN against exact ground
+    truth (the knn_ivf_recall_eval / heavy_hitters_cms pattern applied
+    to the dedup flagship): candidate pairs from the md5 verification
+    twin vs exact 3-gram Jaccard ≥ 0.5 pairs over the SAME shingle
+    definition — one row of candidate/truth/hit counts with ppm
+    precision and recall. This is the measurement that justifies the
+    8×4 banding choice: the S-curve says J=0.5 pairs collide in ≥1 of
+    8 bands with p = 1-(1-0.5⁴)⁸ ≈ 0.40, rising steeply (J=0.7 →
+    ≈ 0.90, J=0.9 → ≈ 1.0), and the eval reports where the corpus
+    actually lands instead of trusting the formula.
+
+    Scale shape: both sides are the already-bounded candidate
+    generators (banded buckets; shingle inverted index) — the eval
+    adds only |pairs|-sized joins and three scalar counts. Everything
+    deterministic → full value oracle."""
+    pred = dedup_minhash_lsh_oracled(spark, sf_dir).select("doc_a", "doc_b")
+
+    # exact 3-gram truth, same machinery as ngram_jaccard_pairs but at
+    # the twin's shingle length
+    wdf = exploded_word_hashes(load_table(spark, sf_dir, "documents"))
+    docs = wdf.select(
+        "doc_id",
+        F.explode(
+            F.array(F.array_distinct(shingle_hashes_col("wh", shingle_len=3)))
+        ).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    truth = inter.filter(jac >= 0.5).select("doc_a", "doc_b")
+
+    n_pred = pred.agg(F.count(F.lit(1)).alias("np"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("nt"))
+    n_hit = pred.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    return (
+        n_pred.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .select(
+            F.col("np").alias("n_candidates"),
+            F.col("nt").alias("n_true_pairs"),
+            F.col("nh").alias("n_hits"),
+            F.floor(
+                F.col("nh") * F.lit(1000000.0) / F.greatest(F.col("np"), F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+            F.floor(
+                F.col("nh") * F.lit(1000000.0) / F.greatest(F.col("nt"), F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
