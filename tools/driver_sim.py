@@ -13,6 +13,7 @@ so one JVM serves both passes.
 Usage:
     python tools/driver_sim.py                 # both passes, all queries
     python tools/driver_sim.py --only a,b,c    # subset (both passes)
+    python tools/driver_sim.py --window        # just the driver's 50-slot window
     python tools/driver_sim.py --skip-ansi     # repo-session pass only
 """
 import hashlib
@@ -122,6 +123,10 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = E.queries()
+    if "--window" in args:
+        from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW
+
+        only = set(DRIVER_WINDOW) | (only or set())
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = E.oracle_sql()

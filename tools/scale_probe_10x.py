@@ -64,6 +64,10 @@ PROBE = [
     "semdedup_cluster_prune",
     "semdedup_cluster_prune_sqrtk",
     "dsir_importance_weights",
+    "duplicate_span_report",
+    "heavy_hitters_cms",
+    "jaccard_prefix_filter_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 
