@@ -155,14 +155,21 @@ def main() -> None:
     for name in PROBE:
         _force(registry[name].spark(spark, "/root/testdata/sf0.001"))
 
+    def best_of(n, name, d):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _force(registry[name].spark(spark, d))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     rows = []
     for name in PROBE:
-        t0 = time.perf_counter()
-        _force(registry[name].spark(spark, SRC))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _force(registry[name].spark(spark, sf1))
-        t_big = time.perf_counter() - t0
+        # min-of-2, like bench.py: a single sample absorbs whatever GC/
+        # JIT/host noise hits that second; the min is the plan cost
+        t_small = best_of(2, name, SRC)
+        t_big = best_of(2, name, sf1)
         rows.append((name, t_small, t_big))
         print(f"# {name}: sf0.1 {t_small:.2f}s sf1 {t_big:.2f}s "
               f"x{t_big / max(t_small, 1e-9):.1f}", file=sys.stderr)
