@@ -615,3 +615,69 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_lang=_DSIR_TARGET_LANG,
         reuse_key=staging_tag(sf_dir, "documents"),
     )
+
+
+@register(
+    "leakage_safe_split_assign",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
+),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+    tags=("sampling", "split", "leakage", "dedup", "training-data"),
+)
+def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP
+    CLUSTER, not by document. Hash-range splitting on doc_id
+    (train_split_assign) puts two near-identical documents on opposite
+    sides of the train/test boundary — the classic contamination that
+    inflates eval scores. Here every document inherits its connected-
+    component label from the n-gram-Jaccard near-dup graph (singletons
+    label themselves) and the md5 hash-range 90/5/5 split is taken on
+    the CLUSTER id, so a whole duplicate cluster lands in exactly one
+    split, reproducibly under any partitioning/retry.
+
+    Scale shape: the component labeling runs over the (tiny, banded)
+    near-dup edge set — the corpus itself only does one broadcast-able
+    left join against the |clustered docs|-sized label frame, then a
+    pure-map hash split. The invariant 'no near-dup pair straddles
+    splits' is pinned by a dedicated pytest property."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    pairs = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    return assigned.withColumn(
+        "split",
+        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"),
+    )

