@@ -48,6 +48,20 @@ def process_stage_dir(prefix: str) -> str:
     return _STAGE_DIRS[prefix]
 
 
+def reset_staging() -> None:
+    """Drop every process-staged generation (dirs + the prefix
+    registry). Exists for harnesses that must re-execute staged
+    subtrees under a different session config: driver_sim's ANSI-on
+    pass calls this so content-keyed reuse cannot hide an ANSI-only
+    fault (overflow, strict cast) inside a subtree the first pass
+    already materialized."""
+    import shutil
+
+    for d in _STAGE_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_DIRS.clear()
+
+
 def stage_once(
     df: DataFrame,
     prefix: str,

@@ -1106,10 +1106,11 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD3_TRUTH_SQL = """
 w3 AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 ),
 dist3 AS (
-  SELECT DISTINCT doc_id, array_to_string(ws[g.i:least(g.i+2, len(ws))], ' ') AS s
-  FROM w3, LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS g(i)
+  SELECT DISTINCT doc_id, array_to_string(ws[g.i:g.i+2], ' ') AS s
+  FROM w3, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)
 ),
 sizes3 AS (SELECT doc_id, count(*) AS n FROM dist3 GROUP BY 1),
 truth AS (
@@ -1163,17 +1164,39 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators (banded buckets; shingle inverted index) — the eval
     adds only |pairs|-sized joins and three scalar counts. Everything
     deterministic → full value oracle."""
-    pred = dedup_minhash_lsh_oracled(spark, sf_dir).select("doc_a", "doc_b")
+    from firstamerican_etl_spark.operators.scale import stage_once
+
+    tag = staging_tag(sf_dir, "documents")
+    # Stage BOTH expensive sides: pred feeds two branches (count + hit
+    # join) and docs feeds three (both pair sides + truth) — unstaged,
+    # Catalyst re-ran the 32-hash md5 twin twice and the corpus shingle
+    # explode four times (the no-CSE class the 10× probe flags).
+    pred = stage_once(
+        dedup_minhash_lsh_oracled(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_eval_pred",
+        reuse_key=tag,
+    )
 
     # exact 3-gram truth, same machinery as ngram_jaccard_pairs but at
-    # the twin's shingle length
-    wdf = exploded_word_hashes(load_table(spark, sf_dir, "documents"))
-    docs = wdf.select(
-        "doc_id",
-        F.explode(
-            F.array(F.array_distinct(shingle_hashes_col("wh", shingle_len=3)))
-        ).alias("sh"),
-    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # the twin's shingle length; docs with <3 words carry no full
+    # 3-gram window and are excluded on BOTH sides (under ANSI an
+    # element_at past the array end throws, so the filter is also what
+    # keeps the driver's ANSI session green)
+    wdf = exploded_word_hashes(load_table(spark, sf_dir, "documents")).filter(
+        F.size("wh") >= 3
+    )
+    docs = stage_once(
+        wdf.select(
+            "doc_id",
+            F.explode(
+                F.array(F.array_distinct(shingle_hashes_col("wh", shingle_len=3)))
+            ).alias("sh"),
+        ).select(
+            "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        ),
+        "minhash_eval_shingles",
+        reuse_key=tag,
+    )
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
     )
@@ -1193,7 +1216,11 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 4
     )
-    truth = inter.filter(jac >= 0.5).select("doc_a", "doc_b")
+    truth = stage_once(
+        inter.filter(jac >= 0.5).select("doc_a", "doc_b"),
+        "minhash_eval_truth",
+        reuse_key=tag,
+    )
 
     n_pred = pred.agg(F.count(F.lit(1)).alias("np"))
     n_true = truth.agg(F.count(F.lit(1)).alias("nt"))

@@ -42,8 +42,6 @@ from firstamerican_etl_spark.operators.scale import write_bucketed
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table
 
-_STAGE_DIR = None  # one staging dir per process, overwritten in place
-
 _SCALE = 10**12  # rank unit: 1e-12
 _D_NUM, _D_DEN = 85, 100  # damping 0.85 as exact integers
 _ITERS = 3
@@ -113,10 +111,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle under any partitioning (see module docstring). The
     symmetrized graph has no dangling nodes by construction, so no
     dangling-mass redistribution term is needed."""
-    import atexit
     import os
     import shutil
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -151,10 +147,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    vector, so this is the shuffle that matters. The DataFrame
     #    analogue of GraphX's mandatory edge-RDD persist, without
     #    pinning executor memory (dir removed at process exit).
-    global _STAGE_DIR
-    if _STAGE_DIR is None:
-        _STAGE_DIR = tempfile.mkdtemp(prefix="fa_pagerank_edges_")
-        atexit.register(shutil.rmtree, _STAGE_DIR, ignore_errors=True)
+    from firstamerican_etl_spark.operators.scale import process_stage_dir
+
+    stage_root = process_stage_dir("pagerank_edges")
     # ONE fixed table name per process, content-keyed reuse: the edge
     # list is a pure function of the source tables, so a repeated
     # invocation on unchanged inputs (bench min-of-2, a long driver
@@ -169,7 +164,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = staging_tag(sf_dir, "orders", "lineitem")
     table = "fa_pagerank_edges"
-    tag_file = os.path.join(_STAGE_DIR, "_TAG")
+    tag_file = os.path.join(stage_root, "_TAG")
     staged_tag, n_nodes = None, None
     if os.path.exists(tag_file):
         with open(tag_file) as fh:
@@ -178,14 +173,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 staged_tag, n_nodes = parts[0], int(parts[1])
     if staged_tag != tag or not spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(_STAGE_DIR, ignore_errors=True)
-        os.makedirs(_STAGE_DIR)
+        shutil.rmtree(stage_root, ignore_errors=True)
+        os.makedirs(stage_root)
         write_bucketed(
             sym_deg,
             table,
             bucket_by=["src"],
             num_buckets=int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            path=os.path.join(_STAGE_DIR, "edges"),
+            path=os.path.join(stage_root, "edges"),
             sort_by=["src"],
         )
         # cache |nodes| with the tag: it is a pure function of the

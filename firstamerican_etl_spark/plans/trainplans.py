@@ -279,14 +279,38 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Shared 90/5/5 hash-range split ('e6' = 230/256 ≈ 0.898, 'f3' =
+# 243/256 ≈ 0.051): ONE definition, consumed by train_split_assign,
+# leakage_safe_split_assign, and their oracles — retuning the ratio is
+# a one-site edit and the two queries can never disagree on what
+# "train" means.
+_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "e6", "f3"
+
+
+def split_sql_case(key_expr: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_HI}' THEN 'train' "
+        f"WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_HI}' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def split_col(key):
+    prefix = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(prefix < _SPLIT_TRAIN_HI, "train")
+        .when(prefix < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
 @register(
     "train_split_assign",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT doc_id, lang,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-              ELSE 'test' END AS split
+         {split_sql_case('doc_id')} AS split
   FROM documents
 )
 SELECT split, lang, count(*) AS n_docs,
@@ -306,12 +330,8 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is scan-side expression work; the only shuffle is the
     small (split, lang) report aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "lang", "doc_id")
+        d.select(split_col(F.col("doc_id")).alias("split"), "lang", "doc_id")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -620,8 +640,28 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "leakage_safe_split_assign",
     oracle=f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE jac_pairs AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+exact_pairs AS (
+  -- star edges to each fingerprint group's min id: byte-identical
+  -- duplicates connect regardless of length (the n-gram graph skips
+  -- docs under 5 words — without these edges two identical 4-word
+  -- docs could still straddle splits)
+  SELECT k.keep AS doc_a, d.doc_id AS doc_b
+  FROM fp d JOIN (SELECT f, min(doc_id) AS keep FROM fp GROUP BY 1) k
+    ON d.f = k.f
+  WHERE d.doc_id > k.keep
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM jac_pairs
+  UNION
+  SELECT doc_a, doc_b FROM exact_pairs
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -642,9 +682,7 @@ assigned AS (
   FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 )
 SELECT doc_id, cluster_id,
-       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-            ELSE 'test' END AS split
+       {split_sql_case('cluster_id')} AS split
 FROM assigned
 """,
     tags=("sampling", "split", "leakage", "dedup", "training-data"),
@@ -658,7 +696,13 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     component label from the n-gram-Jaccard near-dup graph (singletons
     label themselves) and the md5 hash-range 90/5/5 split is taken on
     the CLUSTER id, so a whole duplicate cluster lands in exactly one
-    split, reproducibly under any partitioning/retry.
+    split, reproducibly under any partitioning/retry. The edge set is
+    the n-gram near-dup graph UNION exact-duplicate star edges
+    (normalized-md5 fingerprint groups) — the latter are length-
+    independent, closing the gap where two byte-identical docs under
+    the 5-word shingling floor would otherwise split apart. Near-dups
+    below that floor with non-identical bytes remain unclustered by
+    construction of the shingle representation.
 
     Scale shape: the component labeling runs over the (tiny, banded)
     near-dup edge set — the corpus itself only does one broadcast-able
@@ -667,7 +711,19 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits' is pinned by a dedicated pytest property."""
     from firstamerican_etl_spark.operators.graph import connected_components
 
-    pairs = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    jac = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # exact-duplicate star edges (fingerprint-group member -> group min):
+    # length-independent, so identical short docs cluster too
+    docs_fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(dedupplans._NORM(F.col("text"))).alias("f")
+    )
+    keep = docs_fp.groupBy("f").agg(F.min("doc_id").alias("keep"))
+    exact = (
+        docs_fp.join(keep, "f")
+        .filter(F.col("doc_id") > F.col("keep"))
+        .select(F.col("keep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = jac.unionByName(exact).distinct()
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -676,8 +732,4 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
-    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
-    return assigned.withColumn(
-        "split",
-        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"),
-    )
+    return assigned.withColumn("split", split_col(F.col("cluster_id")))

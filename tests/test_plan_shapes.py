@@ -319,20 +319,21 @@ def test_pagerank_staging_does_not_accumulate(spark, sf_dir):
     fixed-name table is replaced, not accumulated."""
     import os
 
-    from firstamerican_etl_spark.plans import graphplans
+    from firstamerican_etl_spark.operators import scale
 
     REGISTRY["pagerank_trade_graph"].spark(spark, sf_dir).collect()
     REGISTRY["pagerank_trade_graph"].spark(spark, sf_dir).collect()
     staged = [t.name for t in spark.catalog.listTables() if "pagerank" in t.name]
     assert staged == ["fa_pagerank_edges"], staged
+    stage_root = scale._STAGE_DIRS["pagerank_edges"]
     # exactly one staged edge copy + its content tag (no *_1, *_2 dirs)
-    entries = sorted(os.listdir(graphplans._STAGE_DIR))
+    entries = sorted(os.listdir(stage_root))
     assert entries == ["_TAG", "edges"], entries
     # and the content-keyed reuse actually engaged: the staged files'
     # mtimes predate the second invocation (no silent rebuild)
     import time
 
-    edges_dir = os.path.join(graphplans._STAGE_DIR, "edges")
+    edges_dir = os.path.join(stage_root, "edges")
     before = max(
         os.path.getmtime(os.path.join(edges_dir, f)) for f in os.listdir(edges_dir)
     )

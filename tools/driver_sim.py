@@ -139,6 +139,15 @@ def main():
         # and re-run everything; overflow/strict-cast sites that the
         # repo session silently wraps will throw here.
         spark.catalog.clearCache()
+        # Drop every content-keyed staged generation: without this, the
+        # ANSI pass would re-read parquet the repo-session pass staged
+        # and the staged subtrees would never EXECUTE under ANSI — an
+        # ANSI-only fault (overflow, strict cast) inside them would
+        # report green here and crash in the real driver (the r03
+        # failure mode this second pass exists to catch).
+        from firstamerican_etl_spark.operators.scale import reset_staging
+
+        reset_staging()
         spark.conf.set("spark.sql.ansi.enabled", "true")
         bad += run_pass(spark, con, qs, oracles, "ansi-on")
         spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -68,6 +68,8 @@ PROBE = [
     "heavy_hitters_cms",
     "jaccard_prefix_filter_pairs",
     "ngram_jaccard_pairs",
+    "minhash_lsh_recall_eval",
+    "leakage_safe_split_assign",
 ]
 
 
