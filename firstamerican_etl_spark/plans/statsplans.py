@@ -528,3 +528,101 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.any_value("exact_n")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "corpus_drift_psi",
+    oracle="""
+WITH a AS (
+  SELECT lang, source, count(*) AS na FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+b AS (
+  SELECT lang, source, count(*) AS nb FROM documents
+  WHERE doc_id % 2 = 1 GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST((SELECT coalesce(sum(na), 0) FROM a) AS BIGINT) AS ta,
+         CAST((SELECT coalesce(sum(nb), 0) FROM b) AS BIGINT) AS tb,
+         CAST((SELECT count(*) FROM (
+            SELECT lang, source FROM a UNION SELECT lang, source FROM b
+         )) AS BIGINT) AS k
+),
+terms AS (
+  SELECT coalesce(a.lang, b.lang) AS lang,
+         coalesce(a.source, b.source) AS source,
+         CAST(coalesce(na, 0) AS BIGINT) AS na,
+         CAST(coalesce(nb, 0) AS BIGINT) AS nb,
+         CAST(floor(
+           ((coalesce(na, 0) + 1.0) / (ta + k) - (coalesce(nb, 0) + 1.0) / (tb + k))
+           * ln(((coalesce(na, 0) + 1.0) / (ta + k)) / ((coalesce(nb, 0) + 1.0) / (tb + k)))
+           * 1000000000 + 0.5) AS BIGINT) AS term_scaled
+  FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source
+  CROSS JOIN tot
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(na) AS BIGINT) AS n_a,
+       CAST(sum(nb) AS BIGINT) AS n_b,
+       CAST(sum(term_scaled) AS BIGINT) AS psi_scaled
+FROM terms GROUP BY 1
+""",
+    tags=("stats", "drift", "psi", "monitoring"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard ingest-drift monitor: compare the (lang, source) mix of
+    snapshot A vs snapshot B (here the deterministic even/odd doc_id
+    halves, standing in for yesterday's vs today's crawl) with
+    Laplace-smoothed probabilities. PSI = Σ (p_a−p_b)·ln(p_a/p_b);
+    rule of thumb >0.2 per dimension = investigate the pipeline.
+
+    Exactness: each bucket's PSI term is quantized ONCE to int64 (1e-9
+    units) and the per-lang PSI is then an integer sum — associative,
+    so any partitioning gives bit-identical results (same discipline
+    as DSIR's log-ratio table; a double sum over buckets would be
+    merge-order-dependent).
+
+    Scale shape: two map-side-combined aggregates over one scan
+    collapse the corpus to |lang × source| rows before anything moves;
+    the full-outer bucket join and the PSI sum are metadata-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    a = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    j = a.join(b, ["lang", "source"], "full_outer").select(
+        "lang",
+        "source",
+        F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+    )
+    tot = j.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    pa = (F.col("na") + 1.0) / (F.col("ta") + F.col("k"))
+    pb = (F.col("nb") + 1.0) / (F.col("tb") + F.col("k"))
+    term = (
+        F.floor((pa - pb) * F.log(pa / pb) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("term_scaled")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select("lang", "na", "nb", term)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("na").alias("n_a"),
+            F.sum("nb").alias("n_b"),
+            F.sum("term_scaled").alias("psi_scaled"),
+        )
+    )
