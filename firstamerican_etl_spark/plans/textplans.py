@@ -491,3 +491,75 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+_VOCAB_V = 1000  # "tokenizer vocabulary" size (top-V corpus terms)
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM words GROUP BY 1
+    ORDER BY n DESC, term LIMIT {_VOCAB_V}
+  )
+),
+flagged AS (
+  SELECT w.lang,
+         CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words w LEFT JOIN vocab v ON w.term = v.term
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(floor(sum(oov) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS oov_ppm
+FROM flagged GROUP BY 1
+""",
+    tags=("text", "vocab", "oov", "tokenizer", "qa"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-V=1000
+    corpus terms as the stand-in vocabulary (deterministic count-desc,
+    term-asc order — production would broadcast the real tokenizer's
+    vocab file) and report per-language token counts, OOV counts and
+    the OOV rate in ppm. The per-language OOV rate is the QA number a
+    multilingual pre-training mix is gated on: a language whose rate
+    spikes is being mis-tokenized (wrong script, mojibake, vocabulary
+    trained on a different mix) and will train badly at full cost.
+
+    Exactness: counts are integers and the rate is floor-quantized
+    from integer totals — bit-identical under any partitioning.
+
+    Scale shape: one term-count aggregate (map-side combined) feeds a
+    top-V sort-limit whose |V| rows broadcast back onto the exploded
+    token stream; the only other shuffle is the |langs|-row report
+    aggregate. The corpus is never joined by anything bigger than the
+    broadcast vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    vocab = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(_VOCAB_V)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "term", "left").select(
+        "lang",
+        F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.floor(
+            F.sum("oov") * F.lit(1000000.0) / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )
