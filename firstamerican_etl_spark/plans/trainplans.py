@@ -733,3 +733,87 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
     return assigned.withColumn("split", split_col(F.col("cluster_id")))
+
+
+@register(
+    "dedup_survivorship_report",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
+),
+members AS (
+  SELECT l.cluster_id, d.doc_id,
+         len(string_split(d.text, ' ')) AS n_words
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_words,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+         ) AS rn
+  FROM members
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       CAST(min(CASE WHEN rn = 1 THEN n_words END) AS BIGINT) AS survivor_words,
+       CAST(sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT) AS dropped_words
+FROM ranked
+GROUP BY 1
+""",
+    tags=("dedup", "survivorship", "cluster", "training-data"),
+)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step AFTER near-dup clustering that an
+    actual dedup pipeline runs: per cluster, keep the member with the
+    MOST CONTENT (word count desc, doc_id asc tie-break — min-doc_id
+    survivorship throws away the longest copy whenever the shortest
+    happens to have the smaller id) and report members, the survivor,
+    and how many words the drop forfeits. The W1 window idiom applied
+    on top of connected components.
+
+    Scale shape: the component labeling runs over the banded near-dup
+    edge set; members joins the |clustered docs|-sized label frame
+    back to the corpus (broadcast — near-dup clusters are a small
+    fraction of a deduped corpus), and the survivor window partitions
+    by cluster_id, so no unpartitioned window and nothing corpus-sized
+    shuffles on anything but the label join."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    pairs = dedupplans.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_words")
+    )
+    members = d.join(F.broadcast(labels), "doc_id")
+    ranked = top_k_per_group(
+        members,
+        partition_by=["cluster_id"],
+        order_by=[F.col("n_words").desc(), F.col("doc_id")],
+        k=1 << 30,  # rank all members; rn=1 is the survivor
+        rank_col="rn",
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_words"))).alias("survivor_words"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_words")).otherwise(F.lit(0))).alias(
+            "dropped_words"
+        ),
+    )
