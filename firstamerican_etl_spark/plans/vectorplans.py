@@ -1175,3 +1175,145 @@ def semdedup_cluster_prune_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "embeddings").count()  # metadata scalar
     k = max(_SEMDEDUP_K, int(n**0.5) // 2)
     return _semdedup(spark, sf_dir, k)
+
+
+_SWEEP_TAUS = ((1, 5), (3, 10), (2, 5), (1, 2))  # τ = 0.2, 0.3, 0.4, 0.5
+
+
+@register(
+    "semdedup_threshold_sweep",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < {_SEMDEDUP_K}),
+assigned AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT e.vec_id, e.q, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(CAST(list_distance(e.v, c.cvec) AS DOUBLE), 4), c.cent_id
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+n2 AS (
+  SELECT vec_id, cell, q,
+         CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS nn
+  FROM assigned
+),
+pd AS (
+  SELECT CAST(list_dot_product(a.q, b.q) AS BIGINT) AS d, a.nn AS nna, b.nn AS nnb
+  FROM n2 a JOIN n2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+taus AS (
+  {" UNION ALL ".join(f"SELECT {n} AS t_num, {d} AS t_den" for n, d in _SWEEP_TAUS)}
+)
+SELECT CAST(floor(t_num * 1000000.0 / t_den + 0.5) AS BIGINT) AS tau_ppm,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN d > 0 AND t_den * t_den * d * d >= t_num * t_num * nna * nnb
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+FROM pd CROSS JOIN taus
+GROUP BY 1
+""",
+    tags=("dedup", "semdedup", "eval", "tuning"),
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold tuning table: within-cell candidate pairs
+    scored ONCE (exact int64 dot products over the same staged
+    assignment the dedup query uses) and counted against a τ sweep
+    (0.2 / 0.3 / 0.4 / 0.5, cross-multiplied integer inequalities — no
+    sqrt, no floats). This is the one-pass table an operator reads to
+    pick τ before committing a full-corpus prune: how many pairs (and
+    therefore documents) each threshold would remove.
+
+    Scale shape: reuses the staged cell assignment (same content key
+    as semdedup_cluster_prune — invoking both stages once); the pair
+    join keys on cell at Σ|cell|² cost and the sweep is a CASE per τ
+    over the SAME dot product, so four thresholds cost one pass."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    cents = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    assigned = stage_once(
+        top_k_per_group(
+            e.crossJoin(F.broadcast(cents)).select(
+                "vec_id", "q", "cent_id", l2.alias("d")
+            ),
+            partition_by=["vec_id"],
+            order_by=[F.col("d"), F.col("cent_id")],
+            k=1,
+            rank_col="__rn",
+        ).select("vec_id", F.col("cent_id").alias("cell"), "q"),
+        "semdedup_assigned",
+        reuse_key=f"{staging_tag(sf_dir, 'embeddings')}_{_SEMDEDUP_K}",
+    )
+    nn = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    n2 = assigned.select("vec_id", "cell", "q", nn.alias("nn"))
+    a = n2.select(
+        F.col("vec_id").alias("ia"), F.col("cell").alias("ca"),
+        F.col("q").alias("qa"), F.col("nn").alias("nna"),
+    )
+    b = n2.select(
+        F.col("vec_id").alias("ib"), F.col("cell").alias("cb"),
+        F.col("q").alias("qb"), F.col("nn").alias("nnb"),
+    )
+    dot_i = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pd = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+        .select(dot_i.alias("d"), "nna", "nnb")
+    )
+    taus = None
+    for t_num, t_den in _SWEEP_TAUS:
+        row = pd.sparkSession.range(1).select(
+            F.lit(t_num).alias("t_num"), F.lit(t_den).alias("t_den")
+        )
+        taus = row if taus is None else taus.unionByName(row)
+    hit = (
+        (F.col("d") > 0)
+        & (
+            F.col("t_den") * F.col("t_den") * F.col("d") * F.col("d")
+            >= F.col("t_num") * F.col("t_num") * F.col("nna") * F.col("nnb")
+        )
+    ).cast("long")
+    return (
+        pd.crossJoin(F.broadcast(taus))
+        .groupBy(
+            F.floor(
+                F.col("t_num") * F.lit(1000000.0) / F.col("t_den") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tau_ppm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(hit).alias("n_dup_pairs"),
+        )
+    )
