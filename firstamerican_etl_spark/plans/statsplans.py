@@ -533,32 +533,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_drift_psi",
     oracle="""
-WITH a AS (
-  SELECT lang, source, count(*) AS na FROM documents
-  WHERE doc_id % 2 = 0 GROUP BY 1, 2
-),
-b AS (
-  SELECT lang, source, count(*) AS nb FROM documents
-  WHERE doc_id % 2 = 1 GROUP BY 1, 2
+WITH c AS (
+  SELECT lang, source,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM documents GROUP BY 1, 2
 ),
 tot AS (
-  SELECT CAST((SELECT coalesce(sum(na), 0) FROM a) AS BIGINT) AS ta,
-         CAST((SELECT coalesce(sum(nb), 0) FROM b) AS BIGINT) AS tb,
-         CAST((SELECT count(*) FROM (
-            SELECT lang, source FROM a UNION SELECT lang, source FROM b
-         )) AS BIGINT) AS k
+  SELECT CAST(sum(na) AS BIGINT) AS ta,
+         CAST(sum(nb) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM c
 ),
 terms AS (
-  SELECT coalesce(a.lang, b.lang) AS lang,
-         coalesce(a.source, b.source) AS source,
-         CAST(coalesce(na, 0) AS BIGINT) AS na,
-         CAST(coalesce(nb, 0) AS BIGINT) AS nb,
+  SELECT lang, na, nb,
          CAST(floor(
-           ((coalesce(na, 0) + 1.0) / (ta + k) - (coalesce(nb, 0) + 1.0) / (tb + k))
-           * ln(((coalesce(na, 0) + 1.0) / (ta + k)) / ((coalesce(nb, 0) + 1.0) / (tb + k)))
+           ((na + 1.0) / (ta + k) - (nb + 1.0) / (tb + k))
+           * ln(((na + 1.0) / (ta + k)) / ((nb + 1.0) / (tb + k)))
            * 1000000000 + 0.5) AS BIGINT) AS term_scaled
-  FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source
-  CROSS JOIN tot
+  FROM c CROSS JOIN tot
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_buckets,
@@ -587,21 +580,14 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse the corpus to |lang × source| rows before anything moves;
     the full-outer bucket join and the PSI sum are metadata-sized."""
     d = load_table(spark, sf_dir, "documents")
-    a = (
-        d.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("na"))
-    )
-    b = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
-    j = a.join(b, ["lang", "source"], "full_outer").select(
-        "lang",
-        "source",
-        F.coalesce(F.col("na"), F.lit(0)).alias("na"),
-        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+    # ONE conditional aggregate, no join: both snapshot counts come out
+    # of a single corpus scan, and NULL-keyed (lang, source) buckets
+    # group naturally on both engines — a filtered-halves + full-outer
+    # formulation double-counted a NULL bucket in the smoothing k
+    # (NULL join keys never match) and diverged from the oracle.
+    j = d.groupBy("lang", "source").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("nb"),
     )
     tot = j.agg(
         F.sum("na").alias("ta"),

@@ -539,26 +539,42 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream; the only other shuffle is the |langs|-row report
     aggregate. The corpus is never joined by anything bigger than the
     broadcast vocabulary."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.sources.io import staging_tag
+
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    # ONE corpus pass: collapse to (lang, term) counts and stage that —
+    # both the vocab top-V aggregate and the OOV flag derive from the
+    # staged frame (unstaged, Catalyst re-exploded the corpus once per
+    # branch; same discipline as DSIR's staged bucket counts)
+    tc = stage_once(
+        d.select(
+            "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "vocab_oov_termcounts",
+        reuse_key=staging_tag(sf_dir, "documents"),
     )
     vocab = (
-        words.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "term")
+        tc.groupBy("term")
+        .agg(F.sum("n").alias("nt"))
+        .orderBy(F.col("nt").desc(), "term")
         .limit(_VOCAB_V)
         .select("term", F.lit(1).alias("in_vocab"))
     )
-    flagged = words.join(F.broadcast(vocab), "term", "left").select(
+    flagged = tc.join(F.broadcast(vocab), "term", "left").select(
         "lang",
-        F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+        "n",
+        F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0)).alias(
+            "oov_n"
+        ),
     )
     return flagged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("oov").alias("n_oov"),
+        F.sum("n").alias("n_tokens"),
+        F.sum("oov_n").alias("n_oov"),
         F.floor(
-            F.sum("oov") * F.lit(1000000.0) / F.count(F.lit(1)) + F.lit(0.5)
+            F.sum("oov_n") * F.lit(1000000.0) / F.sum("n") + F.lit(0.5)
         )
         .cast("long")
         .alias("oov_ppm"),

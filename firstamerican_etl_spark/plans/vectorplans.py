@@ -1290,12 +1290,9 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
         .select(dot_i.alias("d"), "nna", "nnb")
     )
-    taus = None
-    for t_num, t_den in _SWEEP_TAUS:
-        row = pd.sparkSession.range(1).select(
-            F.lit(t_num).alias("t_num"), F.lit(t_den).alias("t_den")
-        )
-        taus = row if taus is None else taus.unionByName(row)
+    taus = spark.createDataFrame(
+        list(_SWEEP_TAUS), "t_num INT, t_den INT"
+    )
     hit = (
         (F.col("d") > 0)
         & (

@@ -40,3 +40,29 @@ def test_runs_on_empty_tables(spark, empty_dir, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # schema stays stable on empty input
+
+
+def test_corpus_drift_psi_null_keyed_buckets(spark, tmp_path):
+    """NULL (lang, source) buckets must group identically on both
+    engines: the earlier filtered-halves + full-outer formulation
+    double-counted a NULL bucket in the smoothing k (NULL join keys
+    never match) and diverged from the oracle."""
+    import duckdb
+
+    from firstamerican_etl_spark.plans.registry import load_all
+    from tests.oracle_harness import compare
+
+    td = str(tmp_path)
+    duckdb.sql(f"""
+COPY (
+  SELECT * FROM (VALUES
+    (0, 'a b c', 'fr', NULL, 5),
+    (1, 'd e f', 'fr', NULL, 5),
+    (2, 'g h i', 'fr', 'src1', 5),
+    (3, 'j k l', 'en', 'src2', 5),
+    (4, 'm n o', NULL, 'src2', 5)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{td}/documents.parquet' (FORMAT PARQUET)""")
+    spec = load_all()["corpus_drift_psi"]
+    errs = compare("psi_null_probe", spec.spark(spark, td), spec.oracle, td)
+    assert not errs, errs
