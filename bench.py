@@ -99,6 +99,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry = load_all()
+    # Host-load context: a shared host's background load inflates
+    # timings (the r3→r4 "+22%" was contention, and attributing it
+    # cost a full audit cycle). Record the 1-min load average before
+    # and after so a contended run is visible IN the bench line.
+    n_cpus = os.cpu_count() or 1
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
 
     # Warm-up: run every headline query once at the SMALLEST scale
@@ -171,6 +177,7 @@ def main() -> None:
     # if it were comparable to a complete run: value goes null and the
     # per-query timings remain for diagnosis.
     total = round(sum(timings.values()), 3) if not failures else None
+    load_after = round(os.getloadavg()[0], 2)
     out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -178,6 +185,13 @@ def main() -> None:
         "complete": not failures,
         "queries": timings,
         "sf": sf,
+        "load_before": load_before,
+        "load_after": load_after,
+        # our own local[N] workers saturate ~n_cpus while running; a
+        # PRE-existing load near or above the core count means the
+        # numbers were taken on a contended host and round-over-round
+        # comparison should discount them
+        "contended": load_before > 0.5 * n_cpus,
     }
     if failures:
         out["failures"] = failures

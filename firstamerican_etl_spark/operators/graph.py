@@ -23,14 +23,25 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_rounds: int = 15,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MIN node
     id of its component. Returns (node, label); nodes that appear in
     no pair are absent (callers treat them as their own singleton
     component). The pair edge set is localCheckpoint-ed eagerly so the
     (possibly expensive) pair-mining plan runs exactly once, not once
-    per propagation round."""
+    per propagation round.
+
+    CONVERGENCE CONTRACT: the loop runs until a fixed point (the
+    per-round label checksum stops moving) and raises RuntimeError if
+    ``max_rounds`` is exhausted while labels are still changing —
+    silently returning unconverged labels would hand downstream
+    consumers (leakage-safe split assignment, survivorship reports)
+    wrong cluster ids with no error raised. Rounds needed = graph
+    diameter; a duplicate chain with diameter > 50 (pathological for
+    near-dup graphs, whose clusters are dense) should be clustered
+    with large-star/small-star contraction instead — raise the cap
+    explicitly if that topology is genuinely expected."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -54,6 +65,7 @@ def connected_components(
         return int(row["s"]) if row["s"] is not None else 0
 
     prev_sum = checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("label")
@@ -68,6 +80,14 @@ def connected_components(
         labels = new_labels
         new_sum = checksum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (labels still changing) — the pair graph's diameter "
+            "exceeds the round cap; returning would yield wrong cluster "
+            "ids. Raise max_rounds or switch to star-contraction."
+        )
     return labels

@@ -71,6 +71,7 @@ def build_corpus(
     min_alpha_frac: float = 0.5,
     output_format: str = "parquet",
     weight_target_lang: str | None = None,
+    span_cut: bool = False,
 ) -> CorpusBuildStats:
     """Run the full build over ``docs`` (doc_id, text, ...) and write
     train/val/test output under ``out_dir`` partitioned by split.
@@ -125,6 +126,26 @@ def build_corpus(
     )
     near = exact.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_after_near = near.count()
+
+    # 3.5 (optional): duplicate-SPAN removal (arXiv:2107.06499 §3.1) on
+    # the whole-doc survivors — excises duplicated 8-token runs that
+    # whole-doc dedup can't touch, keeping one canonical occurrence
+    # corpus-wide (see plans/dedupplans.span_cut_clean). The checkpoint
+    # above means the marking pass runs over the materialized
+    # survivors, not the re-derived dedup cascade; docs cut down below
+    # min_tokens fall to the quality gate next.
+    if span_cut:
+        from firstamerican_etl_spark.plans.dedupplans import span_cut_clean
+
+        cleaned = span_cut_clean(near).select(
+            "doc_id", F.col("text_clean").alias("_text_clean")
+        )
+        near = (
+            near.join(cleaned, "doc_id")
+            .withColumn("text", F.col("_text_clean"))
+            .drop("_text_clean")
+            .localCheckpoint(eager=True)
+        )
 
     # 4: quality gate (Gopher-style bounds, all scan-side expressions)
     toks = F.split(F.col("text"), " ", -1)
@@ -251,6 +272,9 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
     p.add_argument("--weight_target_lang", default=None,
                    help="attach DSIR importance weights against this "
                         "target-language slice (requires a lang column)")
+    p.add_argument("--span_cut", action="store_true",
+                   help="excise duplicated 8-token spans from survivors "
+                        "(keep one canonical occurrence corpus-wide)")
     a = p.parse_args(argv)
 
     spark = get_spark(app_name="corpus_build")
@@ -265,6 +289,7 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
         min_alpha_frac=a.min_alpha_frac,
         output_format=a.output_format,
         weight_target_lang=a.weight_target_lang,
+        span_cut=a.span_cut,
     )
     print(json.dumps(dataclasses.asdict(stats)))
     print(f"# corpus written to {a.out_dir}", file=sys.stderr)

@@ -831,6 +831,125 @@ def dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_L = 8  # duplicate-span window length (tokens)
 
 
+def _wins_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Every overlapping ``_SPAN_L``-token window of every document
+    long enough to have one: (doc_id, i, h) with i 1-based and h the
+    md5 of the space-joined slice. Materializes map-side from the
+    bound words array — zero shuffle."""
+    w = exploded_words(docs, text_col=text_col)
+    n = F.size("words")
+    return (
+        w.filter(n >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SPAN_L - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("words"), i, _SPAN_L))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.col("win.i").alias("i"), F.col("win.h").alias("h"))
+    )
+
+
+def _span_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wins_of(load_table(spark, sf_dir, "documents"))
+
+
+def _mark_spans(wins: DataFrame) -> DataFrame:
+    """(doc_id, i, dup, rem) for every window — dup: the hash recurs
+    in another document; rem: removable (recurs AND this is not the
+    canonical min-doc_id occurrence). One shuffle by h."""
+    from pyspark.sql.window import Window
+
+    hw = Window.partitionBy("h")
+    mind = F.min("doc_id").over(hw)
+    maxd = F.max("doc_id").over(hw)
+    return wins.select(
+        "doc_id",
+        "i",
+        (mind != maxd).cast("long").alias("dup"),
+        ((mind != maxd) & (F.col("doc_id") != mind)).cast("long").alias("rem"),
+    )
+
+
+def span_cut_clean(docs: DataFrame, marked: DataFrame | None = None) -> DataFrame:
+    """Frame-level duplicate-span removal (see duplicate_span_cut for
+    semantics): returns (doc_id, n_words, n_cut, text_clean) for every
+    row of ``docs``. ``marked`` lets the registered query hand in its
+    staged marked-windows frame; pipeline callers leave it None and
+    get a single lazy plan."""
+    if marked is None:
+        marked = _mark_spans(_wins_of(docs))
+    cutpos = (
+        marked.filter(F.col("rem") == 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SPAN_L - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cut", F.lit(1))
+    )
+    wordpos = exploded_words(docs).select(
+        "doc_id", F.posexplode("words").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    kept = wordpos.join(cutpos, ["doc_id", "pos"], "left")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("cut") == 1, 1).otherwise(0)).alias("n_cut"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut").isNull(),
+                            F.struct(F.col("pos"), F.col("word")),
+                        )
+                    )
+                ),
+                lambda x: x.word,
+            ),
+        ).alias("text_clean"),
+    )
+
+
+def _span_marked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, i, dup, rem) for every window — the shared
+    substrate of duplicate_span_report (reads ``dup``) and
+    duplicate_span_cut (reads ``rem``).
+
+    Cross-doc recurrence as ONE window pass instead of agg + join: a
+    window hash recurs in another document iff min(doc_id) ≠
+    max(doc_id) over its hash partition; the same pass yields the
+    canonical-keeper rule ``rem`` — a recurring window occurrence is
+    removable unless it lives in the min-doc_id document (the one
+    canonical occurrence Lee et al. 2022 keeps). This halves the
+    corpus-wide exchanges (one shuffle by h total) and removes the
+    join entirely. Skew on hot hashes is the same exposure the join
+    variant had on its probe side; AQE's skew handling applies.
+
+    Staged (4 narrow columns — no text, no hashes) because both the
+    run-merge branch and the per-doc report consume it, the cut query
+    reuses the identical frame under the same content key, and without
+    staging each branch re-runs the whole corpus pass."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+
+    return stage_once(
+        _mark_spans(_span_wins(spark, sf_dir)),
+        "span_marked",
+        reuse_key=staging_tag(sf_dir, "documents"),
+    )
+
+
 @register(
     "duplicate_span_report",
     oracle=f"""
@@ -902,50 +1021,7 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing document-sized ever moves on anything but doc_id/hash."""
     from pyspark.sql.window import Window
 
-    w = exploded_words(load_table(spark, sf_dir, "documents"))
-    n = F.size("words")
-    wins = (
-        w.filter(n >= _SPAN_L)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n - (_SPAN_L - 1)),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.md5(
-                            F.concat_ws(" ", F.slice(F.col("words"), i, _SPAN_L))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("win"),
-        )
-        .select("doc_id", F.col("win.i").alias("i"), F.col("win.h").alias("h"))
-    )
-    # Cross-doc recurrence as ONE window pass instead of agg + join:
-    # a window hash recurs in another document iff min(doc_id) ≠
-    # max(doc_id) over its hash partition. This halves the corpus-wide
-    # exchanges (one shuffle by h total; the agg+join formulation
-    # exchanged the corpus by h twice) and removes the join entirely.
-    # Skew on hot hashes is the same exposure the join variant had on
-    # its probe side; AQE's skew handling applies to both.
-    hw = Window.partitionBy("h")
-    # Stage the marked windows (3 narrow columns — no text, no hashes):
-    # both the run-merge branch and the per-doc report consume it, and
-    # without staging each branch re-runs the whole corpus pass.
-    from firstamerican_etl_spark.operators.scale import stage_once
-
-    marked = stage_once(
-        wins.select(
-            "doc_id",
-            "i",
-            (F.min("doc_id").over(hw) != F.max("doc_id").over(hw))
-            .cast("long")
-            .alias("dup"),
-        ),
-        "span_marked",
-        reuse_key=staging_tag(sf_dir, "documents"),
-    )
+    marked = _span_marked_windows(spark, sf_dir)
     grp_w = Window.partitionBy("doc_id", "dup").orderBy("i")
     runs = marked.withColumn("grp", F.col("i") - F.row_number().over(grp_w))
     run_lens = (
@@ -978,6 +1054,82 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_window_frac",
         )
     )
+
+
+@register(
+    "duplicate_span_cut",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+long AS (SELECT doc_id, words FROM w WHERE len(words) >= {_SPAN_L}),
+wins AS (
+  SELECT doc_id, i,
+         md5(array_to_string(words[i:i+{_SPAN_L - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, len(words) - {_SPAN_L - 1})) AS i
+    FROM long
+  ) t
+),
+hstat AS (
+  SELECT h, min(doc_id) AS mind, max(doc_id) AS maxd FROM wins GROUP BY 1
+),
+rem AS (
+  SELECT wi.doc_id, wi.i
+  FROM wins wi JOIN hstat s ON wi.h = s.h
+  WHERE s.mind <> s.maxd AND wi.doc_id <> s.mind
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, i + off AS pos
+  FROM rem, unnest(generate_series(0, {_SPAN_L - 1})) AS t(off)
+),
+wordpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(words))) AS pos, words
+  FROM w
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.words[wp.pos] AS word,
+         (c.pos IS NOT NULL) AS cut
+  FROM wordpos wp LEFT JOIN cutpos c
+    ON wp.doc_id = c.doc_id AND wp.pos = c.pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       coalesce(
+         string_agg(CASE WHEN NOT cut THEN word END, ' ' ORDER BY pos),
+         ''
+       ) AS text_clean
+FROM kept GROUP BY 1
+""",
+    tags=("dedup", "substring", "span", "remediation", "training-data"),
+)
+def duplicate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN REMOVAL — the remediation step of exact
+    substring dedup (Lee et al. 2022, arXiv:2107.06499 §3.1), not just
+    the report: every {_SPAN_L}-token window whose hash recurs in
+    another document is excised from all but ONE canonical occurrence
+    corpus-wide (the min-doc_id holder), and the surviving words are
+    re-joined into ``text_clean``. Word positions covered by at least
+    one removable window are cut; overlapping removable windows merge
+    naturally into maximal runs. Emits (doc_id, n_words, n_cut,
+    text_clean) for every document — short docs (< window length) pass
+    through uncut with their whitespace normalized, same as the kept
+    text.
+
+    Scale shape: reuses duplicate_span_report's staged marked-windows
+    frame (one corpus shuffle by window hash, content-keyed — running
+    report then cut pays the marking pass once). The cut-position set
+    explodes ONLY removable windows (×L), dedups on (doc_id, pos), and
+    joins back to the position-exploded corpus on (doc_id, pos) — a
+    hash join keyed on (doc, position) with NO broadcast assumption
+    (the duplicated-span set of a web corpus is huge; that is the
+    point). Reassembly is one groupBy doc_id with an array_sort over
+    (pos, word) structs: per-doc data only, nothing document-sized
+    ever moves on anything but doc_id/hash keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_cut_clean(docs, marked=_span_marked_windows(spark, sf_dir))
 
 
 @register(

@@ -167,10 +167,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag_file = os.path.join(stage_root, "_TAG")
     staged_tag, n_nodes = None, None
     if os.path.exists(tag_file):
-        with open(tag_file) as fh:
-            parts = fh.read().split()
+        # tolerant parse: a torn/corrupt tag (crash mid-write before
+        # the atomic replace below existed, or manual tampering) must
+        # read as "not staged" → restage, never crash the query
+        try:
+            with open(tag_file) as fh:
+                parts = fh.read().split()
             if len(parts) == 2:
                 staged_tag, n_nodes = parts[0], int(parts[1])
+        except (OSError, ValueError):
+            staged_tag, n_nodes = None, None
     if staged_tag != tag or not spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(stage_root, ignore_errors=True)
@@ -189,8 +195,15 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes = (
             spark.table(table).select("src").distinct().count()
         )  # metadata-sized driver scalar
-        with open(tag_file, "w") as fh:
+        # atomic tag publish (tmp + os.replace, like WdsWriter.commit):
+        # a crash mid-write leaves either no tag (→ restage) or the
+        # complete new tag, never a torn file
+        tmp_tag = tag_file + ".tmp"
+        with open(tmp_tag, "w") as fh:
             fh.write(f"{tag} {n_nodes}")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_tag, tag_file)
     with_deg = spark.table(table)
     node_deg = with_deg.select("src", "deg").distinct()
     if n_nodes == 0:

@@ -1099,6 +1099,8 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     # lambda cost per element; the BLAS path scores all Σ|cell|² pairs
     # of a cell in one matmul, same trade as
     # dedup_embedding_cosine_vectorized.
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -1118,6 +1120,22 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        # OVERFLOW GUARD: the exactness claim below rests on every
+        # intermediate staying inside int64 — numpy wraps silently (no
+        # ANSI throw), so an unnormalized embedding slipping through
+        # quantization would yield silently wrong dup verdicts. The
+        # worst intermediate is t² · dot² with dot ≤ dim · qmax², so
+        # require dim · qmax² ≤ isqrt(int64max / max(t_num², t_den²)).
+        qmax = int(np.abs(q).max()) if q.size else 0
+        t_sq = max(t_num * t_num, t_den * t_den)
+        bound = math.isqrt((2**63 - 1) // t_sq)
+        if q.size and q.shape[1] * qmax * qmax > bound:
+            raise ValueError(
+                f"cell_prune int64 overflow risk: dim*qmax^2 = "
+                f"{q.shape[1] * qmax * qmax} > {bound} (qmax={qmax}); "
+                "input embeddings exceed the quantization contract "
+                "(|coord| small after scaling) — refusing to wrap."
+            )
         d = q @ q.T
         nn = np.diagonal(d)
         ok = (d > 0) & (

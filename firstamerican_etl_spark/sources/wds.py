@@ -97,6 +97,14 @@ class WdsWriter(DataSourceWriter):
         # *.tar files are ever touched — subdirectories are ignored.
         self.overwrite = overwrite
         self._old_shards: list[str] = []
+        # a crash between writing _SUCCESS.tmp and the atomic replace
+        # in commit() strands the tmp forever (the .tar-only filters
+        # skip it); clear any stale one now — a new write generation
+        # is starting, so no in-flight commit can own it
+        try:
+            os.remove(os.path.join(self.path, "_SUCCESS.tmp"))
+        except OSError:
+            pass
         if overwrite and os.path.isdir(self.path):
             self._old_shards = [
                 e.name

@@ -147,3 +147,36 @@ def test_corpus_build_dsir_weight_stage(spark, sf_dir, tmp_path):
     assert set(got) == set(r["doc_id"] for r in survivors.collect())
     for doc_id, w in got.items():
         assert w == expect.get(doc_id, 0), (doc_id, w, expect.get(doc_id))
+
+
+def test_corpus_build_span_cut_stage(spark, sf_dir, tmp_path):
+    """span_cut=True must leave no 8-token window shared across the
+    WRITTEN corpus documents (the Lee et al. remediation invariant:
+    one canonical occurrence survives; every other occurrence was
+    excised before the quality gate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "spancut")
+    stats = build_corpus(spark, docs, out, token_budget=BUDGET, span_cut=True)
+    written = spark.read.parquet(out)
+    assert written.count() == stats.n_after_quality > 0
+    L = 8
+    w = written.select(
+        "doc_id", F.split("text", " ", -1).alias("words")
+    ).filter(F.size("words") >= L)
+    n = F.size("words")
+    wins = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (L - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("words"), i, L))),
+            )
+        ).alias("h"),
+    )
+    crossdoc = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .count()
+    )
+    assert crossdoc == 0, f"{crossdoc} window hashes still span documents"

@@ -105,3 +105,75 @@ def test_leakage_safe_split_no_straddling_pairs(spark, sf_dir):
         pairs.join(a2, "doc_a").join(b2, "doc_b").filter(F.col("sa") != F.col("sb")).count()
     )
     assert doc_straddling > 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph of diameter 40 exceeds the old silent 15-round cap;
+    the loop must now run to the true fixed point: every node labeled 0."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    assert {r["label"] for r in labels.collect()} == {0}
+
+
+def test_connected_components_raises_on_round_cap(spark):
+    """Exhausting max_rounds while labels still change must raise, not
+    silently return unconverged labels (ADVICE r5: a silent wrong
+    clustering would let near-dup pairs straddle train/test splits)."""
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=3)
+
+
+def test_duplicate_span_cut_leaves_no_cross_doc_window(spark, sf_dir):
+    """After the cut pass, re-windowing the cleaned corpus must find no
+    8-token window shared across documents (the arXiv:2107.06499
+    invariant: exactly one canonical occurrence survives corpus-wide).
+    Also: docs without duplicated spans pass through with n_cut=0 and
+    whitespace-normalized text."""
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.plans.dedupplans import (
+        _SPAN_L,
+        duplicate_span_cut,
+    )
+
+    cleaned = duplicate_span_cut(spark, sf_dir).localCheckpoint(eager=True)
+    w = cleaned.select(
+        "doc_id", F.split("text_clean", " ", -1).alias("words")
+    ).filter(F.size("words") >= _SPAN_L)
+    n = F.size("words")
+    wins = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (_SPAN_L - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("words"), i, _SPAN_L))
+                ),
+            )
+        ).alias("h"),
+    )
+    crossdoc = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .count()
+    )
+    assert crossdoc == 0, f"{crossdoc} window hashes still span documents"
+    # sanity: something was cut on this fixture, and uncut docs emerge
+    # with n_cut == 0 and every word kept
+    agg = cleaned.agg(
+        F.sum("n_cut").alias("cut"),
+        F.sum(F.when(F.col("n_cut") == 0, 1).otherwise(0)).alias("uncut_docs"),
+    ).first()
+    assert agg["cut"] > 0 and agg["uncut_docs"] > 0
