@@ -173,6 +173,17 @@ def main() -> None:
         failures["corpus_build_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# corpus_build_e2e: FAILED {failures['corpus_build_e2e']}", file=sys.stderr)
 
+    # Incremental refresh: delta-ingest the second half of the corpus
+    # against a pre-built first-half index (the steady-state nightly
+    # ingest shape — only the delta is timed; the initial build is
+    # setup outside the timed section).
+    try:
+        timings["corpus_build_delta"] = round(_corpus_build_delta(spark, sf_dir), 3)
+        print(f"# corpus_build_delta: {timings['corpus_build_delta']:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        failures["corpus_build_delta"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# corpus_build_delta: FAILED {failures['corpus_build_delta']}", file=sys.stderr)
+
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
     # per-query timings remain for diagnosis.
@@ -215,6 +226,35 @@ def _corpus_build_e2e(spark, sf_dir: str) -> float:
         )
         stats = build_corpus(spark, docs, out)
         return stats.seconds
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _corpus_build_delta(spark, sf_dir: str) -> float:
+    """Time ONLY the delta ingest: full build over the lower doc_id
+    half (setup, untimed), then build_corpus_delta over the upper
+    half against the written index."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.pipeline.corpus_build import (
+        build_corpus,
+        build_corpus_delta,
+    )
+    from firstamerican_etl_spark.sources.io import load_table
+
+    out = tempfile.mkdtemp(prefix="corpus_delta_bench_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        build_corpus(spark, docs.filter(F.col("doc_id") <= mid), out)
+        t0 = time.perf_counter()
+        build_corpus_delta(spark, docs.filter(F.col("doc_id") > mid), out)
+        return time.perf_counter() - t0
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

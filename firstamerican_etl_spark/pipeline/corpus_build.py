@@ -34,6 +34,7 @@ prefix-sum's per-shard totals (metadata-sized).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -42,10 +43,21 @@ from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.operators.graph import connected_components
 from firstamerican_etl_spark.operators.scale import global_running_sum
-from firstamerican_etl_spark.plans.dedupplans import _NORM, minhash_lsh_pairs
+from firstamerican_etl_spark.plans.dedupplans import (
+    _NORM,
+    minhash_bands,
+    minhash_lsh_pairs_from_bands,
+)
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
+
+
+def _index_dir(out_dir: str) -> str:
+    # under the corpus dir but underscore-prefixed: Spark/Hadoop
+    # readers treat _-prefixed paths as hidden metadata, so reading
+    # the corpus parquet/jsonl never picks the index up
+    return os.path.join(out_dir, "_index")
 
 
 @dataclass(frozen=True)
@@ -72,6 +84,7 @@ def build_corpus(
     output_format: str = "parquet",
     weight_target_lang: str | None = None,
     span_cut: bool = False,
+    write_index: bool = True,
 ) -> CorpusBuildStats:
     """Run the full build over ``docs`` (doc_id, text, ...) and write
     train/val/test output under ``out_dir`` partitioned by split.
@@ -118,8 +131,13 @@ def build_corpus(
     n_after_exact = exact.count()
 
     # 3: near-dup clustering on the exact survivors; a doc whose
-    # component label differs from its own id is a redundant near-dup
-    pairs = minhash_lsh_pairs(exact).select("doc_a", "doc_b")
+    # component label differs from its own id is a redundant near-dup.
+    # Bands are checkpointed because TWO consumers read them — the
+    # pair expansion here and the index sidecar write below — and the
+    # MinHash signature pipeline is the expensive part; one
+    # materialization, |docs|·8 narrow rows.
+    bands = minhash_bands(exact).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs_from_bands(bands).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
@@ -225,6 +243,22 @@ def build_corpus(
     else:
         writer.parquet(out_dir)
         out = spark.read.parquet(out_dir)
+    # Dedup INDEX sidecar — what an incremental refresh (delta mode,
+    # build_corpus_delta) dedups new batches against WITHOUT re-reading
+    # the corpus text: the (fingerprint, keeper) table of every
+    # distinct normalized fingerprint, and the LSH band rows of every
+    # EXACT survivor (near-dup losers included — the delta's cross-
+    # batch candidate graph must see the same nodes the full rebuild's
+    # intra-corpus graph does, or transitive chains through dropped
+    # docs get lost). Written AFTER the corpus (the overwrite above
+    # would clobber it); both frames are narrow (2-3 int/str columns).
+    if write_index:
+        idx = _index_dir(out_dir)
+        keep_exact.select(
+            "_fp", "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(idx, "fingerprints"))
+        bands.write.mode("overwrite").parquet(os.path.join(idx, "bands"))
+
     # n_bins needs a DISTINCT count, which observed metrics disallow —
     # a column-pruned scan of just the written bin_id column (a single
     # int column under parquet) is the remaining read
@@ -239,6 +273,188 @@ def build_corpus(
         n_train=int(split_row["n_train"] or 0),
         n_val=int(split_row["n_val"] or 0),
         n_test=int(split_row["n_test"] or 0),
+        seconds=time.perf_counter() - t0,
+    )
+
+
+def build_corpus_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    token_budget: int = 256,
+    min_tokens: int = 10,
+    max_chars: int = 5000,
+    min_alpha_frac: float = 0.5,
+) -> CorpusBuildStats:
+    """Incremental corpus refresh: flow a NEW batch of documents
+    through the same dedup → quality → redact → pack → split cascade
+    WITHOUT recomputing the existing corpus — new docs dedup against
+    the index sidecar a prior ``build_corpus`` (or delta) run wrote,
+    and survivors are APPENDED to ``out_dir``.
+
+    Full-rebuild equivalence (asserted by test_corpus_build): with
+    monotone doc_ids (every new id > every indexed id — the natural
+    ingest contract), delta-run survivors equal a from-scratch rebuild
+    over old ∪ new:
+
+    - exact: a new doc whose normalized fingerprint exists in the
+      index is the non-min member of its fp group in the rebuild —
+      dropped; within-batch groups keep their min.
+    - near: the candidate graph of the rebuild restricted to edges
+      touching the new batch = within-batch LSH pairs (minhash_lsh_
+      pairs on the batch) ∪ cross pairs (batch bands ⋈ indexed bands
+      on (band_id, band_hash) — the indexed bands cover ALL exact
+      survivors, near-dup losers included, so transitive chains
+      through previously-dropped docs are preserved). Connected
+      components over that union: a new doc whose component label is
+      not itself (an indexed id, or a smaller batch id) is dropped —
+      exactly the rebuild's keep-the-min rule.
+    - quality/redaction/split are per-doc and batch-local by nature.
+    - packing is order-dependent corpus state, so delta packs the new
+      survivors into FRESH bins numbered after the existing max —
+      bin_ids are the one field a rebuild would assign differently.
+
+    Corpus-global stages (span_cut, DSIR weights) are rebuild-only by
+    construction and not offered here. The index sidecar is extended
+    with the batch's exact survivors so later deltas compose.
+
+    Scale shape: nothing re-reads the existing corpus TEXT — the delta
+    touches only the narrow index frames (|distinct fps| +
+    8·|survivors| band rows) and the new batch. The cross-pair join
+    keys on (band_id, band_hash) with no broadcast assumption; at
+    steady state the index side is corpus-sized, the batch side
+    small — exactly the asymmetric join AQE handles.
+    """
+    idx = _index_dir(out_dir)
+    fp_path = os.path.join(idx, "fingerprints")
+    bands_path = os.path.join(idx, "bands")
+    t0 = time.perf_counter()
+    idx_fp = spark.read.parquet(fp_path)
+    idx_bands = spark.read.parquet(bands_path)
+
+    # the equivalence contract above needs monotone ids; a violation
+    # would silently flip keep-the-min decisions, so fail loud
+    max_indexed = idx_fp.agg(F.max("doc_id").alias("m")).first()["m"]
+    min_new = new_docs.agg(F.min("doc_id").alias("m")).first()["m"]
+    if max_indexed is not None and min_new is not None and min_new <= max_indexed:
+        raise ValueError(
+            f"delta batch doc_ids must exceed every indexed id "
+            f"(min new {min_new} <= max indexed {max_indexed})"
+        )
+
+    n_raw = new_docs.count()
+    normed = new_docs.withColumn("_fp", F.md5(_NORM(F.col("text"))))
+    # exact: drop fps already in the corpus, then keep-min within batch
+    fresh = normed.join(
+        idx_fp.select("_fp").distinct(), "_fp", "left_anti"
+    )
+    keep_exact = fresh.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = (
+        fresh.join(keep_exact, ["_fp", "doc_id"])
+        .drop("_fp")
+        .localCheckpoint(eager=True)
+    )
+    n_after_exact = exact.count()
+
+    # near: within-batch pairs ∪ cross pairs against the indexed bands
+    # (one signature pass: both pair generators read the checkpointed
+    # band rows)
+    batch_bands = minhash_bands(exact).localCheckpoint(eager=True)
+    within = minhash_lsh_pairs_from_bands(batch_bands).select("doc_a", "doc_b")
+    cross = (
+        batch_bands.alias("nb")
+        .join(idx_bands.alias("ib"), ["band_id", "band_hash"])
+        .select(
+            F.col("ib.doc_id").alias("doc_a"), F.col("nb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    labels = connected_components(within.unionByName(cross))
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    near = exact.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n_after_near = near.count()
+
+    # quality gate + redaction: same expressions as the full build
+    toks = F.split(F.col("text"), " ", -1)
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$")))
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    quality = near.filter(
+        (F.size(toks) >= min_tokens)
+        & (F.length("text") <= max_chars)
+        & (alpha_frac >= min_alpha_frac)
+    )
+    redacted = quality.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+    ).localCheckpoint(eager=True)
+    n_after_quality = redacted.count()
+
+    # pack into fresh bins after the existing corpus's max bin_id
+    # (column-pruned scan of one int column, not a corpus re-read)
+    existing = spark.read.parquet(out_dir)
+    bin_base = (existing.agg(F.max("bin_id").alias("m")).first()["m"] or -1) + 1
+    with_tok = redacted.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
+    packed = global_running_sum(
+        with_tok, "doc_id", "n_tokens", out_col="_run_tok"
+    ).withColumn(
+        "bin_id",
+        F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget))
+        + F.lit(bin_base),
+    ).drop("_run_tok")
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    packed = packed.withColumn(
+        "split",
+        F.when(bucket < "e6", "train")
+        .when(bucket < "f3", "val")
+        .otherwise("test"),
+    )
+    # align delta columns to the existing corpus schema (a full build
+    # may carry extra columns like logweight_scaled; the delta cannot
+    # compute corpus-global weights, so those builds must refresh full)
+    extra = set(existing.columns) - set(packed.columns)
+    if extra:
+        raise ValueError(
+            f"existing corpus carries corpus-global columns {sorted(extra)} "
+            "a delta cannot compute (e.g. DSIR weights) — rebuild full"
+        )
+    packed = packed.select(*existing.columns)
+    # one observation on the write action carries all four diagnostics
+    # (same no-extra-pass discipline as the full build)
+    from pyspark.sql import Observation
+
+    obs = Observation("delta_split")
+    observed = packed.observe(
+        obs,
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        F.size(F.collect_set("bin_id")).alias("n_bins"),
+    )
+    observed.write.mode("append").partitionBy("split").parquet(out_dir)
+    row = obs.get
+
+    # extend the index with this batch's exact survivors
+    keep_exact.select("_fp", "doc_id").write.mode("append").parquet(fp_path)
+    batch_bands.write.mode("append").parquet(bands_path)
+
+    return CorpusBuildStats(
+        n_raw=n_raw,
+        n_after_exact=n_after_exact,
+        n_after_near=n_after_near,
+        n_after_quality=n_after_quality,
+        n_bins=int(row["n_bins"] or 0),
+        n_train=int(row["n_train"] or 0),
+        n_val=int(row["n_val"] or 0),
+        n_test=int(row["n_test"] or 0),
         seconds=time.perf_counter() - t0,
     )
 

@@ -216,6 +216,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def minhash_bands(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band rows for every doc: the
+    32-hash MinHash signature split into 8 bands × 4 rows, each band
+    xxhash64-compressed. Shared by minhash_lsh_pairs (intra-corpus
+    candidate gen) and the incremental corpus index (cross-batch
+    candidate gen joins NEW batch bands against INDEXED bands on
+    (band_id, band_hash) — same collision rule, so a delta build sees
+    exactly the pairs a full rebuild would). Band hash = xxhash64 over
+    the band's 4 signature columns (plain column refs — trivially
+    re-inlinable, no recomputation concern)."""
+    with_sig = minhash_signatures(d, text_col)  # doc_id, mh0..mh31
+    return with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{i}") for i in range(b * 4, b * 4 + 4)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     d: DataFrame, text_col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
@@ -232,25 +261,15 @@ def minhash_lsh_pairs(
     """
     if key != "doc_id":
         d = d.withColumnRenamed(key, "doc_id")
-    with_sig = minhash_signatures(d, text_col)  # doc_id, mh0..mh31
-    # band hash = xxhash64 over the band's 4 signature columns (plain
-    # column refs — trivially re-inlinable, no recomputation concern)
-    bands = with_sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh{i}") for i in range(b * 4, b * 4 + 4)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(8)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    return minhash_lsh_pairs_from_bands(minhash_bands(d, text_col))
+
+
+def minhash_lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate-pair expansion from precomputed (doc_id, band_id,
+    band_hash) rows — split out so callers that already materialized
+    the bands (the incremental corpus index, the full build's index
+    write) don't pay the signature pipeline twice. See
+    ``minhash_lsh_pairs`` for the bucket/star expansion contract."""
     # Join-free candidate generation: bucket docs per (band, hash) and
     # expand intra-bucket pairs with an indexed transform. One shuffle,
     # and the signature pipeline runs ONCE (a self-join would recompute

@@ -180,3 +180,47 @@ def test_corpus_build_span_cut_stage(spark, sf_dir, tmp_path):
         .count()
     )
     assert crossdoc == 0, f"{crossdoc} window hashes still span documents"
+
+
+def test_corpus_build_delta_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental refresh contract: build on the first half, delta
+    the second half in, and the union of written survivors must equal
+    a from-scratch rebuild over all docs — same doc_ids, same texts,
+    same splits (bin_ids are packing state and legitimately differ)."""
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    half1 = docs.filter(F.col("doc_id") <= mid)
+    half2 = docs.filter(F.col("doc_id") > mid)
+
+    inc_dir = str(tmp_path / "incremental")
+    s1 = build_corpus(spark, half1, inc_dir, token_budget=BUDGET)
+    s2 = build_corpus_delta(spark, half2, inc_dir, token_budget=BUDGET)
+    assert s1.n_after_quality > 0 and s2.n_after_quality > 0
+
+    full_dir = str(tmp_path / "full")
+    build_corpus(spark, docs, full_dir, token_budget=BUDGET)
+
+    inc = spark.read.parquet(inc_dir).select("doc_id", "text", "split")
+    full = spark.read.parquet(full_dir).select("doc_id", "text", "split")
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # a later delta composes: the index grew to cover both batches
+    assert (
+        spark.read.parquet(inc_dir + "/_index/fingerprints").count()
+        >= s1.n_after_exact + s2.n_after_exact
+    )
+
+
+def test_corpus_build_delta_rejects_nonmonotone_ids(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "mono")
+    build_corpus(spark, docs, out, token_budget=BUDGET)
+    with _pytest.raises(ValueError, match="must exceed every indexed id"):
+        build_corpus_delta(spark, docs.limit(5), out, token_budget=BUDGET)

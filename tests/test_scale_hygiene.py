@@ -95,3 +95,32 @@ def test_plan_hygiene(spark, sf_dir, name):
     if name not in UNPARTITIONED_WINDOW_OK:
         bad = _unpartitioned_window_lines(plan)
         assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
+def test_no_session_global_conf_mutation_in_query_modules():
+    """No registered query may flip a session-global conf
+    (spark.conf.set) — a set/restore around a plan is not thread-safe
+    when a driver runs queries concurrently; use plan-scoped hints
+    (df.hint("merge"), F.broadcast) instead. The one sanctioned
+    mutation lives in pipeline/run.py's bucket_staging path
+    (requireAllClusterKeysForCoPartition), a pipeline entry point, not
+    a registered query."""
+    import glob as _glob
+    import os as _os
+
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "firstamerican_etl_spark",
+    )
+    offenders = []
+    for sub in ("plans", "operators", "functions", "streaming"):
+        for path in _glob.glob(_os.path.join(root, sub, "*.py")):
+            src = open(path).read()
+            for i, line in enumerate(src.splitlines(), 1):
+                stripped = line.split("#", 1)[0]
+                if "conf.set(" in stripped:
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert offenders == [], (
+        "session-global conf mutation inside query modules:\n"
+        + "\n".join(offenders)
+    )

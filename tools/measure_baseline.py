@@ -271,7 +271,7 @@ def run_spark_pipeline(spark, input_dir: str, **kwargs) -> dict:
     merged = run_pipeline(spark, input_dir, **kwargs)
     r = merged.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("sale_amt"), F.lit(0)).alias("s"),
+        F.coalesce(F.sum("SaleAmt"), F.lit(0)).alias("s"),
     ).first()
     return {"rows": int(r["n"]), "sale_amt_sum": int(r["s"])}
 
