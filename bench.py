@@ -80,6 +80,10 @@ HEADLINE = [
     "duplicate_span_report",
     "heavy_hitters_cms",
     "jaccard_prefix_filter_pairs",
+    # round 6: span REMEDIATION (cut, not just report) + the intra-doc
+    # duplicated-n-gram repetition gate
+    "duplicate_span_cut",
+    "repetition_dup_ngram_coverage",
 ]
 
 

@@ -311,6 +311,126 @@ def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_dup_ngram_coverage",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+long AS (SELECT doc_id, words FROM w WHERE len(words) >= 5),
+g AS (
+  SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS gram
+  FROM (
+    SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+    FROM long
+  ) t
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS n, list(i) AS starts
+  FROM g GROUP BY 1, 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS covered
+  FROM (
+    SELECT doc_id, s + off AS pos
+    FROM (SELECT doc_id, unnest(starts) AS s FROM c WHERE n >= 2) d,
+         unnest(generate_series(0, 4)) AS t(off)
+  ) GROUP BY 1
+),
+tot AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(words) - 4, 0) AS BIGINT) AS n_5grams
+  FROM w
+),
+dup AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup_5grams
+  FROM c WHERE n >= 2 GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens, t.n_5grams,
+       coalesce(d.n_dup_5grams, 0) AS n_dup_5grams,
+       coalesce(CAST(c2.covered AS BIGINT), 0) AS covered_tokens
+FROM tot t
+LEFT JOIN dup d ON t.doc_id = d.doc_id
+LEFT JOIN cov c2 ON t.doc_id = c2.doc_id
+""",
+    tags=("text", "quality", "repetition", "training-data"),
+)
+def repetition_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's remaining repetition gate (Rae et al. 2021, Table A1
+    'duplicated n-gram fraction'): per document, how many tokens sit
+    inside a 5-gram that occurs MORE THAN ONCE within the same
+    document — loops, chorus-like boilerplate, and degenerate
+    generations light up this signal while staying invisible to the
+    top-bigram share (which only sees the single hottest bigram) and
+    to cross-doc span dedup (which ignores intra-doc repeats).
+
+    Everything is an integer count (tokens, 5-grams, duplicated
+    5-gram occurrences, covered token positions) — no float
+    quantization, so the oracle comparison is exact by construction
+    (the PSI/DSIR floor-boundary risk class is designed out).
+
+    Scale shape: grams materialize map-side from the bound words
+    array; the (doc_id, gram) count and every later hop are keyed by
+    doc_id — a 100 TB corpus spreads by document and no stage ever
+    holds cross-document state. Coverage positions explode only from
+    DUPLICATED grams (rare in clean text), not the whole corpus."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    w = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    grams = (
+        w.filter(n >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 4),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("words"), i, 5)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n"), F.collect_list("i").alias("starts")
+    )
+    dups = counts.filter(F.col("n") >= 2)
+    cov = (
+        dups.select("doc_id", F.explode("starts").alias("s"))
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    dup_tot = dups.groupBy("doc_id").agg(F.sum("n").alias("n_dup_5grams"))
+    tot = w.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - 4, F.lit(0)).cast("long").alias("n_5grams"),
+    )
+    return (
+        tot.join(dup_tot, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_5grams",
+            F.coalesce(F.col("n_dup_5grams"), F.lit(0).cast("long")).alias(
+                "n_dup_5grams"
+            ),
+            F.coalesce(F.col("covered").cast("long"), F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
 

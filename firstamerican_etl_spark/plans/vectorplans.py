@@ -1289,46 +1289,72 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_assigned",
         reuse_key=f"{staging_tag(sf_dir, 'embeddings')}_{_SEMDEDUP_K}",
     )
-    nn = F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    n2 = assigned.select("vec_id", "cell", "q", nn.alias("nn"))
-    a = n2.select(
-        F.col("vec_id").alias("ia"), F.col("cell").alias("ca"),
-        F.col("q").alias("qa"), F.col("nn").alias("nna"),
+    # Pair scoring: the SAME exact int64 BLAS kernel as cell_prune —
+    # NOT a cell self-join with interpreted zip_with/aggregate dot
+    # products. The join formulation materialized Σ|cell|² pair ROWS
+    # and paid an interpreted 64-element fold per row: value-identical
+    # but 27× wall per 10× data in the 10× probe (the quadratic row
+    # count times lambda interpretation). Here each cell's pairs are
+    # scored inside one Arrow batch with BLOCKED integer matmuls
+    # (block × cell, never cell × cell in memory), and only 4·|cells|
+    # count rows leave Python. Same int64 overflow analysis as
+    # cell_prune (guard asserted identically).
+    import math
+
+    import numpy as np
+    import pandas as pd_
+
+    from pyspark.sql import types as T
+
+    sweep_taus = list(_SWEEP_TAUS)
+    out_schema = T.StructType(
+        [
+            T.StructField("tau_ppm", T.LongType()),
+            T.StructField("n_pairs", T.LongType()),
+            T.StructField("n_dup", T.LongType()),
+        ]
     )
-    b = n2.select(
-        F.col("vec_id").alias("ib"), F.col("cell").alias("cb"),
-        F.col("q").alias("qb"), F.col("nn").alias("nnb"),
-    )
-    dot_i = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pd = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
-        .select(dot_i.alias("d"), "nna", "nnb")
-    )
-    taus = spark.createDataFrame(
-        list(_SWEEP_TAUS), "t_num INT, t_den INT"
-    )
-    hit = (
-        (F.col("d") > 0)
-        & (
-            F.col("t_den") * F.col("t_den") * F.col("d") * F.col("d")
-            >= F.col("t_num") * F.col("t_num") * F.col("nna") * F.col("nnb")
-        )
-    ).cast("long")
-    return (
-        pd.crossJoin(F.broadcast(taus))
-        .groupBy(
-            F.floor(
-                F.col("t_num") * F.lit(1000000.0) / F.col("t_den") + F.lit(0.5)
+    t_sq_max = max(max(tn * tn, td * td) for tn, td in sweep_taus)
+    bound = math.isqrt((2**63 - 1) // t_sq_max)
+
+    def cell_sweep(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        m = len(q)
+        qmax = int(np.abs(q).max()) if q.size else 0
+        if q.size and q.shape[1] * qmax * qmax > bound:
+            raise ValueError(
+                f"threshold_sweep int64 overflow risk: dim*qmax^2 = "
+                f"{q.shape[1] * qmax * qmax} > {bound} (qmax={qmax})"
             )
-            .cast("long")
-            .alias("tau_ppm")
+        nn = np.einsum("ij,ij->i", q, q)
+        n_pairs = m * (m - 1) // 2
+        dup = [0] * len(sweep_taus)
+        blk = 1024
+        for s in range(0, m, blk):
+            e2 = min(s + blk, m)
+            d = q[s:e2] @ q.T  # (block, m) int64
+            # strict upper triangle: global column j > global row i
+            cols = np.arange(m)[None, :]
+            rows = np.arange(s, e2)[:, None]
+            upper = cols > rows
+            npr = np.outer(nn[s:e2], nn)
+            pos = d > 0
+            d2 = d * d
+            for k, (tn, td) in enumerate(sweep_taus):
+                hit = pos & ((td * td) * d2 >= (tn * tn) * npr) & upper
+                dup[k] += int(hit.sum())
+        return pd_.DataFrame(
+            {
+                "tau_ppm": [
+                    int(tn * 1000000.0 / td + 0.5) for tn, td in sweep_taus
+                ],
+                "n_pairs": [n_pairs] * len(sweep_taus),
+                "n_dup": dup,
+            }
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs"),
-            F.sum(hit).alias("n_dup_pairs"),
-        )
+
+    per_cell = assigned.groupBy("cell").applyInPandas(cell_sweep, schema=out_schema)
+    return per_cell.groupBy("tau_ppm").agg(
+        F.sum("n_pairs").alias("n_candidate_pairs"),
+        F.sum("n_dup").alias("n_dup_pairs"),
     )

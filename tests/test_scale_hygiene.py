@@ -46,6 +46,7 @@ ARROW_PYTHON_OK = {
     "dedup_embedding_cosine_vectorized",
     "semdedup_cluster_prune",  # per-cell int64 BLAS pair kernel (exact)
     "semdedup_cluster_prune_sqrtk",  # same kernel, sqrt(N) cells
+    "semdedup_threshold_sweep",  # same kernel, blocked, 4-τ counts (r6: was a 27×/10× interpreted pair join)
     "streaming_sessionize_stateful",
     "streaming_custom_source_agg",
     "kmeans_embedding_clusters",

@@ -281,7 +281,8 @@ def main(argv=None) -> list[dict]:
     p.add_argument("--props", type=int, nargs="+", default=[20_000, 200_000],
                    help="property counts per scale (20k ≈ the sf0.1 e2e "
                         "bench; 200k ≈ sf1.0)")
-    p.add_argument("--spark_variant", choices=["plain", "fips", "bucketed"],
+    p.add_argument("--spark_variant",
+                   choices=["plain", "fips", "fazip", "bucketed"],
                    default="fips",
                    help="staging strategy for the Spark side (fips = the "
                         "bench's fa_pipeline_e2e default)")
@@ -299,6 +300,11 @@ def main(argv=None) -> list[dict]:
     spark_kwargs = {
         "plain": {},
         "fips": {"partition_staging_by_fips": True},
+        # fazip: decompression runs on executors via the custom zip
+        # DataSource (one task per zip member) instead of serially on
+        # the driver — the reference (and the proxy, faithfully)
+        # unzips one file at a time in Python
+        "fazip": {"partition_staging_by_fips": True, "use_fazip_source": True},
         "bucketed": {"bucket_staging": 8},
     }[a.spark_variant]
 

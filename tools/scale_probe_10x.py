@@ -70,6 +70,13 @@ PROBE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_recall_eval",
     "leakage_safe_split_assign",
+    # r6 additions: the sweep twin, the span REMEDIATION pass, and the
+    # remaining rotated-in window newcomers with data-sized plans
+    "semdedup_threshold_sweep",
+    "duplicate_span_cut",
+    "dedup_survivorship_report",
+    "corpus_drift_psi",
+    "vocab_oov_rate",
 ]
 
 
