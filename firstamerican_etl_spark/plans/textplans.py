@@ -699,3 +699,101 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_ppm"),
     )
+
+
+_ZIPF_K = 100  # spectrum head size
+
+
+@register(
+    "zipf_rank_frequency",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM words GROUP BY 1),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {_ZIPF_K}),
+ranked AS (
+  SELECT term, n,
+         row_number() OVER (ORDER BY n DESC, term) AS rank,
+         sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM top
+)
+SELECT term,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(floor(cum_n * 1000000.0 / tot + 0.5) AS BIGINT) AS cum_share_ppm,
+       CAST(n * rank AS BIGINT) AS zipf_product
+FROM ranked, total
+""",
+    tags=("text", "vocab", "zipf", "profile"),
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token rank-frequency spectrum (the Zipf head): the top-100 corpus
+    terms with rank, count, cumulative count, cumulative token coverage
+    in ppm, and the rank·frequency product (Zipf's law predicts it
+    roughly constant — a head whose product collapses signals boilerplate
+    domination; one that explodes signals tokenizer breakage). This is
+    the first profile a tokenizer-training or corpus-mix audit draws.
+
+    Exactness: every output column is an integer derived from integer
+    counts (coverage floor-quantized from integer totals) — bit-identical
+    under any partitioning.
+
+    Scale shape: reuses the SAME staged (lang, term) count frame as
+    ``vocab_oov_rate`` (one corpus tokenize pass serves both audits);
+    the head is a TakeOrdered top-K, and rank/cumulative-sum are computed
+    by packing the K survivors into ONE array row (sort_array +
+    posexplode + prefix aggregate) — no global-ORDER-BY window, so no
+    single-partition WindowExec at any corpus size. The corpus never
+    shuffles by anything wider than (lang, term) partial counts."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = stage_once(
+        d.select(
+            "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "vocab_oov_termcounts",
+        reuse_key=staging_tag(sf_dir, "documents"),
+    )
+    counts = tc.groupBy("term").agg(F.sum("n").alias("n"))
+    total = tc.agg(F.sum("n").alias("tot"))
+    top = counts.orderBy(F.col("n").desc(), "term").limit(_ZIPF_K)
+    # Pack the K-row head into one array sorted by (n desc, term asc) —
+    # struct sort is lexicographic ascending, so sort on (-n, term).
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("term").alias("term"))
+            )
+        ).alias("arr")
+    )
+    exploded = packed.select(
+        F.col("arr"), F.posexplode("arr").alias("pos", "s")
+    )
+    cum_n = F.aggregate(
+        F.slice("arr", 1, F.col("pos") + 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc - x["neg_n"],
+    )
+    ranked = exploded.select(
+        F.col("s.term").alias("term"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        (-F.col("s.neg_n")).alias("n"),
+        cum_n.alias("cum_n"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "term",
+        "rank",
+        "n",
+        "cum_n",
+        F.floor(F.col("cum_n") * F.lit(1000000.0) / F.col("tot") + F.lit(0.5))
+        .cast("long")
+        .alias("cum_share_ppm"),
+        (F.col("n") * F.col("rank")).alias("zipf_product"),
+    )

@@ -817,3 +817,93 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_words"
         ),
     )
+
+
+_TOKEN_BUDGET = 5000  # per-language token budget for the subsample
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS pick_order,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM docs
+)
+SELECT doc_id, lang, n_tokens, pick_order, cum_tokens
+FROM ordered
+WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+""",
+    tags=("sampling", "token-budget", "training-data"),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKEN-budget subsampling: take documents in
+    deterministic md5(doc_id) order within each language until the
+    language's token budget is reached (the boundary-crossing doc is
+    included, packing-style). Training mixes are specified in tokens,
+    not documents — "200B tokens of English, 30B of German" — and this
+    is the operator that realizes such a spec reproducibly: membership
+    is a pure function of (doc_id, budget), so the same docs are picked
+    under repartition, retry, or incremental re-ingest, and the
+    selection can be re-derived without a stored manifest (the
+    train_split_assign property, extended from counts to token mass).
+
+    Exactness: every column is an integer (token counts, cumulative
+    sums, pick order over a collision-free md5 order) — bit-identical
+    to the oracle under any partitioning.
+
+    Scale shape: the naive plan is a running sum over
+    ``PARTITION BY lang ORDER BY hash`` — ~5 language partitions at
+    100 TB means 5 tasks each sorting billions of rows (the W1 skew
+    faceplant). Instead the md5 PREFIX (first byte) splits each
+    language into 256 ordered sub-buckets: per-(lang, bucket) token
+    totals aggregate map-side into a ≤|langs|·256-row frame whose
+    running offsets broadcast back, and the within-bucket cumulative
+    window runs partitioned by (lang, bucket) — uniformly sized by
+    hash, ~256× the parallelism of the naive plan, no single hot task.
+    Same recipe as operators/scale.global_row_index, expressed on an
+    ordered hash prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    # per-(lang, bucket) totals: metadata-sized (|langs| x 256)
+    bsums = docs.groupBy("lang", "bkt").agg(
+        F.sum("n_tokens").alias("bsum"), F.count(F.lit(1)).alias("bn")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsums.select(
+        "lang",
+        "bkt",
+        F.coalesce(F.sum("bsum").over(w_off), F.lit(0).cast("long")).alias("tok_off"),
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0).cast("long")).alias("cnt_off"),
+    )
+    w_in = Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+    cum = docs.join(F.broadcast(offs), ["lang", "bkt"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("cnt_off") + F.row_number().over(w_in)).alias("pick_order"),
+        (
+            F.col("tok_off")
+            + F.sum("n_tokens").over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cum_tokens"),
+    )
+    return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
