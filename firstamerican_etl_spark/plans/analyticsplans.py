@@ -269,3 +269,166 @@ def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(reach_signup, 1)).alias("n_signup"),
         F.count(F.when(reach_purchase, 1)).alias("n_purchase"),
     )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS row_total FROM t GROUP BY 1)
+SELECT t.prev_type, t.next_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       CAST(floor(CAST(t.n AS DOUBLE) / tot.row_total * 1000000 + 0.5)
+            AS BIGINT) AS p_ppm
+FROM t JOIN tot ON t.prev_type = tot.prev_type
+""",
+    tags=("analytics", "markov", "sequence"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count (prev_type → next_type) bigrams from the per-user
+    time-ordered sequence, then normalize each row of the matrix to a
+    transition probability. The classic session-model / next-action
+    prior; also the input for sequence-anomaly scoring (improbable
+    transitions) and for generating synthetic clickstreams.
+
+    Tie discipline: simultaneous events order by (ts, event_id) — a
+    total order, so the lag pairing is deterministic on both engines.
+
+    Exactness: transition counts are integers; the probability is one
+    double division of two exact int64s, ppm-quantized — bit-identical
+    cross-engine (the PageRank discipline).
+
+    Scale shape: ONE shuffle of the fact table (hash by user_id for
+    the lag window — per-user partitions are session-sized, no skew);
+    the bigram aggregate map-side combines into at most
+    |event_types|² rows, and the row-normalize join runs on that tiny
+    matrix. At 100 TB of events the window pass dominates and it's
+    embarrassingly parallel across users."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.floor(
+                F.col("n_transitions").cast("double")
+                / F.col("row_total")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p_ppm"),
+        )
+    )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+WITH firstweek AS (
+  SELECT user_id,
+         min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week,
+              date_trunc('week', CAST(e.ts AS DATE))) / 7) AS BIGINT)
+           AS week_offset
+  FROM events e JOIN firstweek f ON e.user_id = f.user_id
+  WHERE e.user_id IS NOT NULL
+),
+cohort_size AS (
+  SELECT cohort_week, count(*) AS n_users FROM firstweek GROUP BY 1
+)
+SELECT CAST(a.cohort_week AS DATE) AS cohort_week,
+       a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(floor(CAST(count(*) AS DOUBLE) / any_value(s.n_users)
+            * 1000000 + 0.5) AS BIGINT) AS retention_ppm
+FROM activity a JOIN cohort_size s ON a.cohort_week = s.cohort_week
+GROUP BY 1, 2
+""",
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the ISO
+    week of their first event; each later active week contributes one
+    (cohort_week, week_offset) cell; retention is the cell's distinct
+    actives over the cohort's size. THE growth-analytics table, and a
+    shape every product warehouse materializes daily.
+
+    Week discipline: both engines truncate to the ISO week of the DATE
+    (Spark date_trunc('week') and DuckDB agree: Monday start), and the
+    offset is exact integer day arithmetic / 7 floored — no timezone
+    or epoch-seconds division involved.
+
+    Exactness: counts are integers; retention is one double division
+    of exact int64s, ppm-quantized.
+
+    Scale shape: first-touch is one per-user min (shuffle #1, combines
+    map-side); the activity join re-shuffles events by user_id — at
+    scale both sides arrive hash-clustered on user_id so AQE plans it
+    shuffle-free after the first exchange; the DISTINCT collapses to
+    |users × active-weeks| before the final tiny matrix aggregate.
+    Cohort sizes broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wk = lambda c: F.date_trunc("week", c.cast("date")).cast("date")
+    firstweek = ev.groupBy("user_id").agg(F.min(wk(F.col("ts"))).alias("cohort_week"))
+    activity = (
+        ev.join(firstweek, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(wk(F.col("ts")), F.col("cohort_week")) / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_size = firstweek.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.floor(
+                F.col("n_active").cast("double") / F.col("n_users") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )

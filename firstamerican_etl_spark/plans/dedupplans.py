@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table, staging_tag
@@ -1418,4 +1419,251 @@ def minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("recall_ppm"),
         )
+    )
+
+
+@register(
+    "doc_containment_pairs",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+dist AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[g.i:g.i+4], ' ') AS s
+  FROM w, LATERAL unnest(range(1, len(ws) - 3)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dist GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM dist a JOIN dist b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(c AS BIGINT) AS n_common,
+       CAST(floor(c * 1000000.0 / sa.n + 0.5) AS BIGINT) AS cont_a_in_b_ppm,
+       CAST(floor(c * 1000000.0 / sb.n + 0.5) AS BIGINT) AS cont_b_in_a_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE greatest(floor(c * 1000000.0 / sa.n + 0.5),
+               floor(c * 1000000.0 / sb.n + 0.5)) >= 600000
+""",
+    tags=("dedup", "containment", "jaccard"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: C(A→B) = |S(A)∩S(B)| / |S(A)| over
+    distinct 5-gram shingles, reported for both directions of every
+    candidate pair with either direction ≥ 0.6. Jaccard misses the
+    quote/near-superset case — a short doc wholly embedded in a long
+    one has tiny Jaccard but containment ≈ 1 — and containment is what
+    quote detection, license-text stripping, and version-supersession
+    dedup actually gate on (Broder's original resemblance/containment
+    pairing).
+
+    Exactness: shingle-set sizes and intersection counts are integers
+    (hash-level counting is hash-independent, same argument as
+    ngram_jaccard_pairs); the ppm ratios floor-quantize integer
+    counts — bit-identical to the oracle.
+
+    Scale shape: identical candidate machinery to ngram_jaccard_pairs —
+    ONE tokenize+shingle pass (exploded_word_hashes Generate barrier),
+    inverted-index postings with join-free in-array pair expansion, the
+    shuffle bounded by posting lists, never all-pairs. Production runs
+    cap posting-list df (CCNet-style hot-shingle drop) before the
+    expansion; kept exact here because the oracle demands the lossless
+    pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    wdf = exploded_word_hashes(d).filter(F.size("wh") >= 5)
+    docs = wdf.select(
+        "doc_id",
+        F.explode(F.array(F.array_distinct(shingle_hashes_col("wh")))).alias("sh"),
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    postings = (
+        docs.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(
+                    F.least(a["doc_id"], b["doc_id"]).alias("doc_a"),
+                    F.greatest(a["doc_id"], b["doc_id"]).alias("doc_b"),
+                    F.when(a["doc_id"] < b["doc_id"], a["n_sh"])
+                    .otherwise(b["n_sh"])
+                    .alias("n_a"),
+                    F.when(a["doc_id"] < b["doc_id"], b["n_sh"])
+                    .otherwise(a["n_sh"])
+                    .alias("n_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont_ab = F.floor(
+        F.col("n_common") * F.lit(1000000.0) / F.col("n_a") + F.lit(0.5)
+    )
+    cont_ba = F.floor(
+        F.col("n_common") * F.lit(1000000.0) / F.col("n_b") + F.lit(0.5)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_common",
+        cont_ab.cast("long").alias("cont_a_in_b_ppm"),
+        cont_ba.cast("long").alias("cont_b_in_a_ppm"),
+    ).filter(F.greatest(cont_ab, cont_ba) >= 600000)
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, g.i AS i, ws[g.i] AS word
+  FROM w, LATERAL unnest(range(1, len(ws) + 1)) AS g(i)
+),
+b AS (
+  SELECT doc_id, i, word,
+         CASE WHEN i >= 3 AND substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 1) = '0'
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM pos
+),
+c AS (
+  SELECT doc_id, i, word,
+         COALESCE(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(word, ' ' ORDER BY i)) AS chunk_hash,
+         count(*) AS n_words
+  FROM c GROUP BY 1, 2
+)
+SELECT chunk_hash,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc
+FROM chunks
+GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) > 1
+""",
+    tags=("dedup", "cdc", "chunking"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: cut every document into
+    variable-size chunks at CONTENT-DEFINED boundaries (a boundary
+    falls after word i when the hash of the 3-word window ending at i
+    lands in 1/16 of the hash space — expected chunk ≈ 16 words), then
+    report chunks recurring across documents. Because boundaries
+    depend only on a local content window, an insertion re-cuts just
+    its neighborhood and every other chunk keeps its identity — the
+    property fixed-size blocking lacks and the reason storage dedup
+    (LBFS/Venti lineage) and incremental corpus sync use CDC. Sits
+    between doc_fingerprint (whole-doc) and duplicate_span_report
+    (every 8-token window): chunk-granular, position-independent.
+
+    Exactness: the boundary rule is an md5-prefix test computed
+    identically in both engines (the split-twin discipline), chunk
+    reassembly is position-ordered string agg, and all report columns
+    are integer counts over md5 keys.
+
+    Scale shape: one tokenize pass; the boundary flags are per-row
+    array lookups behind the Generate barrier (no join); chunk ids are
+    a per-doc running sum (doc-keyed window — uniformly sized
+    partitions, no global window); chunk reassembly is one doc-keyed
+    aggregate; the final report shuffles (chunk_hash, n_words) partial
+    aggregates — map-side combined, uniform keys. The corpus never
+    joins itself."""
+    d = load_table(spark, sf_dir, "documents")
+    w = exploded_words(d)
+    n = F.size("words")
+    wa = F.col("words")
+    flags = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.when(
+            (i >= 3)
+            & (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(wa, i - 2),
+                            F.element_at(wa, i - 1),
+                            F.element_at(wa, i),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                == "0"
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    rows = w.select(
+        "doc_id", F.posexplode(F.arrays_zip(wa, flags.alias("fl"))).alias("pos", "z")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("z.words").alias("word"),
+        F.col("z.fl").alias("is_boundary"),
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = rows.select(
+        "doc_id",
+        "i",
+        "word",
+        F.coalesce(F.sum("is_boundary").over(w_cum), F.lit(0).cast("long")).alias(
+            "chunk_id"
+        ),
+    )
+    chunks = (
+        tagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("i", "word"))).alias("ws"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.md5(
+                F.array_join(F.transform("ws", lambda s: s["word"]), " ")
+            ).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
     )

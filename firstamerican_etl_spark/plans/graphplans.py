@@ -238,3 +238,98 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOPK)
         .select("node", F.col("r").alias("rank_scaled"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                  greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM per_node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+""",
+    tags=("graph", "triangle", "extension"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-shipment graph (suppliers
+    adjacent iff they ship lines of the same order): top-20 suppliers
+    by triangle participation. Triangle density is the standard
+    cohesion/clustering-coefficient primitive — in corpus curation the
+    same shape scores domain-link neighborhoods (spam farms are
+    triangle-dense cliques, legitimate hubs are star-like).
+
+    Algorithm: the compact-forward / ordered-wedge join (Schank &
+    Wagner 2005) — orient every edge low-id → high-id, join wedges
+    e1(u,v)+e2(v,w) on the middle vertex, close each wedge against the
+    oriented edge set. Each triangle {a<b<c} is generated EXACTLY once
+    as (a,b)+(b,c) closed by (a,c) — no /6 correction, integer-exact.
+
+    Scale shape: edge build is one order-keyed self-join (lines per
+    order is bounded, so it's linear); the wedge join shuffles edges
+    by endpoint — at web scale you'd orient by DEGREE instead of id
+    (same triangle set, provably O(m^1.5) wedges instead of the
+    high-degree-hub blowup; id-orientation keeps the oracle
+    transliteration 1:1 here and the co-shipment graph is
+    near-regular). The closing join is a semi-join against the edge
+    set, and per-node counts are a map-side-combined explode."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+        .select(F.col("node").cast("long").alias("node"), "n_triangles")
+    )

@@ -612,3 +612,156 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_scaled").alias("psi_scaled"),
         )
     )
+
+
+@register(
+    "pearson_correlation_matrix",
+    oracle="""
+WITH q AS (
+  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x_qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x_price,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x_disc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x_tax
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x_qty   AS DECIMAL(38,0))) AS DOUBLE) AS s_qty,
+         CAST(sum(CAST(x_price AS DECIMAL(38,0))) AS DOUBLE) AS s_price,
+         CAST(sum(CAST(x_disc  AS DECIMAL(38,0))) AS DOUBLE) AS s_disc,
+         CAST(sum(CAST(x_tax   AS DECIMAL(38,0))) AS DOUBLE) AS s_tax,
+         CAST(sum(CAST(x_qty * x_qty     AS DECIMAL(38,0))) AS DOUBLE) AS s_qq,
+         CAST(sum(CAST(x_price * x_price AS DECIMAL(38,0))) AS DOUBLE) AS s_pp,
+         CAST(sum(CAST(x_disc * x_disc   AS DECIMAL(38,0))) AS DOUBLE) AS s_dd,
+         CAST(sum(CAST(x_tax * x_tax     AS DECIMAL(38,0))) AS DOUBLE) AS s_tt,
+         CAST(sum(CAST(x_qty * x_price   AS DECIMAL(38,0))) AS DOUBLE) AS s_qp,
+         CAST(sum(CAST(x_qty * x_disc    AS DECIMAL(38,0))) AS DOUBLE) AS s_qd,
+         CAST(sum(CAST(x_qty * x_tax     AS DECIMAL(38,0))) AS DOUBLE) AS s_qt,
+         CAST(sum(CAST(x_price * x_disc  AS DECIMAL(38,0))) AS DOUBLE) AS s_pd,
+         CAST(sum(CAST(x_price * x_tax   AS DECIMAL(38,0))) AS DOUBLE) AS s_pt,
+         CAST(sum(CAST(x_disc * x_tax    AS DECIMAL(38,0))) AS DOUBLE) AS s_dt
+  FROM q
+)
+SELECT var_x, var_y,
+       floor((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS corr
+FROM (
+  SELECT 'quantity' AS var_x, 'extendedprice' AS var_y,
+         n, s_qty AS sx, s_price AS sy, s_qq AS sxx, s_pp AS syy, s_qp AS sxy FROM m
+  UNION ALL SELECT 'quantity', 'discount', n, s_qty, s_disc, s_qq, s_dd, s_qd FROM m
+  UNION ALL SELECT 'quantity', 'tax', n, s_qty, s_tax, s_qq, s_tt, s_qt FROM m
+  UNION ALL SELECT 'extendedprice', 'discount', n, s_price, s_disc, s_pp, s_dd, s_pd FROM m
+  UNION ALL SELECT 'extendedprice', 'tax', n, s_price, s_tax, s_pp, s_tt, s_pt FROM m
+  UNION ALL SELECT 'discount', 'tax', n, s_disc, s_tax, s_dd, s_tt, s_dt FROM m
+)
+""",
+    tags=("stats", "correlation", "moments"),
+)
+def pearson_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's four numeric measures
+    (quantity, extendedprice, discount, tax) — the 6 upper-triangle
+    pairs from ONE pass of exact sufficient statistics. The
+    feature-screening primitive: which measures co-move (multivariate
+    skew detection, redundant-feature pruning before a model fit).
+
+    Exactness discipline: inputs quantize to exact integer cents;
+    every sufficient statistic (Σx, Σx², Σxy) accumulates in
+    DECIMAL(38,0) — exact and associative, so any partitioning yields
+    the identical total (int64 would overflow: Σ price²·10⁴ ≈ 10²⁰ at
+    sf1). Each exact decimal casts to double once (correctly rounded,
+    engine-identical), and the corr formula is then a fixed dag of
+    IEEE ops on identical doubles — bit-identical cross-engine;
+    stable_round(1e-6) guards the display value.
+
+    Scale shape: ONE column-pruned scan → ONE map-side-combined
+    aggregate row (15 decimal sums) → a 6-row unpivot of that single
+    row. No joins, no windows, no second pass; at 100 TB this is the
+    cheapest shape a correlation can take. Adding a measure costs one
+    column in the same pass, not a pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    q = li.select(
+        cents("l_quantity").alias("x_qty"),
+        cents("l_extendedprice").alias("x_price"),
+        cents("l_discount").alias("x_disc"),
+        cents("l_tax").alias("x_tax"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    names = {"qty": "x_qty", "price": "x_price", "disc": "x_disc", "tax": "x_tax"}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for k, c in names.items():
+        aggs.append(dec(F.col(c)).alias(f"s_{k}"))
+    pairs = [
+        ("qty", "price"), ("qty", "disc"), ("qty", "tax"),
+        ("price", "disc"), ("price", "tax"), ("disc", "tax"),
+    ]
+    for k in names:
+        aggs.append(dec(F.col(names[k]) * F.col(names[k])).alias(f"s_{k}{k}"))
+    for a, b in pairs:
+        aggs.append(dec(F.col(names[a]) * F.col(names[b])).alias(f"s_{a}{b}"))
+    m = q.agg(*aggs)
+    label = {
+        "qty": "quantity", "price": "extendedprice",
+        "disc": "discount", "tax": "tax",
+    }
+    rows = []
+    for a, b in pairs:
+        n, sx, sy = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxx, syy, sxy = F.col(f"s_{a}{a}"), F.col(f"s_{b}{b}"), F.col(f"s_{a}{b}")
+        corr = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        rows.append(
+            m.select(
+                F.lit(label[a]).alias("var_x"),
+                F.lit(label[b]).alias("var_y"),
+                stable_round(corr, 6).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+""",
+    tags=("join", "skew", "salting", "scale"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join registered as a verified query
+    (operators/scale.salted_join): the fact side gets a random salt in
+    [0, 16), the dim side is replicated once per salt, and the join
+    runs on (key, salt) — a pathological hot supplier's rows now land
+    on 16 reducers instead of one. The oracle is the PLAIN join: the
+    salted plan must be result-identical under ANY salt assignment
+    (salt touches distribution only, never matching), which is the
+    invariant that makes the technique safe to drop into a 100 TB
+    pipeline when a required distribution blocks AQE's
+    OptimizeSkewedJoin and the dim side sits above the broadcast
+    threshold. Post-join aggregate is integer-exact cents."""
+    from firstamerican_etl_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, on="s_suppkey"
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -1358,3 +1358,306 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pairs").alias("n_candidate_pairs"),
         F.sum("n_dup").alias("n_dup_pairs"),
     )
+
+
+@register(
+    "int8_recon_fidelity",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, xv,
+         list_max(list_transform(xv, x -> abs(x))) AS maxabs
+  FROM v
+),
+c AS (
+  SELECT vec_id, label, xv, maxabs,
+         list_transform(xv, x -> CAST(floor(x / maxabs * 127 + 0.5) AS BIGINT)) AS codes
+  FROM s
+  WHERE maxabs > 0
+)
+SELECT vec_id, label,
+       CAST(len(xv) AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS sum_sq_codes,
+       floor(list_dot_product(xv, list_transform(codes, c -> CAST(c AS DOUBLE))) /
+             (sqrt(list_dot_product(xv, xv)) *
+              sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS recon_cos
+FROM c
+""",
+    tags=("vector", "quantization", "int8", "fidelity"),
+)
+def int8_recon_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization FIDELITY audit for the int8 storage op
+    (corpusplans.embedding_quantize_int8 emits the codes; this grades
+    them): per vector, the reconstruction cosine between the original
+    float vector and its int8 codes. The scale factor cancels in
+    cosine, so recon_cos IS the retrieval fidelity an int8-quantized
+    ANN index keeps — the number a 4× index-size reduction is judged
+    by before swapping the PQ/IVF index over to integer codes.
+
+    Exactness: maxabs is a float max (no arithmetic); the code grid is
+    floor(x/maxabs·127+½) — division and multiplication are correctly
+    rounded IEEE ops, identical in both engines (unlike transcendental
+    log/exp, which this discipline avoids); the squared code norm is
+    an exact integer; the cosine is the same left-fold + 1e-4
+    stable-round contract as cosine_topk_bruteforce. Zero vectors
+    (maxabs=0) are excluded on both sides rather than special-cased
+    to a 0/0 NaN.
+
+    Scale shape: a pure map stage — per-row array expressions behind
+    one scan, zero shuffles, trivially linear at 100 TB; codes clip to
+    [-127, 127] by construction so sum_sq ≤ dim·127² never overflows
+    int64. Generate barriers pin maxabs and codes to scalars/arrays —
+    without them projection collapse re-inlines the array_max
+    (resp. the code transform) into every per-element lambda use,
+    O(dim²) work per row (same hazard embedding_quantize_int8
+    documents)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("xv")
+    )
+    # Generate barrier #1: bind the scalar maxabs.
+    s = v.select(
+        "vec_id", "label", "xv",
+        F.explode(F.array(F.array_max(F.transform("xv", F.abs)))).alias("maxabs"),
+    ).filter(F.col("maxabs") > 0)
+    # Generate barrier #2: bind the code array.
+    c = s.select(
+        "vec_id", "label", "xv",
+        F.explode(
+            F.array(
+                F.transform(
+                    "xv",
+                    lambda x: F.floor(
+                        x / F.col("maxabs") * F.lit(127.0) + F.lit(0.5)
+                    ).cast("long"),
+                )
+            )
+        ).alias("codes"),
+    )
+    sum_sq = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    recon = dot(F.col("xv"), F.transform("codes", lambda x: x.cast("double"))) / (
+        l2_norm(F.col("xv")) * F.sqrt(sum_sq.cast("double"))
+    )
+    return c.select(
+        "vec_id",
+        "label",
+        F.size("xv").cast("long").alias("dim"),
+        sum_sq.alias("sum_sq_codes"),
+        stable_round(recon, 4).alias("recon_cos"),
+    )
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+full_sims AS (
+  SELECT q_id, c_id,
+         floor(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               * 10000 + 0.5) / 10000 AS cos_sim
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+trunc_sims AS (
+  SELECT q_id, c_id,
+         floor(list_dot_product(qv[1:len(qv)//2], cv[1:len(cv)//2]) /
+               (sqrt(list_dot_product(qv[1:len(qv)//2], qv[1:len(qv)//2])) *
+                sqrt(list_dot_product(cv[1:len(cv)//2], cv[1:len(cv)//2])))
+               * 10000 + 0.5) / 10000 AS cos_sim
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, c_id) AS rn FROM full_sims
+  ) WHERE rn <= 5
+),
+got AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, c_id) AS rn FROM trunc_sims
+  ) WHERE rn <= 5
+)
+SELECT t.q_id,
+       CAST(count(g.c_id) AS BIGINT) AS n_hits,
+       CAST(floor(CAST(count(g.c_id) AS DOUBLE) / 5 * 1000000 + 0.5)
+            AS BIGINT) AS recall_ppm
+FROM truth t LEFT JOIN got g ON t.q_id = g.q_id AND t.c_id = g.c_id
+GROUP BY 1
+""",
+    tags=("vector", "matryoshka", "recall", "eval"),
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): recall@5 of
+    half-dimension cosine retrieval against full-dimension ground
+    truth, per query. THE go/no-go number for serving MRL-trained
+    embeddings at a truncated dimension — a 2× index-size and
+    dot-product-FLOPs cut is free exactly when this recall stays ≈1.
+
+    Both rankings quantize the cosine to 1e-4 and tie-break on
+    candidate id (the cosine_topk_bruteforce discipline), so the two
+    top-5 sets are deterministic cross-engine; the hit count is an
+    exact integer and recall is one ppm-quantized division.
+
+    Scale shape: the |Q|-row query frame broadcasts twice (full and
+    truncated scoring are two independent map stages over the corpus —
+    the corpus never shuffles); each top-5 is a per-query window over
+    |Q|×N scored rows; the final hit-join is |Q|×5 against |Q|×5.
+    At 100 TB the two scoring passes fuse into one corpus scan each;
+    IVF/LSH candidate generation (the knn_* family) would cut the
+    scored pairs, kept brute-force here because the eval needs exact
+    ground truth."""
+    e = load_table(spark, sf_dir, "embeddings")
+    half = lambda col: F.slice(col, 1, (F.size(col) / 2).cast("int"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+
+    def top5(score_qv, score_cv) -> DataFrame:
+        sims = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id",
+                "c_id",
+                stable_round(cosine(score_qv, score_cv), 4).alias("cos_sim"),
+            )
+        )
+        return top_k_per_group(
+            sims,
+            partition_by=["q_id"],
+            order_by=[F.col("cos_sim").desc(), F.col("c_id")],
+            k=5,
+            rank_col="__rn",
+        ).select("q_id", "c_id")
+
+    truth = top5(F.col("qv"), F.col("cv"))
+    # Rename BOTH join keys on the truncated side: truth and got share
+    # lineage (same q/c parents), so joining on same-named attributes
+    # would resolve to a trivially-true self-comparison.
+    got = (
+        top5(half(F.col("qv")), half(F.col("cv")))
+        .withColumnRenamed("q_id", "g_q_id")
+        .withColumnRenamed("c_id", "g_c_id")
+    )
+    hits = truth.join(
+        got,
+        (F.col("q_id") == F.col("g_q_id")) & (F.col("c_id") == F.col("g_c_id")),
+        "left",
+    ).select("q_id", F.col("g_c_id").alias("hit"))
+    return hits.groupBy("q_id").agg(
+        F.count("hit").alias("n_hits"),
+        F.floor(
+            F.count("hit").cast("double") / F.lit(5.0) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, label AS c_label,
+             CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT q_id, q_label, c_id, c_label,
+         floor(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               * 10000 + 0.5) / 10000 AS cos_sim
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+pos AS (
+  SELECT q_id, max(cos_sim) AS cos_pos
+  FROM sims WHERE c_label = q_label GROUP BY 1
+),
+neg AS (
+  SELECT q_id, c_id, c_label, cos_sim AS cos_neg FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, c_id) AS rn
+    FROM sims WHERE c_label <> q_label
+  ) WHERE rn <= 3
+)
+SELECT n.q_id, n.c_id, n.c_label, n.cos_neg, p.cos_pos,
+       CAST(floor((n.cos_neg - p.cos_pos) * 10000 + 0.5) AS BIGINT)
+         AS margin_bp
+FROM neg n JOIN pos p ON n.q_id = p.q_id
+""",
+    tags=("vector", "hard-negatives", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-3 most-similar DIFFERENT-label vectors (the negatives a
+    triplet/InfoNCE loss actually learns from) alongside the best
+    same-label positive, with the negative-minus-positive margin. A
+    positive margin_bp flags a violated triplet — the exact rows a
+    curriculum sampler feeds back first.
+
+    Exactness: cosines quantize at 1e-4 before ranking (tie-break
+    c_id), the positive is a max over quantized values, and the margin
+    is integer basis-point arithmetic on two already-quantized
+    doubles — scale by 1e4 turns them into exact integers.
+
+    Scale shape: one broadcast of the query frame, one corpus scan
+    scoring all pairs, then two tiny per-query reductions (max over
+    positives, top-3 window over negatives) that share the scored
+    frame via a single shuffle on q_id. At 100 TB the scan dominates;
+    the knn_ivf_cells candidate generator is the drop-in to bound
+    scored pairs per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            stable_round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    pos = (
+        sims.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos_sim").alias("cos_pos"))
+    )
+    neg = top_k_per_group(
+        sims.filter(F.col("c_label") != F.col("q_label")),
+        partition_by=["q_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("c_id")],
+        k=3,
+        rank_col="__rn",
+    ).select("q_id", "c_id", "c_label", F.col("cos_sim").alias("cos_neg"))
+    return neg.join(F.broadcast(pos), "q_id").select(
+        "q_id",
+        "c_id",
+        "c_label",
+        "cos_neg",
+        "cos_pos",
+        F.floor((F.col("cos_neg") - F.col("cos_pos")) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("margin_bp"),
+    )
