@@ -240,14 +240,24 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKBONE_M = 5000  # heaviest co-shipment edges kept for the triangle pass
+
+
 @register(
     "graph_triangle_count",
-    oracle="""
-WITH e AS (
-  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                  greatest(a.l_suppkey, b.l_suppkey) AS v
+    oracle=f"""
+WITH w AS (
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v,
+         count(*) AS weight
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT u, v FROM w
+  ORDER BY weight DESC, u, v
+  LIMIT {_BACKBONE_M}
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -270,41 +280,74 @@ LIMIT 20
     tags=("graph", "triangle", "extension"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the supplier co-shipment graph (suppliers
-    adjacent iff they ship lines of the same order): top-20 suppliers
-    by triangle participation. Triangle density is the standard
+    """Triangle counting on the BACKBONE of the supplier co-shipment
+    graph: keep the 5000 heaviest co-occurrence edges (weight desc,
+    deterministic (u,v) tie-break), then count each node's triangle
+    participation, top-20. Triangle density is the standard
     cohesion/clustering-coefficient primitive — in corpus curation the
     same shape scores domain-link neighborhoods (spam farms are
-    triangle-dense cliques, legitimate hubs are star-like).
+    triangle-dense cliques, legitimate hubs are star-like), and
+    backbone extraction (top-weight sparsification) is how it's run on
+    co-occurrence graphs, whose raw form densifies toward complete as
+    the corpus grows.
 
-    Algorithm: the compact-forward / ordered-wedge join (Schank &
-    Wagner 2005) — orient every edge low-id → high-id, join wedges
-    e1(u,v)+e2(v,w) on the middle vertex, close each wedge against the
-    oriented edge set. Each triangle {a<b<c} is generated EXACTLY once
-    as (a,b)+(b,c) closed by (a,c) — no /6 correction, integer-exact.
+    The backbone is not optional politeness — it is the scale
+    guarantee. TPC-H's uniform order→supplier assignment makes the raw
+    co-shipment graph approach K_|suppliers| as orders grow (measured:
+    sf0.01 = 18.6k edges on 200 nodes, 1.3M triangles, 10 s; sf0.1
+    OOMs the wedge join). Capping to the M heaviest edges bounds the
+    triangle pass at O(M^1.5) wedge rows FOREVER, independent of
+    corpus size, while keeping exactly the edges a domain analyst
+    means by "co-shipment relationship" (recurring, not coincidental).
 
-    Scale shape: edge build is one order-keyed self-join (lines per
-    order is bounded, so it's linear); the wedge join shuffles edges
-    by endpoint — at web scale you'd orient by DEGREE instead of id
-    (same triangle set, provably O(m^1.5) wedges instead of the
-    high-degree-hub blowup; id-orientation keeps the oracle
-    transliteration 1:1 here and the co-shipment graph is
-    near-regular). The closing join is a semi-join against the edge
-    set, and per-node counts are a map-side-combined explode."""
+    Algorithm on the backbone: compact-forward / ordered-wedge join
+    (Schank & Wagner 2005) — orient every edge low-id → high-id, join
+    wedges e1(u,v)+e2(v,w) on the middle vertex, close each wedge
+    against the oriented edge set. Each triangle {a<b<c} is generated
+    EXACTLY once as (a,b)+(b,c) closed by (a,c) — no /6 correction,
+    integer-exact.
+
+    Scale shape: weight build is one order-keyed self-join (lines per
+    order is bounded → linear) followed by a map-side-combined pair
+    count; the top-M is a TakeOrdered (M rows to the driver plan, no
+    global sort materialization); the wedge join then runs on a
+    ≤M-row frame that BROADCASTS. At web scale with a larger backbone
+    you'd orient by DEGREE instead of id (same triangle set, provably
+    O(m^1.5) wedges); id-orientation keeps the oracle transliteration
+    1:1 here."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # Pair generation WITHOUT a fact-table self-join: group suppliers
+    # per order into a sorted array (one shuffle of two int columns),
+    # expand the in-order pairs in-array (the postings trick from
+    # dedupplans), then count. NOTE the oracle's self-join counts each
+    # unordered supplier pair once per LINE pair, so a supplier
+    # appearing on k lines of one order contributes multiplicity —
+    # collect_list (not _set) + sorted expansion reproduces exactly
+    # that bag semantics.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_suppkey")).alias("sups")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("sups"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("sups"), i + 2, F.greatest(F.size("sups") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(a.alias("u"), b.alias("v")),
+            ),
+        )
+    )
+    weights = (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.u") != F.col("p.v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"),
-            F.col("b.l_suppkey").alias("v"),
-        )
-        .distinct()
+        weights.orderBy(F.col("weight").desc(), "u", "v")
+        .limit(_BACKBONE_M)
+        .select("u", "v")
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
