@@ -84,6 +84,14 @@ HEADLINE = [
     # duplicated-n-gram repetition gate
     "duplicate_span_cut",
     "repetition_dup_ngram_coverage",
+    # round 6 batch 2: new dedup granularities (containment, CDC
+    # chunks), the backbone triangle pass, and the one-pass stats
+    # newcomers
+    "doc_containment_pairs",
+    "cdc_chunk_dedup",
+    "graph_triangle_count",
+    "markov_event_transitions",
+    "pearson_correlation_matrix",
 ]
 
 

@@ -298,3 +298,147 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+@register(
+    "rolling_7d_median_value",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_id, user_id,
+       median(cents) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ) AS med_7d_cents
+FROM e
+""",
+    tags=("timeseries", "rolling", "median", "window"),
+)
+def rolling_7d_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day EXACT median of event value — an
+    aggregate Spark has no native window form for (median/percentile
+    are not supported as window functions), composed from built-ins:
+    collect_list over a RANGE frame, sort_array, interpolated middle
+    pick. The robust rolling baseline that a mean would let one spike
+    drag; the anomaly-detection denominator.
+
+    Exactness: values quantize to integer cents first; the frame is an
+    epoch-seconds RANGE (peers included identically in both engines);
+    the odd-n median is an exact integer and the even-n median is one
+    (a+b)/2 IEEE division of exact integers — DuckDB's quantile_cont
+    window does precisely the same interpolation.
+
+    Scale shape: ONE exchange (hash by user_id) + per-user sort —
+    the same single-window shape as gap-fill; the frame buffer is
+    bounded by one user's 7-day event volume, not the partition. For
+    heavy-hitter users at 100 TB, the escape hatch is bucketing time
+    into the key (user, week) with a two-frame merge; kept single-key
+    here because per-user weekly volume is human-scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-604800, 0)
+    )
+    vals = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    # n>0 guard: a frame holding only null values would collect an
+    # empty list and index 0 — an error under the driver's ANSI mode.
+    # (Can't happen with non-null cents, but null-tolerant like the
+    # oracle's median-of-empty → NULL.)
+    med = F.when(n > 0, (lo + hi).cast("double") / F.lit(2.0))
+    return e.select("event_id", "user_id", med.alias("med_7d_cents"))
+
+
+@register(
+    "mad_outlier_zscores",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, median(cents) AS med_cents FROM e GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.cents, m.med_cents,
+         abs(e.cents - m.med_cents) AS adev
+  FROM e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.cents,
+       floor(d.med_cents * 100 + 0.5) / 100 AS med_cents,
+       floor(m.mad_cents * 100 + 0.5) / 100 AS mad_cents,
+       floor(0.6745 * (d.cents - d.med_cents) / m.mad_cents * 10000 + 0.5)
+         / 10000 AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m.mad_cents > 0
+  AND abs(0.6745 * (d.cents - d.med_cents) / m.mad_cents) > 3.5
+""",
+    tags=("stats", "robust", "outlier", "mad"),
+)
+def mad_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via Median Absolute
+    Deviation: modified z-score 0.6745·(x−median)/MAD, flagging
+    |z| > 3.5 (Iglewicz & Hoaglin 1993). Unlike the IQR bounds (which
+    report group thresholds), this emits the OUTLIER ROWS with their
+    scores — and unlike mean/stddev z-scores, a single extreme value
+    cannot drag the baseline it's judged against (50% breakdown
+    point vs 0%).
+
+    Exactness: cents are exact integers; each median is Spark's exact
+    interpolated percentile — identical (a+b)/2 arithmetic to DuckDB's
+    quantile_cont on the same integers; the z formula is a fixed IEEE
+    dag on exact inputs, floor-quantized at 1e-4 on both sides. Groups
+    with MAD = 0 (over half the group at the median) are excluded
+    rather than divided by zero.
+
+    Scale shape: two group-median aggregates (|types| rows each) with
+    the deviations computed via a BROADCAST join of the tiny median
+    frame back onto the facts — the fact table is scanned twice but
+    never shuffled (exact two-pass median is the price of robustness;
+    the approx_percentile sketch path is the one-pass alternative when
+    ±1% suffices)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med_cents"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_cents"))
+    z = F.lit(0.6745) * (F.col("cents") - F.col("med_cents")) / F.col("mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad_cents") > 0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            stable_round(F.col("med_cents"), 2).alias("med_cents"),
+            stable_round(F.col("mad_cents"), 2).alias("mad_cents"),
+            stable_round(z, 4).alias("robust_z"),
+        )
+    )

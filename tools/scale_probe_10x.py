@@ -77,6 +77,17 @@ PROBE = [
     "dedup_survivorship_report",
     "corpus_drift_psi",
     "vocab_oov_rate",
+    # r6 second batch: new dedup granularities, the backbone triangle
+    # pass, analytics/stats newcomers with data-sized plans
+    "doc_containment_pairs",
+    "cdc_chunk_dedup",
+    "graph_triangle_count",
+    "markov_event_transitions",
+    "cohort_retention_matrix",
+    "pearson_correlation_matrix",
+    "salted_skew_join",
+    "zipf_rank_frequency",
+    "token_budget_sample",
 ]
 
 
