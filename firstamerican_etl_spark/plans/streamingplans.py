@@ -589,3 +589,102 @@ def streaming_ttl_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_throttle_{abs(hash((sf_dir, ckpt))) % 10**8}"
     return _drain(stream, name, ckpt, "append")
+
+
+@register(
+    "streaming_outer_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+    tags=("streaming", "stream-stream-join", "outer", "interval"),
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    attribution join can't exercise: an UNMATCHED purchase must still
+    emit (null-padded), but only once the click-side watermark proves
+    no qualifying click can still arrive. That deferred-null emission
+    is the defining behavior of streaming outer joins, and the reason
+    they need BOTH a watermark and a time-bound join condition (state
+    eviction and null-emission share the same deadline).
+
+    Two mechanics make the emission deterministic and complete:
+    (1) one far-future closer row PER SIDE (type 'purchase' / 'click',
+    sentinel user_id = -1) advances both watermark nodes past every
+    real event. The closers must actually pass the type filters:
+    placing the watermark node "before" the filter does not survive
+    the optimizer — Catalyst pushes deterministic predicates through
+    EventTimeWatermark, so a neither-type closer is filtered at the
+    scan and never advances anything (measured: the last hour's
+    unmatched purchases went unemitted). (2) The sentinel cleanup
+    filter runs BATCH-SIDE on the memory-sink table, not inside the
+    streaming plan — inside it, user_id >= 0 would be pushed below
+    the watermark node through the join's key equality, recreating
+    the same defeat. After the closers advance the watermark, the
+    engine's no-data micro-batch (on by default) flushes every
+    remaining unmatched left row before availableNow terminates. The
+    batch LEFT JOIN with the identical interval condition is then the
+    exact semantic twin — full value oracle, nulls included.
+
+    Scale shape: identical to the inner interval join — per-side state
+    is bounded by the 1-hour interval (evicted as the opposite
+    watermark passes), so executor state is O(events/hour) forever;
+    the join shuffles both sides by user_id once."""
+    base_landing, ckpt = _stage_events(spark, sf_dir, "ssoj", n_files=1)
+    # landing + closers in a separate dir so the shared staged copy stays pure
+    landing = tempfile.mkdtemp(prefix="fa_stream_ssoj_land_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    far = (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    closers = ev.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        far,
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).unionAll(
+        ev.agg(
+            F.lit(-2).cast("long").alias("event_id"),
+            far,
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    closers.coalesce(1).write.mode("append").parquet(landing)
+    purchases = (
+        read_events_stream(spark, landing)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, landing)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"stream_ssoj_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    out = _drain(joined, name, ckpt, "append")
+    # Sentinel cleanup OUTSIDE the streaming plan (see docstring).
+    return out.filter(F.col("user_id") >= 0)
