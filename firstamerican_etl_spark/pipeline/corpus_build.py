@@ -349,11 +349,11 @@ def build_corpus_delta(
         idx_fp.select("_fp").distinct(), "_fp", "left_anti"
     )
     keep_exact = fresh.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = (
-        fresh.join(keep_exact, ["_fp", "doc_id"])
-        .drop("_fp")
-        .localCheckpoint(eager=True)
-    )
+    # _fp stays on the checkpointed frame so the index-sidecar write at
+    # the end reads the cached rows instead of recomputing the
+    # fresh-join (the final select(*existing.columns) strips it from
+    # the corpus output).
+    exact = fresh.join(keep_exact, ["_fp", "doc_id"]).localCheckpoint(eager=True)
     n_after_exact = exact.count()
 
     # near: within-batch pairs ∪ cross pairs against the indexed bands
@@ -442,8 +442,9 @@ def build_corpus_delta(
     observed.write.mode("append").partitionBy("split").parquet(out_dir)
     row = obs.get
 
-    # extend the index with this batch's exact survivors
-    keep_exact.select("_fp", "doc_id").write.mode("append").parquet(fp_path)
+    # extend the index with this batch's exact survivors (from the
+    # checkpointed frame — no fresh-join recompute)
+    exact.select("_fp", "doc_id").write.mode("append").parquet(fp_path)
     batch_bands.write.mode("append").parquet(bands_path)
 
     return CorpusBuildStats(

@@ -109,20 +109,46 @@ def test_leakage_safe_split_no_straddling_pairs(spark, sf_dir):
 
 def test_connected_components_long_chain_converges(spark):
     """A path graph of diameter 40 exceeds the old silent 15-round cap;
-    the loop must now run to the true fixed point: every node labeled 0."""
+    BOTH physical strategies must reach the true fixed point: every
+    node labeled 0."""
     from firstamerican_etl_spark.operators.graph import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
+    # driver union-find path (default routing for a 40-edge graph)
     labels = connected_components(pairs)
     assert {r["label"] for r in labels.collect()} == {0}
+    # distributed propagation path, forced
+    labels_dist = connected_components(pairs, driver_max_edges=0)
+    assert {r["label"] for r in labels_dist.collect()} == {0}
+
+
+def test_connected_components_path_parity(spark):
+    """Driver union-find and distributed propagation must emit the
+    IDENTICAL (node, label) set — the routing threshold may never be
+    observable in results."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    # two components + a self-contained triangle + an isolated edge
+    edges = [(1, 5), (5, 9), (9, 1), (20, 21), (21, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {(r["node"], r["label"]) for r in connected_components(pairs).collect()}
+    dist = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast == {(1, 1), (5, 1), (9, 1), (20, 20), (21, 20), (22, 20),
+                    (30, 30), (31, 30)}
 
 
 def test_connected_components_raises_on_round_cap(spark):
     """Exhausting max_rounds while labels still change must raise, not
     silently return unconverged labels (ADVICE r5: a silent wrong
-    clustering would let near-dup pairs straddle train/test splits)."""
+    clustering would let near-dup pairs straddle train/test splits).
+    driver_max_edges=0 forces the distributed path — the driver
+    union-find is exact in one pass and has no round cap."""
     import pytest as _pytest
 
     from firstamerican_etl_spark.operators.graph import connected_components
@@ -131,7 +157,7 @@ def test_connected_components_raises_on_round_cap(spark):
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=3)
+        connected_components(pairs, max_rounds=3, driver_max_edges=0)
 
 
 def test_duplicate_span_cut_leaves_no_cross_doc_window(spark, sf_dir):
