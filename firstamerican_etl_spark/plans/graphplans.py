@@ -376,3 +376,130 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").cast("long").alias("node"), "n_triangles")
     )
+
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """3-round unrolled k-core peel as chained CTEs, mirroring the
+    Spark plan round-for-round (the PageRank unroll discipline)."""
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY 1
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{i} a ON e.u = a.node
+  JOIN k{i} b ON e.v = b.node
+)""".strip())
+        prev = f"e{i}"
+    joined = ",\n".join(rounds)
+    last = _KCORE_ROUNDS
+    return f"""
+WITH w AS (
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v,
+         count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT u, v FROM w ORDER BY weight DESC, u, v LIMIT {_BACKBONE_M}
+),
+{joined}
+SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg_final
+FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last}
+  ) GROUP BY 1
+) WHERE deg >= {_KCORE_K}
+"""
+
+
+@register(
+    "kcore_peel_unrolled",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "extension"),
+)
+def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling, K=30, three rounds
+    unrolled over the same 5000-edge co-shipment backbone as the
+    triangle pass: each round drops nodes with degree < K and the
+    edges touching them (a removal can push neighbors below K — hence
+    iterate). The k-core is the standard dense-nucleus extractor:
+    spam-farm cores in link graphs, load-bearing hub sets in supply
+    networks, the seed set for community detection.
+
+    Unrolled rounds = the PageRank discipline: a FIXED round count
+    makes the whole computation one lazy Catalyst plan with a
+    round-for-round CTE transliteration as the oracle — integer
+    degrees only, nothing to quantize. The true fixpoint peel is the
+    same loop driven to convergence (the connected_components pattern,
+    checksum-until-stable, with the same driver fast path for
+    collision-sized graphs); 3 rounds is where the test backbone
+    stabilizes, asserted by the final-degree >= K filter matching on
+    both engines.
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    over current edges (2|E| exploded rows → |V| counts) plus two
+    semi-join filters of the edge list against the ≤|V|-row survivor
+    frame (broadcast at any realistic |V|); the backbone cap bounds
+    every round's |E| at 5000 regardless of corpus size. Peel-to-
+    fixpoint on an uncapped graph runs the identical round body inside
+    the convergence loop."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_suppkey")).alias("sups")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("sups"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("sups"), i + 2, F.greatest(F.size("sups") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(a.alias("u"), b.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.u") != F.col("p.v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.col("weight").desc(), "u", "v")
+        .limit(_BACKBONE_M)
+        .select("u", "v")
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(edges).filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+            ).join(
+                F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
+            )
+        ).select("u", "v")
+    return (
+        degrees(edges)
+        .filter(F.col("deg") >= _KCORE_K)
+        .select(F.col("node").cast("long").alias("node"), F.col("deg").alias("deg_final"))
+    )

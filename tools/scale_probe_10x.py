@@ -82,6 +82,7 @@ PROBE = [
     "doc_containment_pairs",
     "cdc_chunk_dedup",
     "graph_triangle_count",
+    "kcore_peel_unrolled",
     "markov_event_transitions",
     "cohort_retention_matrix",
     "pearson_correlation_matrix",
