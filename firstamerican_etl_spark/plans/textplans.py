@@ -797,3 +797,77 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_share_ppm"),
         (F.col("n") * F.col("rank")).alias("zipf_product"),
     )
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, length(text) AS n, g.c AS ch
+  FROM documents, LATERAL unnest(string_split(text, '')) AS g(c)
+  WHERE length(text) > 0
+),
+hist AS (
+  SELECT doc_id, any_value(n) AS n, ch, count(*) AS cnt
+  FROM chars GROUP BY doc_id, ch
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(floor((CAST(cnt AS DOUBLE) / n)
+              * log2(CAST(n AS DOUBLE) / cnt)
+              * 1000000000 + 0.5) AS BIGINT) AS t
+  FROM hist
+)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST(sum(t) AS BIGINT) AS entropy_scaled,
+       CAST(sum(t) AS BIGINT) < 3000000000 AS is_low_entropy
+FROM terms
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "entropy"),
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document, in scaled-int64 bits —
+    the information-theoretic quality gate: natural prose sits ~4-4.5
+    bits/char, repeated boilerplate / single-char floods / truncated
+    binary junk fall well below, and the is_low_entropy flag (< 3.0
+    bits) is the CCNet-adjacent cheap filter that catches degenerate
+    docs n-gram repetition rules miss (e.g. 'aaaa…' has ZERO repeated
+    5-grams of distinct words but ~0 bits of char entropy).
+
+    Quantization discipline (the PSI/DSIR pattern): each histogram
+    term (c/n)·log2(n/c) quantizes to int64 units of 1e-9 BEFORE the
+    per-doc sum, so the reduction is exact integer addition under any
+    partitioning. The one cross-engine float risk is log2's last ULP
+    at a floor boundary — pinned closed on the shipped corpora by
+    tests/test_quantization_boundaries.py, same as PSI/DSIR.
+
+    Scale shape: one explode to (doc, char) rows, one map-side-
+    combined histogram aggregate keyed (doc_id, ch) (≤ |alphabet|
+    rows per doc), one per-doc sum — both aggregates share the doc_id
+    hash distribution, so AQE coalesces to effectively one wide
+    shuffle of alphabet-bounded rows. No joins, no windows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.any_value("n").alias("n"), F.count(F.lit(1)).alias("cnt")
+    )
+    term = F.floor(
+        (F.col("cnt").cast("double") / F.col("n"))
+        * F.log2(F.col("n").cast("double") / F.col("cnt"))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    ent = F.sum(term)
+    return hist.groupBy("doc_id").agg(
+        F.any_value("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        ent.alias("entropy_scaled"),
+        (ent < 3000000000).alias("is_low_entropy"),
+    )

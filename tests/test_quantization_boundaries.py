@@ -106,3 +106,30 @@ def test_dsir_logratios_bounded_away_from_floor_boundaries(sf_dir):
         f"a DSIR log-ratio sits {margin:.2e} from a floor boundary at "
         f"{sf_dir} — a ~1-ULP ln() divergence could flip the scaled int64"
     )
+
+
+# mirrors char_entropy_quality's per-(doc, char) term, the only floored
+# float in that plan (log2 instead of ln — same libm risk class)
+_ENTROPY_PREFLOOR = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n, g.c AS ch
+  FROM documents, LATERAL unnest(string_split(text, '')) AS g(c)
+  WHERE length(text) > 0
+),
+hist AS (
+  SELECT doc_id, any_value(n) AS n, ch, count(*) AS cnt
+  FROM chars GROUP BY doc_id, ch
+)
+SELECT (CAST(cnt AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / cnt)
+       * 1000000000 + 0.5 AS v
+FROM hist
+"""
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_entropy_terms_bounded_away_from_floor_boundaries(sf_dir):
+    margin = _min_boundary_margin(sf_dir, _ENTROPY_PREFLOOR)
+    assert margin > _MIN_MARGIN, (
+        f"a char-entropy term sits {margin:.2e} from a floor boundary at "
+        f"{sf_dir} — a ~1-ULP log2() divergence could flip the scaled int64"
+    )
