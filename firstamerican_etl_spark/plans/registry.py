@@ -174,8 +174,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search AND grades it against exact ground truth); knn_ivf_cells
     # and embedding_centroid_per_label keep full local oracles
     "knn_ivf_recall_eval",
-    "knn_lsh_bucketed",
-    "kmeans_embedding_clusters",
+    # (knn_lsh_bucketed — rows-only by design — retired from the
+    # window in r6 batch 2: its md5 verification twin
+    # knn_lsh_bucketed_oracled is in-window with a FULL value oracle
+    # and recomputes the same buckets/candidates/cosines; the xxhash64
+    # fast path keeps its determinism check in tests. Slot reused for
+    # the asymmetric containment-pairs dedup, never driver-seen — and
+    # with the three rows-only slots converted, every window row now
+    # carries a full value oracle.)
+    "doc_containment_pairs",
+    # (kmeans_embedding_clusters — rows-only by design — retired from
+    # the window in r6 batch 2: kmeans_lloyd_step_oracled is in-window
+    # value-checking the Lloyd update end-to-end. Slot reused for the
+    # stream-stream LEFT OUTER interval join, never driver-seen: the
+    # deferred-null-emission semantics no other streaming row
+    # exercises.)
+    "streaming_outer_interval_join",
     # distributed linear algebra (exact integer Gram)
     "embedding_gram_matrix",
     # event-time windows (§2.9; the tumbling batch twin is proven by
@@ -190,11 +204,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline dedup flagships (+ CCNet-style cross-corpus
     # boilerplate segment removal)
     "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh — rows-only by design — retired from the
+    # window in r6 batch 2: the md5 verification twin below carries
+    # the identical MinHash+banding pipeline under a FULL value
+    # oracle, and the xxhash64 fast path stays benched + determinism-
+    # tested. Slot reused for content-defined-chunking dedup, never
+    # driver-seen: chunk-granular position-independent recurrence,
+    # the granularity between doc fingerprints and 8-token spans.)
+    "cdc_chunk_dedup",
     # the md5 verification twin gives the flagship near-dup family a
-    # FULL value oracle in the driver (the xxhash64 fast path above
-    # stays rows-only by design); replaces the approx_count_distinct
-    # rows-only slot (HLL accuracy stays pinned locally)
+    # FULL value oracle in the driver (the xxhash64 fast path stays
+    # rows-only by design, outside the window since r6 batch 2);
+    # replaces the approx_count_distinct rows-only slot (HLL accuracy
+    # stays pinned locally)
     "dedup_minhash_lsh_oracled",
     "boilerplate_segment_dedup",
     # r5: windowed exact substring-span dedup (driver-unseen family)
