@@ -765,3 +765,45 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+@register(
+    "count_distinct_two_phase",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+""",
+    tags=("agg", "distinct", "two-phase", "scale"),
+)
+def count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count at scale without the distinct-aggregate
+    Expand: phase 1 collapses to the distinct (event_type, user_id)
+    pairs (map-side combined — each partition contributes each pair
+    once), phase 2 counts pairs per type; a third tiny aggregate joins
+    the plain event count back. Result-identical to COUNT(DISTINCT) —
+    the oracle IS the plain distinct aggregate.
+
+    Why it exists: a single agg mixing COUNT(DISTINCT x) with plain
+    counts plans an Expand that duplicates every input row per
+    aggregate branch — at 100 TB that's the difference between
+    shuffling |distinct pairs| vs 2×|rows|. The two-phase shape is
+    also the only one that extends to >1 distinct column without
+    multiplying the Expand factor, and phase 1's pair frame is
+    reusable across downstream distinct metrics (the hll_mergeable_
+    rollup is this recipe's approximate sibling; this is the exact
+    path when the distinct cardinality is join-able small).
+
+    Scale shape: shuffle #1 carries distinct pairs (map-side
+    combined), shuffle #2 carries |types| rows; the plain count rides
+    a separate |types|-row aggregate broadcast back. No Expand
+    anywhere in the plan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pairs = ev.distinct()
+    n_users = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    n_events = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return n_users.join(F.broadcast(n_events), "event_type").select(
+        "event_type", "n_users", "n_events"
+    )

@@ -418,3 +418,14 @@ def test_dsir_broadcasts_logratio_frame(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_count_distinct_two_phase_has_no_expand(spark, sf_dir):
+    """The two-phase distinct recipe exists to avoid the Expand that a
+    mixed COUNT(DISTINCT)+COUNT aggregate plans (row duplication per
+    aggregate branch); its physical plan must contain none."""
+    df = REGISTRY["count_distinct_two_phase"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

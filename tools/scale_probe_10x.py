@@ -89,6 +89,13 @@ PROBE = [
     "salted_skew_join",
     "zipf_rank_frequency",
     "token_budget_sample",
+    # r6 third batch: robust stats + entropy gate + the two-phase
+    # distinct recipe, all data-sized
+    "rolling_7d_median_value",
+    "mad_outlier_zscores",
+    "char_entropy_quality",
+    "count_distinct_two_phase",
+    "matryoshka_truncation_recall",
 ]
 
 
