@@ -871,3 +871,129 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_scaled"),
         (ent < 3000000000).alias("is_low_entropy"),
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE merge rounds as chained CTEs mirroring the Spark
+    plan: pair-count → argmax winner (count desc, pair asc) →
+    left-to-right non-overlapping replace (both engines' replace())."""
+    ctes = ["""
+w0 AS (
+  SELECT wd, count(*) AS cnt FROM (
+    SELECT g.wd FROM documents,
+           LATERAL unnest(string_split(text, ' ')) AS g(wd)
+  ) WHERE wd <> '' GROUP BY 1
+),
+r0 AS (
+  SELECT array_to_string(string_split(wd, ''), ' ') AS repr, cnt FROM w0
+)""".strip()]
+    for k in range(1, rounds + 1):
+        prev = f"r{k-1}"
+        ctes.append(f"""
+p{k} AS (
+  SELECT s[g.i] AS a, s[g.i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(repr, ' ') AS s, cnt FROM {prev}) t,
+       LATERAL unnest(range(1, len(s))) AS g(i)
+  GROUP BY 1, 2
+),
+win{k} AS (SELECT a, b, pc FROM p{k} ORDER BY pc DESC, a, b LIMIT 1),
+r{k} AS (
+  SELECT replace(repr, (SELECT a || ' ' || b FROM win{k}),
+                       (SELECT a || b FROM win{k})) AS repr, cnt
+  FROM {prev}
+)""".strip())
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_round, a AS left_sym, b AS right_sym, pc AS pair_count FROM win{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "bpe_train_unrolled",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def bpe_train_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a distributed dataflow: three merge
+    rounds over the corpus word-frequency table, emitting each round's
+    winning symbol pair and its count — the actual Sennrich et al.
+    algorithm, not just its pass-1 statistic (bpe_pair_counts). Every
+    production tokenizer (GPT-2 BPE, SentencePiece-BPE) is this loop
+    run ~50k rounds; three rounds unrolled carry the full mechanics
+    (count → argmax → re-segment) under an exact oracle.
+
+    Cross-engine exactness leans on a measured primitive: replace()
+    substitutes non-overlapping occurrences LEFT-TO-RIGHT identically
+    in Spark and DuckDB (verified: 'a a a' → 'aa a'), which is
+    precisely BPE's greedy merge order; symbols are space-joined so a
+    merge is one string replace. Pair counts are integer sums over
+    word-type frequencies; the argmax tie-breaks (count desc, pair
+    asc) — fully deterministic.
+
+    Scale shape: the corpus collapses to the word-TYPE frequency table
+    once (the shuffle that matters; BPE training cost is independent
+    of corpus size beyond it). Each round: one map-side-combined pair
+    aggregate over |types| rows, a 1-row TakeOrdered winner broadcast
+    back as a literal, one map-stage re-segmentation. Per-round
+    localCheckpoint keeps the unrolled lineage O(1) deep (Catalyst
+    doesn't CSE the shared prefix across the three winner branches —
+    the connected_components pattern). At 50k rounds you'd batch
+    non-conflicting merges per round (SentencePiece's trick); the
+    round body is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.col("wd") != "")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    winners = []
+    for k in range(1, 4):
+        s = F.split("repr", " ")
+        # adjacent pairs as a zip of shifted slices — no index
+        # arithmetic, so single-symbol words yield an empty array
+        # instead of an out-of-bounds element_at under ANSI
+        n1 = F.greatest(F.size(s) - 1, F.lit(0))
+        pair_structs = F.zip_with(
+            F.slice(s, 1, n1),
+            F.slice(s, 2, n1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pairs = (
+            words.select(F.explode(pair_structs).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        win = (
+            pairs.orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(k).alias("merge_round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("pc").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(win)
+        words = (
+            words.crossJoin(F.broadcast(win))
+            .select(
+                F.replace(
+                    F.col("repr"),
+                    F.concat("left_sym", F.lit(" "), "right_sym"),
+                    F.concat("left_sym", "right_sym"),
+                ).alias("repr"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionAll(w)
+    return out
