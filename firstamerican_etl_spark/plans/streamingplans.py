@@ -688,3 +688,16 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     out = _drain(joined, name, ckpt, "append")
     # Sentinel cleanup OUTSIDE the streaming plan (see docstring).
     return out.filter(F.col("user_id") >= 0)
+
+
+# NOTE (not registered): a transformWithStateInPandas running-total
+# operator — Spark 4's arbitrary-state successor to
+# applyInPandasWithState — is implemented and wired in
+# streaming/stateful.py (make_running_total_processor /
+# running_total_with_state) with an exact running-sum-window oracle
+# design. It cannot run in this container: the TransformWithState
+# Python runner requires google.protobuf, which is absent here
+# (ImportError at StreamingPythonRunner init; verified against the
+# RocksDB state store provider too). tests/test_streaming.py carries
+# the parity test behind a protobuf-importable gate — the PIL-codec
+# precedent: real plumbing, loud environment gate, zero red rows.

@@ -226,3 +226,77 @@ def ttl_throttle_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- #
+# transformWithState (Spark 4's arbitrary-state API)                #
+# ---------------------------------------------------------------- #
+
+#: Output: one row per input purchase with the user's running total.
+RUNNING_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        # lifetime spend in exact 1e-6 units (stable.py discipline)
+        T.StructField("running_units", T.LongType()),
+    ]
+)
+
+
+def make_running_total_processor():
+    """Per-user lifetime-spend counter on the transformWithState API
+    (Spark 4's successor to applyInPandasWithState): a single int64
+    ValueState per user accumulates purchase value in exact 1e-6
+    units; every input row emits its running total. Rows are sorted
+    (ts, event_id) inside each key-batch so the emitted prefix sums
+    are a pure function of event order — independent of micro-batch
+    boundaries as long as batches respect time order (staged as one
+    file → one batch under the test gate)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "units BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            units = (
+                (pdf["value"].astype("float64") * 1_000_000.0 + 0.5)
+                .map(math.floor)
+                .astype("int64")
+            )
+            prior = self._total.get()[0] if self._total.exists() else 0
+            running = units.cumsum() + prior
+            self._total.update((int(running.iloc[-1]),))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "user_id": pdf["user_id"].astype("int64"),
+                    "running_units": running.astype("int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotal()
+
+
+def running_total_with_state(events: DataFrame) -> DataFrame:
+    """Wire the processor: purchases only, grouped by user,
+    transformWithStateInPandas in append mode, no timers."""
+    from pyspark.sql import functions as F
+
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    return purchases.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_total_processor(),
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -273,3 +273,66 @@ def test_eventgen_custom_stream_source(spark, tmp_path):
     assert row["id_sum"] == n_total * (n_total - 1) // 2
     assert row["n_users"] == 50
     assert (row["t1"] - row["t0"]).total_seconds() == n_total - 1
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's Python runner requires google.protobuf, "
+    "absent in this container (StreamingPythonRunner init ImportError)",
+)
+def test_transform_with_state_running_total_parity(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas running-total operator equals the
+    batch running-sum window exactly (1e-6-unit int64 accumulation).
+    Requires the RocksDB state store provider and protobuf; gated like
+    the PIL real-codec test."""
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.io import load_table
+    from firstamerican_etl_spark.streaming.stateful import running_total_with_state
+    from firstamerican_etl_spark.streaming.windows import read_events_stream
+
+    landing = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = running_total_with_state(read_events_stream(spark, landing))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["running_units"])
+        for r in spark.table("tws_parity").collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["event_id"], r["running_units"])
+        for r in ev.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            )
+            .over(w)
+            .alias("running_units"),
+        )
+        .collect()
+    }
+    assert got == want
