@@ -909,6 +909,40 @@ r{k} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+def _bpe_fertility_oracle(rounds: int = 3) -> str:
+    """Train CTEs (global word types) + per-language application +
+    fertility aggregate, mirroring bpe_apply_fertility."""
+    base = _bpe_oracle(rounds)
+    # everything before the train query's SELECT tail = the WITH body
+    train_with = base[: base.rfind("SELECT 1 AS merge_round")].rstrip()
+    apply_ctes = ["""
+lw AS (
+  SELECT lang, g.wd AS wd, count(*) AS cnt
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS g(wd)
+  WHERE g.wd <> '' GROUP BY 1, 2
+),
+lr0 AS (
+  SELECT lang, array_to_string(string_split(wd, ''), ' ') AS repr, cnt FROM lw
+)""".strip()]
+    for k in range(1, rounds + 1):
+        apply_ctes.append(f"""
+lr{k} AS (
+  SELECT lang, replace(repr, (SELECT a || ' ' || b FROM win{k}),
+                             (SELECT a || b FROM win{k})) AS repr, cnt
+  FROM lr{k-1}
+)""".strip())
+    tail = f"""
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt * len(string_split(repr, ' '))) AS BIGINT) AS n_symbols,
+       CAST(floor(CAST(sum(cnt * len(string_split(repr, ' '))) AS DOUBLE)
+            * 1000000 / sum(cnt) + 0.5) AS BIGINT) AS fertility_ppm
+FROM lr{rounds}
+GROUP BY 1
+"""
+    return train_with + ",\n" + ",\n".join(apply_ctes) + "\n" + tail
+
+
 @register(
     "bpe_train_unrolled",
     oracle=_bpe_oracle(),
@@ -941,31 +975,62 @@ def bpe_train_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the connected_components pattern). At 50k rounds you'd batch
     non-conflicting merges per round (SentencePiece's trick); the
     round body is identical."""
+    winners = _bpe_merge_rounds(_bpe_word_freqs(spark, sf_dir))
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionAll(w)
+    return out
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global word-type frequency table with space-joined
+    character representations — BPE training's only corpus-sized pass."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(F.split("text", " ")).alias("wd"))
         .filter(F.col("wd") != "")
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt"
-        )
+        .select(F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt")
         .localCheckpoint(eager=True)
     )
+
+
+def _bpe_adjacent_pairs(repr_col: str = "repr"):
+    """Adjacent symbol pairs as a zip of shifted slices — no index
+    arithmetic, so single-symbol words yield an empty array instead of
+    an out-of-bounds element_at under ANSI."""
+    s = F.split(repr_col, " ")
+    n1 = F.greatest(F.size(s) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(s, 1, n1),
+        F.slice(s, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _bpe_apply_merge(df: DataFrame, win: DataFrame) -> DataFrame:
+    """Apply one winning merge to every repr (greedy left-to-right
+    non-overlapping replace — both engines' replace() semantics)."""
+    keep = [c for c in df.columns if c != "repr"]
+    return df.crossJoin(F.broadcast(win)).select(
+        F.replace(
+            F.col("repr"),
+            F.concat("left_sym", F.lit(" "), "right_sym"),
+            F.concat("left_sym", "right_sym"),
+        ).alias("repr"),
+        *keep,
+    )
+
+
+def _bpe_merge_rounds(words: DataFrame, rounds: int = 3) -> list[DataFrame]:
+    """Run ``rounds`` BPE merge rounds over the word-frequency table;
+    returns the per-round 1-row winner frames (checkpointed). The
+    shared primitive of bpe_train_unrolled and bpe_apply_fertility."""
     winners = []
-    for k in range(1, 4):
-        s = F.split("repr", " ")
-        # adjacent pairs as a zip of shifted slices — no index
-        # arithmetic, so single-symbol words yield an empty array
-        # instead of an out-of-bounds element_at under ANSI
-        n1 = F.greatest(F.size(s) - 1, F.lit(0))
-        pair_structs = F.zip_with(
-            F.slice(s, 1, n1),
-            F.slice(s, 2, n1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        )
+    for k in range(1, rounds + 1):
         pairs = (
-            words.select(F.explode(pair_structs).alias("p"), "cnt")
+            words.select(F.explode(_bpe_adjacent_pairs()).alias("p"), "cnt")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("pc"))
         )
@@ -981,19 +1046,58 @@ def bpe_train_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         winners.append(win)
-        words = (
-            words.crossJoin(F.broadcast(win))
-            .select(
-                F.replace(
-                    F.col("repr"),
-                    F.concat("left_sym", F.lit(" "), "right_sym"),
-                    F.concat("left_sym", "right_sym"),
-                ).alias("repr"),
-                "cnt",
-            )
-            .localCheckpoint(eager=True)
+        words = _bpe_apply_merge(words, win).localCheckpoint(eager=True)
+    return winners
+
+
+@register(
+    "bpe_apply_fertility",
+    oracle=_bpe_fertility_oracle(),
+    tags=("text", "bpe", "tokenizer", "fertility", "eval"),
+)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → APPLY: run the same 3 corpus-global BPE merge rounds as
+    bpe_train_unrolled, then segment every language's word stream with
+    the learned merges and report per-language FERTILITY (symbols per
+    token, ppm) — the number tokenizer teams track per language,
+    because a vocabulary trained on the corpus mix over-segments
+    minority languages (high fertility = more compute per word for
+    that language, the classic multilingual-tokenizer equity metric).
+
+    Exactness: merges are the train query's deterministic argmax
+    winners; application is the same measured-identical replace()
+    chain per language's word types; token and symbol counts are
+    exact integers weighted by word frequencies; fertility is one
+    ppm-quantized division.
+
+    Scale shape: training collapses the corpus to global word TYPES
+    (one shuffle); application runs over per-(lang, type) rows — three
+    broadcast-literal replaces, no corpus re-scan; the fertility
+    aggregate is |langs| rows. Nothing here grows with raw corpus
+    size beyond the two type tables."""
+    winners = _bpe_merge_rounds(_bpe_word_freqs(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.col("wd") != "")
+        .groupBy("lang", "wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang", F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt"
         )
-    out = winners[0]
-    for w in winners[1:]:
-        out = out.unionAll(w)
-    return out
+    )
+    for win in winners:
+        lang_words = _bpe_apply_merge(lang_words, win)
+    n_sym = F.size(F.split("repr", " "))
+    return lang_words.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * n_sym).alias("n_symbols"),
+        F.floor(
+            F.sum(F.col("cnt") * n_sym).cast("double")
+            * F.lit(1000000.0)
+            / F.sum("cnt")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
