@@ -344,10 +344,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+    # ≤M rows, referenced THREE times by the wedge join (e1/e2/e3) —
+    # checkpoint so the corpus-sized weight build runs once, not once
+    # per alias (Catalyst has no cross-branch CSE).
     edges = (
         weights.orderBy(F.col("weight").desc(), "u", "v")
         .limit(_BACKBONE_M)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -471,6 +475,12 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Checkpoint the backbone once and each peel round's survivor edge
+    # list: every round references the current edges TWICE (degree
+    # aggregate + semi-join filters) and chains on the previous round —
+    # without checkpoints Catalyst re-derives the whole corpus-sized
+    # backbone build once per reference (no cross-branch CSE), measured
+    # 6.0 s → 1.3 s at sf0.1. ≤5000 rows per checkpoint — trivial.
     edges = (
         per_order.select(F.explode(pair_structs).alias("p"))
         .filter(F.col("p.u") != F.col("p.v"))
@@ -479,6 +489,7 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight").desc(), "u", "v")
         .limit(_BACKBONE_M)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
 
     def degrees(e: DataFrame) -> DataFrame:
@@ -494,10 +505,13 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(
                 F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
-            ).join(
+            )
+            .join(
                 F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
             )
-        ).select("u", "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
     return (
         degrees(edges)
         .filter(F.col("deg") >= _KCORE_K)

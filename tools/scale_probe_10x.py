@@ -96,6 +96,7 @@ PROBE = [
     "char_entropy_quality",
     "count_distinct_two_phase",
     "matryoshka_truncation_recall",
+    "bpe_train_unrolled",
 ]
 
 
