@@ -92,6 +92,11 @@ HEADLINE = [
     "graph_triangle_count",
     "markov_event_transitions",
     "pearson_correlation_matrix",
+    # round 6 batch 3: BPE training loop, exact rolling median, the
+    # entropy quality gate
+    "bpe_train_unrolled",
+    "rolling_7d_median_value",
+    "char_entropy_quality",
 ]
 
 
