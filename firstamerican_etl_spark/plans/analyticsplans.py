@@ -432,3 +432,102 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_ppm"),
         )
     )
+
+
+@register(
+    "association_rules_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+pair AS (
+  SELECT a.item AS part_a, b.item AS part_b, CAST(count(*) AS BIGINT) AS s_ab
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b,
+       sa.s AS n_a, sb.s AS n_b, p.s_ab AS n_together,
+       CAST(floor(CAST(p.s_ab AS DOUBLE) / sa.s * 1000000 + 0.5) AS BIGINT)
+         AS conf_ab_ppm,
+       CAST(floor(CAST(p.s_ab AS DOUBLE) / sb.s * 1000000 + 0.5) AS BIGINT)
+         AS conf_ba_ppm,
+       CAST(floor(CAST(p.s_ab AS DOUBLE) * n.n_baskets / (sa.s * sb.s)
+            * 10000 + 0.5) AS BIGINT) AS lift_bp
+FROM pair p
+JOIN supp sa ON sa.item = p.part_a
+JOIN supp sb ON sb.item = p.part_b
+CROSS JOIN n
+""",
+    tags=("analytics", "market-basket", "association-rules"),
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pairs: confidence in both
+    directions and LIFT for every part pair co-occurring in ≥2 orders
+    — the step after support counting (basket_cooccurrence_pairs) that
+    turns co-occurrence into a recommendation signal; lift > 1 (here
+    > 10000 bp) is the actionable threshold, and lift is what
+    separates genuinely-associated pairs from two independently
+    popular items that confidence alone would flag.
+
+    Exactness: basket-level DISTINCT items make every support an
+    integer count; confidence and lift are single IEEE divisions of
+    exact int64s, ppm/bp-quantized on both sides.
+
+    Scale shape: one distinct (basket, item) collapse; the pair
+    self-join keys on basket id (blow-up bounded by per-basket size²,
+    ≤7 items in TPC-H); item supports are a |parts|-row aggregate that
+    BROADCASTS onto the qualifying pairs; the basket total is a 1-row
+    literal cross join. Support ≥2 prunes before the rule math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = items.agg(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("part_a"), F.col("b.item").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    sa = supp.select(F.col("item").alias("part_a"), F.col("s").alias("n_a"))
+    sb = supp.select(F.col("item").alias("part_b"), F.col("s").alias("n_b"))
+    ppm = lambda num, den: F.floor(
+        num.cast("double") / den * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        pair.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_a",
+            "n_b",
+            F.col("s_ab").alias("n_together"),
+            ppm(F.col("s_ab"), F.col("n_a")).alias("conf_ab_ppm"),
+            ppm(F.col("s_ab"), F.col("n_b")).alias("conf_ba_ppm"),
+            F.floor(
+                F.col("s_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lift_bp"),
+        )
+    )

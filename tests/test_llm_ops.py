@@ -203,3 +203,41 @@ def test_duplicate_span_cut_leaves_no_cross_doc_window(spark, sf_dir):
         F.sum(F.when(F.col("n_cut") == 0, 1).otherwise(0)).alias("uncut_docs"),
     ).first()
     assert agg["cut"] > 0 and agg["uncut_docs"] > 0
+
+
+def test_cdc_chunks_survive_an_insertion(spark, tmp_path):
+    """THE content-defined-chunking property: inserting one word
+    re-cuts only the insertion's neighborhood; every other chunk keeps
+    its identity. Two docs — original and one-word-inserted — share
+    all chunks outside a bounded window, which is exactly what
+    cdc_chunk_dedup's cross-doc recurrence (n_docs > 1) reports.
+    Fixed-size blocking would shift EVERY block after the insertion
+    and share nothing."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    words = [f"w{i % 37}x{(i * 7) % 11}" for i in range(200)]
+    original = " ".join(words)
+    inserted = " ".join(words[:100] + ["INSERTED"] + words[100:])
+    docs = spark.createDataFrame(
+        [
+            (1, original, "en", "synthetic", len(original)),
+            (2, inserted, "en", "synthetic", len(inserted)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "cdc_prop")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    shared = reg["cdc_chunk_dedup"].spark(spark, sf_dir)
+    shared_words = shared.agg(F.sum("n_words")).first()[0]
+    # 200 words total; the insertion can disturb at most the chunks
+    # straddling it (expected chunk ≈ 16 words, boundary window 3) —
+    # a 64-word allowance is ~4 expected chunks of slack
+    assert shared_words is not None and shared_words >= 200 - 64, shared_words
