@@ -383,3 +383,73 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+@register(
+    "ngram_diversity_ratio",
+    oracle="""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT 1 AS n, g.x AS gram
+  FROM w, LATERAL unnest(ws) AS g(x)
+  UNION ALL
+  SELECT 2, ws[g.i] || ' ' || ws[g.i + 1]
+  FROM w, LATERAL unnest(range(1, len(ws))) AS g(i)
+  UNION ALL
+  SELECT 3, ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2]
+  FROM w, LATERAL unnest(range(1, len(ws) - 1)) AS g(i)
+)
+SELECT n,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(floor(CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+            * 1000000 + 0.5) AS BIGINT) AS distinct_ppm
+FROM grams
+GROUP BY 1
+""",
+    tags=("corpus", "diversity", "ngram"),
+)
+def ngram_diversity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity (distinct-n): distinct/total ratio for
+    1/2/3-grams — the standard repetitiveness diagnostic (Li et al.
+    2016's distinct-n): a templated or model-generated corpus shows
+    collapsed distinct-2/distinct-3 long before humans notice, and the
+    three ratios together are the cheapest corpus-health dashboard
+    row alongside the Zipf spectrum.
+
+    Exactness: all counts are integers over exact string grams; the
+    ratio is one ppm-quantized division.
+
+    Scale shape: one tokenize pass fanned into three gram streams
+    (arrays sliced in-plan, no join); each stream is a map-side-
+    combined (n, gram) distinct + count — the same two-phase
+    distinct-count recipe as count_distinct_two_phase, so no Expand
+    and the shuffle carries distinct grams, not gram instances."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+
+    def gram_stream(n: int) -> DataFrame:
+        if n == 1:
+            grams = ws
+        else:
+            m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+            cols = [F.slice(ws, i + 1, m) for i in range(n)]
+            grams = cols[0]
+            for c in cols[1:]:
+                grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
+        return d.select(F.lit(n).alias("n"), F.explode(grams).alias("gram"))
+
+    streams = gram_stream(1).unionAll(gram_stream(2)).unionAll(gram_stream(3))
+    per_gram = streams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("n").agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.floor(
+            F.count(F.lit(1)).cast("double") / F.sum("c") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("distinct_ppm"),
+    )
