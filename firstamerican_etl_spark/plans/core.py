@@ -938,6 +938,30 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop", "intersect-all", "bag-semantics"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each value survives with
+    multiplicity min(l, r), versus INTERSECT's distinct output.
+    DataFrame.intersectAll plans as a count-aggregate min + generate,
+    one shuffle — completes the §2.7 bag/set family alongside
+    exceptAll."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
     "pagination_limit_offset",
     oracle="""
 SELECT o_orderkey, o_custkey,
