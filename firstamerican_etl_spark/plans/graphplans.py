@@ -240,7 +240,46 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BACKBONE_M = 5000  # heaviest co-shipment edges kept for the triangle pass
+_BACKBONE_M = 5000  # heaviest co-shipment edges kept for the graph passes
+
+
+def _coshipment_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-M-edge backbone of the supplier co-shipment graph, shared by
+    the triangle / k-core / LPA passes: suppliers-per-order collected
+    into a sorted array (one 2-int-column shuffle — no fact-table
+    self-join), in-order pair expansion with BAG multiplicity (a
+    supplier on k lines of one order contributes k-fold, exactly the
+    oracles' line-pair self-join semantics), weight count, then the
+    deterministic top-M (weight desc, (u, v) tie-break). Checkpointed:
+    ≤M rows, and every consumer references it from multiple join
+    branches (Catalyst has no cross-branch CSE — uncheckpointed, the
+    corpus-sized build re-ran once per branch, measured 6.0 s → 1.3 s
+    on the k-core peel)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_suppkey")).alias("sups")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("sups"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("sups"), i + 2, F.greatest(F.size("sups") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(a.alias("u"), b.alias("v")),
+            ),
+        )
+    )
+    return (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.u") != F.col("p.v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.col("weight").desc(), "u", "v")
+        .limit(_BACKBONE_M)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
 
 
 @register(
@@ -315,44 +354,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd orient by DEGREE instead of id (same triangle set, provably
     O(m^1.5) wedges); id-orientation keeps the oracle transliteration
     1:1 here."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Pair generation WITHOUT a fact-table self-join: group suppliers
-    # per order into a sorted array (one shuffle of two int columns),
-    # expand the in-order pairs in-array (the postings trick from
-    # dedupplans), then count. NOTE the oracle's self-join counts each
-    # unordered supplier pair once per LINE pair, so a supplier
-    # appearing on k lines of one order contributes multiplicity —
-    # collect_list (not _set) + sorted expansion reproduces exactly
-    # that bag semantics.
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_suppkey")).alias("sups")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("sups"),
-            lambda a, i: F.transform(
-                F.slice(
-                    F.col("sups"), i + 2, F.greatest(F.size("sups") - i - 1, F.lit(0))
-                ),
-                lambda b: F.struct(a.alias("u"), b.alias("v")),
-            ),
-        )
-    )
-    weights = (
-        per_order.select(F.explode(pair_structs).alias("p"))
-        .filter(F.col("p.u") != F.col("p.v"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .agg(F.count(F.lit(1)).alias("weight"))
-    )
-    # ≤M rows, referenced THREE times by the wedge join (e1/e2/e3) —
-    # checkpoint so the corpus-sized weight build runs once, not once
-    # per alias (Catalyst has no cross-branch CSE).
-    edges = (
-        weights.orderBy(F.col("weight").desc(), "u", "v")
-        .limit(_BACKBONE_M)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    edges = _coshipment_backbone(spark, sf_dir)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -460,37 +462,11 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round's |E| at 5000 regardless of corpus size. Peel-to-
     fixpoint on an uncapped graph runs the identical round body inside
     the convergence loop."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_suppkey")).alias("sups")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("sups"),
-            lambda a, i: F.transform(
-                F.slice(
-                    F.col("sups"), i + 2, F.greatest(F.size("sups") - i - 1, F.lit(0))
-                ),
-                lambda b: F.struct(a.alias("u"), b.alias("v")),
-            ),
-        )
-    )
-    # Checkpoint the backbone once and each peel round's survivor edge
-    # list: every round references the current edges TWICE (degree
-    # aggregate + semi-join filters) and chains on the previous round —
-    # without checkpoints Catalyst re-derives the whole corpus-sized
-    # backbone build once per reference (no cross-branch CSE), measured
-    # 6.0 s → 1.3 s at sf0.1. ≤5000 rows per checkpoint — trivial.
-    edges = (
-        per_order.select(F.explode(pair_structs).alias("p"))
-        .filter(F.col("p.u") != F.col("p.v"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .orderBy(F.col("weight").desc(), "u", "v")
-        .limit(_BACKBONE_M)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    # Each peel round's survivor edge list is also checkpointed: every
+    # round references the current edges TWICE (degree aggregate +
+    # semi-join filters) and chains on the previous round — without
+    # checkpoints Catalyst re-derives the whole chain per reference.
+    edges = _coshipment_backbone(spark, sf_dir)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -516,4 +492,103 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         degrees(edges)
         .filter(F.col("deg") >= _KCORE_K)
         .select(F.col("node").cast("long").alias("node"), F.col("deg").alias("deg_final"))
+    )
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation as chained CTEs: each
+    round every node adopts its neighbors' MODE label (tie-break:
+    count desc, label asc), mirroring the Spark plan exactly."""
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+msg{k} AS (
+  SELECT e.dst AS node, l.lbl AS lbl, count(*) AS c
+  FROM sym e JOIN lab{k-1} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+lab{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM msg{k}
+  ) WHERE rn = 1
+)""".strip())
+    return f"""
+WITH w AS (
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v,
+         count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT u, v FROM w ORDER BY weight DESC, u, v LIMIT {_BACKBONE_M}
+),
+sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+{",".join(rounds)}
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_member
+FROM lab{_LPA_ROUNDS}
+GROUP BY 1
+"""
+
+
+@register(
+    "lpa_communities_unrolled",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "lpa", "extension"),
+)
+def lpa_communities_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous Label Propagation (Raghavan
+    et al. 2007) over the co-shipment backbone: each round every node
+    adopts the MODE of its neighbors' labels (deterministic tie-break:
+    count desc, label asc), two rounds unrolled; output = community
+    sizes. The third iterative-graph family alongside PageRank
+    (weighted sums) and connected components (min-label): LPA's mode
+    update finds DENSE communities, not mere reachability — the
+    spam-cluster / storefront-ring detector on co-occurrence graphs.
+
+    Determinism: vanilla async LPA is famously order-dependent; the
+    synchronous variant with a total tie-break order is a pure
+    function of the graph, which is what makes a cross-engine value
+    oracle possible at all. Integer labels and counts — nothing to
+    quantize.
+
+    Scale shape: per round, one join of the |V|-row label frame onto
+    the symmetric edge list (edge side stays hash-clustered, only
+    labels move), a map-side-combined (node, lbl) count, and a
+    per-node top-1 window over ≤deg rows. The backbone caps |E|;
+    uncapped graphs run the same round body inside a convergence
+    loop with per-round checkpoints (the connected_components
+    pattern)."""
+    edges = _coshipment_backbone(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        msgs = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("m_node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("m_node").orderBy(F.col("c").desc(), "lbl")
+        labels = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("m_node").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").cast("long").alias("min_member"),
     )
