@@ -83,6 +83,7 @@ PROBE = [
     "cdc_chunk_dedup",
     "graph_triangle_count",
     "kcore_peel_unrolled",
+    "lpa_communities_unrolled",
     "markov_event_transitions",
     "cohort_retention_matrix",
     "pearson_correlation_matrix",
