@@ -30,6 +30,7 @@ import logging
 import os
 import shutil
 import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -202,9 +203,23 @@ def run_pipeline(
             log.info("bucket table %s absent (new session) — parquet fallback", tbl)
         return spark.read.parquet(path)
 
+    if use_fazip_source:
+        # register once, before family threads fan out (registration
+        # mutates session state; the reads themselves are thread-safe)
+        from firstamerican_etl_spark.sources.fazip import FaZipDataSource
+
+        spark.dataSource.register(FaZipDataSource)
+
     staged_paths: dict[str, str] = {}
     ranked_paths: dict[str, str] = {}
-    for fam, filenames in families.items():
+
+    def process_family(fam: str, filenames: list[str]) -> None:
+        """Full stage→rank chain for one family. Runs on its own thread:
+        Spark job submission is thread-safe, and the four families'
+        jobs overlap — a single family's CSV scan rarely fills the
+        cluster (few county files ⇒ few input splits), so serial
+        staging under-utilizes executors AND pays 4× the per-job fixed
+        cost (scheduling + committer round-trips) on the wall clock."""
         clean_fn, rank_fn = _FAMILY_STAGES[fam]
         staged_path = os.path.join(staging_dir, fam)
         staged_paths[fam] = staged_path
@@ -216,13 +231,12 @@ def run_pipeline(
         # bare existence check would serve stale staging forever)
         raw_inputs = [os.path.join(raw_dir, f) for f in filenames]
         if not stage_is_fresh(staged_path, raw_inputs):
+            t0 = time.perf_counter()
             if use_fazip_source and all(f.endswith(".zip") for f in filenames):
                 from pyspark.sql import functions as F
 
                 from firstamerican_etl_spark.pipeline.convert import RAW_COLUMNS
-                from firstamerican_etl_spark.sources.fazip import FaZipDataSource
 
-                spark.dataSource.register(FaZipDataSource)
                 markers = {
                     "deed": "Deed",
                     "prop": annual_file_string,
@@ -266,7 +280,10 @@ def run_pipeline(
                 if partition_staging_by_fips and "FIPS" in staged.columns
                 else None,
             )
-            log.info("staged %s metrics: %s", fam, obs.get)
+            log.info(
+                "staged %s in %.2fs, metrics: %s",
+                fam, time.perf_counter() - t0, obs.get,
+            )
         else:
             log.info("%s staged output exists — skipping (S6)", fam)
 
@@ -276,6 +293,7 @@ def run_pipeline(
             if not stage_is_fresh(
                 ranked_path, [os.path.join(staged_path, "_SUCCESS")]
             ):
+                t0 = time.perf_counter()
                 staged_df = read_stage(staged_path, fam)
                 ranked = (
                     rank_fn(staged_df, validate=validate)
@@ -283,13 +301,32 @@ def run_pipeline(
                     else rank_fn(staged_df)
                 )
                 write_stage(ranked, ranked_path, f"ranked_{fam}")
+                log.info("ranked %s in %.2fs", fam, time.perf_counter() - t0)
             else:
                 log.info("%s ranked output exists — skipping (S6)", fam)
+
+    # One thread per family: each family's stage→rank chain is
+    # internally sequential (rank reads staged output) but independent
+    # of the other families' chains, so the four chains run
+    # concurrently. This is job-level parallelism, not a data hazard:
+    # no two chains touch the same paths or catalog entries.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t_fam = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(families)) as pool:
+        futures = {
+            fam: pool.submit(process_family, fam, filenames)
+            for fam, filenames in families.items()
+        }
+        for fam, fut in futures.items():
+            fut.result()  # propagate the first failure
+    log.info("all family chains done in %.2fs", time.perf_counter() - t_fam)
 
     # unified merge (fa-etl.py:583-589), re-reading staged output so the
     # merge plan starts from columnar scans with stats pruning (and,
     # under bucket_staging, from catalog tables whose HashPartitioning
     # the joins consume without any exchange)
+    t_merge = time.perf_counter()
     merged = unify(
         ranked_valhist=read_stage(ranked_paths["valhist"], "ranked_valhist"),
         prop=read_stage(staged_paths["prop"], "prop"),
@@ -298,6 +335,7 @@ def run_pipeline(
     )
     merged_path = os.path.join(unified_dir, "merged.parquet")
     write_parquet(merged, merged_path)
+    log.info("unified merge written in %.2fs", time.perf_counter() - t_merge)
 
     # temp hygiene (O7, fa-etl.py:592-595)
     shutil.rmtree(unzipped_dir, ignore_errors=True)

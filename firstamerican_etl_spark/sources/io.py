@@ -166,13 +166,26 @@ def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
     Returns the list of extracted file paths.
     """
     os.makedirs(out_dir, exist_ok=True)
-    extracted: list[str] = []
-    for zp in zip_paths:
+    jobs: list[tuple[str, str]] = [
+        (zp, member)
+        for zp in zip_paths
+        for member in zipfile.ZipFile(zp).namelist()
+    ]
+    # zlib decompression releases the GIL, so a thread pool extracts
+    # members genuinely in parallel — the serial loop left 31 cores
+    # idle during the one driver-side step that is on the e2e wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _extract(job: tuple[str, str]) -> str:
+        zp, member = job
         with zipfile.ZipFile(zp) as zf:
-            for member in zf.namelist():
-                zf.extract(member, out_dir)
-                extracted.append(os.path.join(out_dir, member))
-    return extracted
+            zf.extract(member, out_dir)
+        return os.path.join(out_dir, member)
+
+    if len(jobs) <= 1:
+        return [_extract(j) for j in jobs]
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+        return list(pool.map(_extract, jobs))
 
 
 def compact_parquet(
