@@ -34,6 +34,8 @@ prefix-sum's per-shard totals (metadata-sized).
 
 from __future__ import annotations
 
+import glob
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -51,6 +53,8 @@ from firstamerican_etl_spark.plans.dedupplans import (
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
+
+log = logging.getLogger("corpus_build")
 
 
 def _index_dir(out_dir: str) -> str:
@@ -71,6 +75,13 @@ class CorpusBuildStats:
     n_val: int
     n_test: int
     seconds: float
+    #: delta mode only: components where a NEW doc LSH-bridged >=2
+    #: previously-disconnected indexed survivors — the one case where
+    #: append-only delta output diverges from a full rebuild (the
+    #: rebuild would drop the larger-id old doc; the delta cannot
+    #: remove already-written docs). Nonzero means a compaction pass
+    #: is owed; the bridged labels are recorded in the index sidecar.
+    n_bridged_components: int = 0
 
 
 def build_corpus(
@@ -314,6 +325,16 @@ def build_corpus_delta(
       survivors into FRESH bins numbered after the existing max —
       bin_ids are the one field a rebuild would assign differently.
 
+    KNOWN DIVERGENCE (audited, not silent): if a new doc LSH-bridges
+    two previously-DISCONNECTED indexed components, a rebuild would
+    merge them and drop the larger-id old survivor — append-only
+    delta cannot remove already-written docs. The delta detects this
+    (components whose label set holds >=2 indexed ids), logs a
+    warning, reports ``n_bridged_components`` in the stats, and
+    records the bridged labels under ``_index/bridged_components``
+    for a compaction pass. Zero bridged components ⇒ full rebuild
+    equivalence holds exactly.
+
     Corpus-global stages (span_cut, DSIR weights) are rebuild-only by
     construction and not offered here. The index sidecar is extended
     with the batch's exact survivors so later deltas compose.
@@ -329,6 +350,15 @@ def build_corpus_delta(
     fp_path = os.path.join(idx, "fingerprints")
     bands_path = os.path.join(idx, "bands")
     t0 = time.perf_counter()
+    # delta appends are parquet-only; against a jsonl-built corpus the
+    # parquet reader would fail opaquely (or worse, the append would
+    # leave a mixed-format corpus) — fail as a contract violation
+    if glob.glob(os.path.join(out_dir, "**", "*.json*"), recursive=True):
+        raise ValueError(
+            f"existing corpus at {out_dir} was built with "
+            "output_format='jsonl'; delta mode appends parquet only — "
+            "rebuild full with parquet output (or refresh full in jsonl)"
+        )
     idx_fp = spark.read.parquet(fp_path)
     idx_bands = spark.read.parquet(bands_path)
 
@@ -370,6 +400,40 @@ def build_corpus_delta(
         .distinct()
     )
     labels = connected_components(within.unionByName(cross))
+    # Bridge audit: a NEW doc can LSH-bridge two previously-
+    # DISCONNECTED indexed components into one. If BOTH components'
+    # keepers were written to the corpus, a full rebuild would now
+    # drop the larger-id one — but append-only delta can never remove
+    # already-written docs: the one divergence from rebuild
+    # equivalence. Detection is exact: a component whose label set
+    # holds >=2 indexed ids that are PRESENT in the written corpus
+    # (indexed nodes are those <= max_indexed under the monotone-id
+    # contract; band-index nodes that were build-time losers don't
+    # count — their absence from the corpus means equivalence still
+    # holds). One aggregate over the already-computed labels joined
+    # against a column-pruned doc_id scan of the corpus. Surfaced in
+    # the stats and recorded in the index sidecar for compaction.
+    existing = spark.read.parquet(out_dir)
+    written_ids = existing.select(F.col("doc_id").alias("node")).distinct()
+    bridged = (
+        labels.filter(F.col("node") <= F.lit(max_indexed))
+        .join(written_ids, "node")
+        .groupBy("label")
+        .agg(F.count_distinct("node").alias("n_indexed_survivors"))
+        .filter(F.col("n_indexed_survivors") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    n_bridged = bridged.count()
+    if n_bridged:
+        log.warning(
+            "delta batch bridged %d previously-disconnected indexed "
+            "component(s) — output diverges from a full rebuild until "
+            "a compaction pass; bridged labels recorded in %s",
+            n_bridged, os.path.join(idx, "bridged_components"),
+        )
+        bridged.write.mode("append").parquet(
+            os.path.join(idx, "bridged_components")
+        )
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
@@ -398,8 +462,8 @@ def build_corpus_delta(
     n_after_quality = redacted.count()
 
     # pack into fresh bins after the existing corpus's max bin_id
-    # (column-pruned scan of one int column, not a corpus re-read)
-    existing = spark.read.parquet(out_dir)
+    # (column-pruned scan of one int column on the frame the bridge
+    # audit already opened, not a corpus re-read)
     bin_base = (existing.agg(F.max("bin_id").alias("m")).first()["m"] or -1) + 1
     with_tok = redacted.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
     packed = global_running_sum(
@@ -457,6 +521,7 @@ def build_corpus_delta(
         n_val=int(row["n_val"] or 0),
         n_test=int(row["n_test"] or 0),
         seconds=time.perf_counter() - t0,
+        n_bridged_components=n_bridged,
     )
 
 

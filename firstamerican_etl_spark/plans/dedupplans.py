@@ -194,14 +194,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", key: str = "doc_id
     wh = exploded_word_hashes(df, text_col, keep=(key,))
     # Reduce the full-range shingle hash to [0, p) ONCE (pmod keeps it
     # non-negative, matching numpy's % on a positive modulus), then each
-    # permutation-min is a plain overflow-free affine aggregate.
+    # permutation-min is a plain overflow-free affine aggregate
+    # (hp, a < 2^31 ⇒ hp·a + b < 2^63).
+    #
+    # The OUTER ``pmod .. _P31`` is load-bearing: without it the affine
+    # map is strictly increasing in hp, so every permutation's argmin
+    # collapses to the doc's single smallest shingle hash — 32
+    # "independent" hash functions degenerate to one, and band
+    # collisions fire all-or-nothing per pair instead of following the
+    # 1-(1-J⁴)⁸ S-curve (caught round 7 by an anti-correlation probe:
+    # a concat doc A+B could never band-match A on one band and B on
+    # another). The mod makes each permutation a genuine
+    # Carter–Wegman hash over Z_p with its own argmin.
     exploded = wh.select(
         key, F.explode(shingle_hashes_col("wh")).alias("h")
     ).select(key, F.pmod(F.col("h"), F.lit(_P31)).alias("hp"))
     aggs = []
     for i in range(num_hashes):
         a, b = _perm_consts(i)
-        aggs.append(F.min(F.col("hp") * F.lit(a) + F.lit(b)).alias(f"mh{i}"))
+        aggs.append(
+            F.min(
+                F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(_P31))
+            ).alias(f"mh{i}")
+        )
     return exploded.groupBy(key).agg(*aggs)
 
 
@@ -456,10 +471,12 @@ def minhash_signatures_np(
 ) -> DataFrame:
     """MinHash signatures, Arrow/numpy path: shingle hashing stays
     JVM-side (xxhash64 over word-hash windows), the 32 permutation-mins run as one
-    vectorized ``min((h mod p)·a + b)`` per doc batch in numpy — the same
-    Mersenne-31 affine permutations as the JVM path (numpy's ``%`` on a
-    positive modulus matches Spark's ``pmod``, and products stay < 2^62,
-    so no wraparound on either engine). Bit-identical signatures to
+    vectorized ``min(((h mod p)·a + b) mod p)`` per doc batch in numpy —
+    the same Mersenne-31 Carter–Wegman permutations as the JVM path
+    (numpy's ``%`` on a positive modulus matches Spark's ``pmod``, and
+    products stay < 2^62, so no wraparound on either engine; the outer
+    mod is what keeps the 32 permutations independent — see
+    ``minhash_signatures``). Bit-identical signatures to
     ``minhash_signatures``; trades the 32 codegen'd aggregates + doc
     shuffle for zero shuffle + one Arrow hop."""
     import numpy as np
@@ -480,7 +497,7 @@ def minhash_signatures_np(
             rows = []
             for k, hs in zip(pdf[key], pdf["hashes"]):
                 h = np.asarray(hs, dtype=np.int64) % _P31
-                sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                sig = ((h[:, None] * a[None, :] + b[None, :]) % _P31).min(axis=0)
                 rows.append((k, *sig.tolist()))
             yield pd.DataFrame(rows, columns=[key] + [f"mh{i}" for i in range(num_hashes)])
 

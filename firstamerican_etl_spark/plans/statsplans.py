@@ -801,9 +801,16 @@ def count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     a separate |types|-row aggregate broadcast back. No Expand
     anywhere in the plan."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    pairs = ev.distinct()
+    # COUNT(DISTINCT user_id) excludes NULLs; counting rows of the
+    # distinct pair frame would include one (type, NULL) pair per type
+    # — filter before the distinct so semantics match under NULLs.
+    pairs = ev.filter(F.col("user_id").isNotNull()).distinct()
     n_users = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     n_events = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    return n_users.join(F.broadcast(n_events), "event_type").select(
-        "event_type", "n_users", "n_events"
+    # n_events drives the join: a type whose user_ids are ALL NULL
+    # still groups in the oracle (n_users = 0) but has no pair rows.
+    return n_events.join(F.broadcast(n_users), "event_type", "left").select(
+        "event_type",
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        "n_events",
     )

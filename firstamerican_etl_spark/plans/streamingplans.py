@@ -687,7 +687,12 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"stream_ssoj_{abs(hash((sf_dir, ckpt))) % 10**8}"
     out = _drain(joined, name, ckpt, "append")
     # Sentinel cleanup OUTSIDE the streaming plan (see docstring).
-    return out.filter(F.col("user_id") >= 0)
+    # Keyed on the closers' dedicated purchase_ids, NOT user_id sign:
+    # real purchases with NULL/negative user_id must survive exactly
+    # as the batch LEFT-JOIN oracle keeps them.
+    return out.filter(
+        ~F.col("purchase_id").isin(-1, -2) | F.col("purchase_id").isNull()
+    )
 
 
 # NOTE (not registered): a transformWithStateInPandas running-total

@@ -885,21 +885,27 @@ w0 AS (
   ) WHERE wd <> '' GROUP BY 1
 ),
 r0 AS (
-  SELECT array_to_string(string_split(wd, ''), ' ') AS repr, cnt FROM w0
+  SELECT array_to_string(
+           list_transform(string_split(wd, ''), c -> chr(1) || c || chr(2)),
+           ' ') AS repr, cnt FROM w0
 )""".strip()]
     for k in range(1, rounds + 1):
         prev = f"r{k-1}"
         ctes.append(f"""
 p{k} AS (
-  SELECT s[g.i] AS a, s[g.i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  SELECT translate(s[g.i], chr(1) || chr(2), '') AS a,
+         translate(s[g.i + 1], chr(1) || chr(2), '') AS b,
+         CAST(sum(cnt) AS BIGINT) AS pc
   FROM (SELECT string_split(repr, ' ') AS s, cnt FROM {prev}) t,
        LATERAL unnest(range(1, len(s))) AS g(i)
   GROUP BY 1, 2
 ),
 win{k} AS (SELECT a, b, pc FROM p{k} ORDER BY pc DESC, a, b LIMIT 1),
 r{k} AS (
-  SELECT replace(repr, (SELECT a || ' ' || b FROM win{k}),
-                       (SELECT a || b FROM win{k})) AS repr, cnt
+  SELECT replace(repr,
+                 (SELECT chr(1) || a || chr(2) || ' ' || chr(1) || b || chr(2)
+                  FROM win{k}),
+                 (SELECT chr(1) || a || b || chr(2) FROM win{k})) AS repr, cnt
   FROM {prev}
 )""".strip())
     selects = " UNION ALL ".join(
@@ -922,13 +928,19 @@ lw AS (
   WHERE g.wd <> '' GROUP BY 1, 2
 ),
 lr0 AS (
-  SELECT lang, array_to_string(string_split(wd, ''), ' ') AS repr, cnt FROM lw
+  SELECT lang,
+         array_to_string(
+           list_transform(string_split(wd, ''), c -> chr(1) || c || chr(2)),
+           ' ') AS repr, cnt FROM lw
 )""".strip()]
     for k in range(1, rounds + 1):
         apply_ctes.append(f"""
 lr{k} AS (
-  SELECT lang, replace(repr, (SELECT a || ' ' || b FROM win{k}),
-                             (SELECT a || b FROM win{k})) AS repr, cnt
+  SELECT lang,
+         replace(repr,
+                 (SELECT chr(1) || a || chr(2) || ' ' || chr(1) || b || chr(2)
+                  FROM win{k}),
+                 (SELECT chr(1) || a || b || chr(2) FROM win{k})) AS repr, cnt
   FROM lr{k-1}
 )""".strip())
     tail = f"""
@@ -960,8 +972,11 @@ def bpe_train_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness leans on a measured primitive: replace()
     substitutes non-overlapping occurrences LEFT-TO-RIGHT identically
     in Spark and DuckDB (verified: 'a a a' → 'aa a'), which is
-    precisely BPE's greedy merge order; symbols are space-joined so a
-    merge is one string replace. Pair counts are integer sums over
+    precisely BPE's greedy merge order; symbols are space-joined and
+    sentinel-wrapped (``\\x01sym\\x02``) so a merge is one string
+    replace that can only match whole-symbol boundaries (a bare
+    'a b' replace also matched where 'a' was the suffix of a longer
+    symbol — fixed round 7). Pair counts are integer sums over
     word-type frequencies; the argmax tie-breaks (count desc, pair
     asc) — fully deterministic.
 
@@ -982,6 +997,28 @@ def bpe_train_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Per-symbol boundary sentinels: every symbol in a BPE repr is stored
+#: as ``\x01<sym>\x02`` so a merge's string replace can only match
+#: WHOLE adjacent symbols — without them, pattern "a b" also matched
+#: where "a" was merely the suffix (or "b" the prefix) of a longer
+#: symbol, silently merging pairs the count stage never counted (not
+#: Sennrich BPE). Precondition: corpus text contains neither control
+#: char (true of any sane text corpus; both are stripped from the
+#: symbol columns before they are reported or compared).
+_BPE_L, _BPE_R = "\x01", "\x02"
+
+
+def _bpe_symbolize(col) -> "F.Column":
+    """word → sentinel-wrapped space-joined character repr."""
+    return F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda c: F.concat(F.lit(_BPE_L), c, F.lit(_BPE_R)),
+        ),
+        " ",
+    )
+
+
 def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global word-type frequency table with space-joined
     character representations — BPE training's only corpus-sized pass."""
@@ -991,7 +1028,7 @@ def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wd") != "")
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt")
+        .select(_bpe_symbolize("wd").alias("repr"), "cnt")
         .localCheckpoint(eager=True)
     )
 
@@ -1011,13 +1048,19 @@ def _bpe_adjacent_pairs(repr_col: str = "repr"):
 
 def _bpe_apply_merge(df: DataFrame, win: DataFrame) -> DataFrame:
     """Apply one winning merge to every repr (greedy left-to-right
-    non-overlapping replace — both engines' replace() semantics)."""
+    non-overlapping replace — both engines' replace() semantics).
+    The pattern re-wraps the clean winner symbols in the per-symbol
+    sentinels, so it matches only a WHOLE symbol followed by a WHOLE
+    symbol — boundary-aware, never a suffix/prefix of a longer one."""
     keep = [c for c in df.columns if c != "repr"]
     return df.crossJoin(F.broadcast(win)).select(
         F.replace(
             F.col("repr"),
-            F.concat("left_sym", F.lit(" "), "right_sym"),
-            F.concat("left_sym", "right_sym"),
+            F.concat(
+                F.lit(_BPE_L), "left_sym", F.lit(_BPE_R + " " + _BPE_L),
+                "right_sym", F.lit(_BPE_R),
+            ),
+            F.concat(F.lit(_BPE_L), "left_sym", "right_sym", F.lit(_BPE_R)),
         ).alias("repr"),
         *keep,
     )
@@ -1028,10 +1071,16 @@ def _bpe_merge_rounds(words: DataFrame, rounds: int = 3) -> list[DataFrame]:
     returns the per-round 1-row winner frames (checkpointed). The
     shared primitive of bpe_train_unrolled and bpe_apply_fertility."""
     winners = []
+    strip = _BPE_L + _BPE_R
     for k in range(1, rounds + 1):
         pairs = (
             words.select(F.explode(_bpe_adjacent_pairs()).alias("p"), "cnt")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            # strip sentinels BEFORE grouping/ordering so the argmax
+            # tie-break compares the same clean strings as the oracle
+            .groupBy(
+                F.translate(F.col("p.a"), strip, "").alias("a"),
+                F.translate(F.col("p.b"), strip, "").alias("b"),
+            )
             .agg(F.sum("cnt").alias("pc"))
         )
         win = (
@@ -1082,9 +1131,7 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wd") != "")
         .groupBy("lang", "wd")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "lang", F.array_join(F.split("wd", ""), " ").alias("repr"), "cnt"
-        )
+        .select("lang", _bpe_symbolize("wd").alias("repr"), "cnt")
     )
     for win in winners:
         lang_words = _bpe_apply_merge(lang_words, win)

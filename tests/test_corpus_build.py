@@ -6,6 +6,7 @@ is deterministic across runs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.pipeline.corpus_build import build_corpus
@@ -224,3 +225,58 @@ def test_corpus_build_delta_rejects_nonmonotone_ids(spark, sf_dir, tmp_path):
     build_corpus(spark, docs, out, token_budget=BUDGET)
     with _pytest.raises(ValueError, match="must exceed every indexed id"):
         build_corpus_delta(spark, docs.limit(5), out, token_budget=BUDGET)
+
+
+def test_corpus_build_delta_rejects_jsonl_corpus(spark, sf_dir, tmp_path):
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "jsonl_corpus")
+    build_corpus(spark, docs.filter(F.col("doc_id") % 2 == 0), out,
+                 token_budget=BUDGET, output_format="jsonl")
+    with pytest.raises(ValueError, match="jsonl"):
+        build_corpus_delta(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), out,
+            token_budget=BUDGET,
+        )
+
+
+def test_corpus_build_delta_detects_bridged_components(spark, tmp_path):
+    """A new doc that near-dup-links two indexed docs' components must
+    be detected: n_bridged_components > 0 and the bridged labels
+    recorded in the index sidecar (the append-only divergence audit).
+    Fixture: A and B share NO LSH band (verified — they are written as
+    two separate components at build time); C = A + ' ' + B contains
+    both docs' shingle sets, and by direct band computation shares at
+    least one of the 8 bands with EACH (found by a seeded search over
+    random word docs against this repo's own minhash_bands; the triple
+    is pinned here as a deterministic golden)."""
+    import os
+
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus_delta
+
+    a = "was would into know not could use its no him way have"
+    b = "make some your his more have than than up use been down"
+    c = a + " " + b
+    build = spark.createDataFrame([(1, a, "en"), (2, b, "en")],
+                                  ["doc_id", "text", "lang"])
+    out = str(tmp_path / "bridge")
+    build_corpus(spark, build, out, token_budget=BUDGET, min_tokens=5)
+    delta = spark.createDataFrame([(100, c, "en")], ["doc_id", "text", "lang"])
+    s = build_corpus_delta(spark, delta, out, token_budget=BUDGET, min_tokens=5)
+    assert s.n_bridged_components >= 1
+    bridged = spark.read.parquet(os.path.join(out, "_index", "bridged_components"))
+    assert bridged.count() >= 1
+
+
+def test_corpus_build_delta_no_bridge_reports_zero(spark, sf_dir, tmp_path):
+    from firstamerican_etl_spark.pipeline.corpus_build import build_corpus_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    out = str(tmp_path / "nobridge")
+    build_corpus(spark, docs.filter(F.col("doc_id") <= mid), out,
+                 token_budget=BUDGET)
+    s = build_corpus_delta(spark, docs.filter(F.col("doc_id") > mid), out,
+                           token_budget=BUDGET)
+    assert s.n_bridged_components == 0

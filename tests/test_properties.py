@@ -283,3 +283,34 @@ def test_boilerplate_bounds_and_coverage(spark, sf_dir):
         assert r["n_segments"] == math.ceil(n_words / 3)
         assert 0 <= r["n_boilerplate"] <= r["n_segments"]
         assert 0.0 <= r["keep_ratio"] <= 1.0
+
+
+def test_bpe_merge_is_boundary_aware(spark):
+    """A merge winner (y, z) must only fuse WHOLE adjacent symbols:
+    never inside 'xy z' (y is a suffix of symbol xy), never inside
+    'a bc' via prefix (b prefixes bc), and ALL disjoint adjacent
+    occurrences merge left-to-right ('a b a b' -> 'ab ab')."""
+    from firstamerican_etl_spark.plans.textplans import (
+        _BPE_L,
+        _BPE_R,
+        _bpe_apply_merge,
+    )
+
+    def rep(*syms: str) -> str:
+        return " ".join(f"{_BPE_L}{s}{_BPE_R}" for s in syms)
+
+    rows = [
+        (rep("xy", "z"), 1),   # suffix trap: must NOT merge
+        (rep("y", "zq"), 1),   # prefix trap: must NOT merge
+        (rep("y", "z"), 1),    # genuine pair: must merge
+        (rep("y", "z", "y", "z"), 1),  # both disjoint pairs merge
+    ]
+    df = spark.createDataFrame(rows, ["repr", "cnt"])
+    win = spark.createDataFrame(
+        [(1, "y", "z", 3)],
+        ["merge_round", "left_sym", "right_sym", "pair_count"],
+    )
+    got = [r["repr"] for r in _bpe_apply_merge(df, win).collect()]
+    assert sorted(got) == sorted(
+        [rep("xy", "z"), rep("y", "zq"), rep("yz"), rep("yz", "yz")]
+    )
