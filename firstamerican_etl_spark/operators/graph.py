@@ -7,16 +7,22 @@ Min-label propagation as a driver loop of join+min rounds, each round
 lineage doubles per round and Catalyst re-optimizes an exponentially
 growing tree). Iterations needed = graph diameter; near-dup clusters
 are small and dense, so convergence is 2-4 rounds in practice. At web
-scale the same loop with alternating large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond")
-bounds rounds at O(log n) — the loop body below is the primitive both
-variants share.
+scale the alternating large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) bounds
+rounds at O(log² n) regardless of diameter —
+``star_contraction_components`` below implements it, and
+``connected_components(strategy="auto")`` falls back to it when
+min-label exhausts its round cap on a high-diameter graph.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger("graph")
 
 
 def _driver_union_find(edge_rows, spark, node_type) -> DataFrame:
@@ -56,12 +62,136 @@ def _driver_union_find(edge_rows, spark, node_type) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
+def star_contraction_components(
+    edges: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., SoCC'14) — O(log² n) rounds on ANY
+    topology, including the >50-diameter chains that min-label
+    propagation (rounds = diameter) cannot finish. Input: (src, dst)
+    undirected edge rows, already deduplicated/checkpointed. Output:
+    (node, label = min id of component) — bit-identical to the other
+    two strategies.
+
+    One round =
+      large-star: per center u, m = min({u} ∪ N(u)); every LARGER
+        neighbor v > u re-points to m — edges (v, m).
+      small-star: per center u with smaller neighbors N⁻(u), m =
+        min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) and (u, m).
+    Both preserve connectivity and strictly shrink the potential
+    Σ(node − its min reachable) until every component is a star
+    centered at its minimum.
+
+    Physical shape per star step: the per-center neighbor min is a
+    ``min().over(Window.partitionBy(center))`` — ONE hash exchange,
+    no collect_list (neighbor lists are never materialized, so a
+    power-law hub costs rows, not an array), followed by a distinct
+    (second exchange) that keeps the edge set canonical. No driver
+    data, localCheckpoint per round to pin lineage depth.
+
+    Termination: the (count, Σ xxhash64(src,dst)) checksum of the
+    canonical edge set repeats ⇒ fixpoint (collision odds < 2⁻⁶⁰);
+    belt-and-braces, the exit also VERIFIES the star-forest property
+    structurally — no dst may reappear as a src — and raises if the
+    checksum lied, so wrong labels cannot escape silently."""
+    spark = edges.sparkSession
+    # canonical orientation (larger, smaller): both star ops below
+    # emit (bigger, smaller) rows, so the fixpoint comparison is over
+    # a canonical set
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
+
+    def _bidir(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    prev = _checksum(cur)
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: center = src of the bidirected set
+        w = Window.partitionBy("src")
+        ls = (
+            _bidir(cur)
+            .withColumn("mn", F.min("dst").over(w))
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least("src", "mn").alias("dst"),
+            )
+            .distinct()
+        )
+        # small-star over the large-star output: centers with at
+        # least one smaller neighbor re-point that whole in-star
+        sm = _bidir(ls).filter(F.col("dst") < F.col("src")).withColumn(
+            "mn", F.min("dst").over(w)
+        )
+        cur = (
+            sm.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .union(sm.select("src", F.col("mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        now = _checksum(cur)
+        if now == prev:
+            converged = True
+            break
+        prev = now
+    if not converged:
+        raise RuntimeError(
+            f"star_contraction_components did not converge within "
+            f"{max_rounds} rounds — pathological for an O(log² n) "
+            "contraction; raise max_rounds only after checking the "
+            "edge set for nondeterminism."
+        )
+    # structural verification: a fixpoint must be a star forest —
+    # every dst is a root (never re-appears on the larger side)
+    not_star = (
+        cur.alias("e")
+        .join(
+            cur.select(F.col("src").alias("n")).distinct().alias("s"),
+            F.col("e.dst") == F.col("s.n"),
+            "left_semi",
+        )
+        .limit(1)
+        .count()
+    )
+    if not_star:
+        raise RuntimeError(
+            "star_contraction_components checksum fixpoint is not a "
+            "star forest — checksum collision; re-run with a higher "
+            "max_rounds"
+        )
+    return (
+        cur.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+        .union(cur.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 50,
     driver_max_edges: int = 100_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MIN node
     id of its component. Returns (node, label); nodes that appear in
@@ -85,20 +215,38 @@ def connected_components(
     every oracle.
 
     CONVERGENCE CONTRACT (distributed path): the loop runs until a
-    fixed point (the per-round label checksum stops moving) and raises
-    RuntimeError if ``max_rounds`` is exhausted while labels are still
-    changing — silently returning unconverged labels would hand
-    downstream consumers (leakage-safe split assignment, survivorship
-    reports) wrong cluster ids with no error raised. Rounds needed =
-    graph diameter; a duplicate chain with diameter > 50 (pathological
-    for near-dup graphs, whose clusters are dense) should be clustered
-    with large-star/small-star contraction instead — raise the cap
-    explicitly if that topology is genuinely expected. (The driver
-    path is exact by construction — no convergence question.)"""
+    fixed point (the per-round label checksum stops moving). Rounds
+    needed = graph diameter, so a duplicate chain with diameter >
+    ``max_rounds`` exhausts the cap; what happens then is the
+    ``strategy`` knob:
+
+    - ``"auto"`` (default): fall back to
+      ``star_contraction_components`` on the same edge set — O(log² n)
+      rounds on any topology, identical labels — with a warning that
+      the min-label cap was hit (a near-dup graph with that diameter
+      is worth knowing about). High-diameter graphs CONVERGE instead
+      of raising.
+    - ``"minlabel"``: raise RuntimeError — silently returning
+      unconverged labels would hand downstream consumers (leakage-safe
+      splits, survivorship reports) wrong cluster ids. The pinned
+      contract for callers that want diameter overruns surfaced.
+    - ``"star"``: skip min-label entirely and contract stars from the
+      start — the web-scale path when the topology is unknown.
+
+    (The driver path is exact by construction — no convergence
+    question; ``"minlabel"``/``"star"`` also skip the driver routing
+    so tests and callers can force a specific distributed plan.)"""
+    if strategy not in ("auto", "minlabel", "star"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     dedup_pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
-    if dedup_pairs.count() <= driver_max_edges:
+    if strategy == "star":
+        return star_contraction_components(dedup_pairs)
+    if (
+        strategy == "auto"
+        and dedup_pairs.count() <= driver_max_edges
+    ):
         return _driver_union_find(
             [(r["src"], r["dst"]) for r in dedup_pairs.collect()],
             dedup_pairs.sparkSession,
@@ -144,10 +292,19 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
+        if strategy == "auto":
+            log.warning(
+                "connected_components: min-label propagation exhausted "
+                "%d rounds (graph diameter exceeds the cap) — falling "
+                "back to large-star/small-star contraction",
+                max_rounds,
+            )
+            return star_contraction_components(dedup_pairs)
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
             "rounds (labels still changing) — the pair graph's diameter "
             "exceeds the round cap; returning would yield wrong cluster "
-            "ids. Raise max_rounds or switch to star-contraction."
+            "ids. Raise max_rounds, or use strategy='auto'/'star' for "
+            "O(log² n) star contraction."
         )
     return labels

@@ -362,6 +362,116 @@ def rolling_7d_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", med.alias("med_7d_cents"))
 
 
+_WEEK_S = 604_800
+
+
+@register(
+    "rolling_7d_median_bucketed",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_id, user_id,
+       median(cents) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ) AS med_7d_cents
+FROM e
+""",
+    tags=("timeseries", "rolling", "median", "bucketed", "pandas", "scale"),
+)
+def rolling_7d_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ``rolling_7d_median_value`` — identical
+    output (same oracle), different physical plan for the regime where
+    per-user activity is heavy.
+
+    Why the twin exists: the window formulation buffers ONE USER'S
+    ENTIRE HISTORY per task (window partition = user) and builds +
+    sorts a fresh array PER ROW (collect_list/sort_array over the
+    RANGE frame — Σ w·log w work, measured 2.4× wall per 10× density
+    in SCALING.md). Here instead:
+
+    - PARTITION = (user, 7-day epoch bucket). A trailing 7-day window
+      at any row spans at most the row's bucket and the one before, so
+      each event is shipped twice — once to its own bucket as a TARGET
+      row, once to the next as a CARRY row — and every group holds ≤ 2
+      weeks of one user's events regardless of total history. Task
+      memory is bounded by per-fortnight volume, not per-user volume;
+      a years-long heavy hitter shards across buckets. Still ONE hash
+      exchange (of 2n narrow rows).
+    - MEDIANS via pandas ``rolling('604800s', closed='both').median()``
+      per group — a C-implemented skiplist, O(log w) insert/evict per
+      event instead of a per-row array sort: total O(n log w) vs
+      Σ w log w. Arrow-batched applyInPandas, the sanctioned interop
+      for stateful sliding-window logic Catalyst has no operator for.
+
+    Exactness vs the oracle: integer cents are exact in float64;
+    pandas' even-n interpolation is the same (a+b)/2; the time window
+    [t−604800, t] is closed on BOTH ends (closed='both') matching
+    RANGE 604800 PRECEDING..CURRENT ROW; and DuckDB's frame includes
+    ALL PEERS of the current epoch (even rows that sort after the
+    current one), while pandas is positional — so each epoch's rows
+    all take the median computed at that epoch's LAST positional row,
+    which is the one whose window holds every peer. NaN cents (null
+    value) are skipped by both engines; an all-null window yields
+    NULL."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    k = F.floor(F.col("epoch_s") / F.lit(_WEEK_S))
+    own = e.select(
+        "event_id", "user_id", "epoch_s", "cents",
+        k.alias("k"), F.lit(True).alias("is_target"),
+    )
+    carry = e.select(
+        "event_id", "user_id", "epoch_s", "cents",
+        (k + 1).alias("k"), F.lit(False).alias("is_target"),
+    )
+    both = own.unionByName(carry)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("med_7d_cents", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("epoch_s", kind="mergesort")
+        s = pd.Series(
+            pd.to_numeric(pdf["cents"]).astype("float64").values,
+            index=pd.to_datetime(pdf["epoch_s"].values, unit="s"),
+        )
+        med = s.rolling(f"{_WEEK_S}s", closed="both", min_periods=1).median()
+        pdf = pdf.assign(_med=med.values)
+        # RANGE-frame peer semantics: every row of an epoch gets the
+        # median computed at that epoch's last positional row (whose
+        # window is the only one containing all peers)
+        pdf["_med"] = pdf.groupby("epoch_s")["_med"].transform("last")
+        out = pdf[pdf["is_target"]]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].values,
+                "user_id": out["user_id"].values,
+                "med_7d_cents": out["_med"].values,
+            }
+        )
+
+    return both.groupBy("user_id", "k").applyInPandas(fn, schema=out_schema)
+
+
 @register(
     "mad_outlier_zscores",
     oracle="""

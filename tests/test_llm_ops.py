@@ -144,11 +144,10 @@ def test_connected_components_path_parity(spark):
 
 
 def test_connected_components_raises_on_round_cap(spark):
-    """Exhausting max_rounds while labels still change must raise, not
-    silently return unconverged labels (ADVICE r5: a silent wrong
-    clustering would let near-dup pairs straddle train/test splits).
-    driver_max_edges=0 forces the distributed path — the driver
-    union-find is exact in one pass and has no round cap."""
+    """strategy='minlabel' pins the r5 contract: exhausting max_rounds
+    while labels still change must raise, not silently return
+    unconverged labels (a silent wrong clustering would let near-dup
+    pairs straddle train/test splits)."""
     import pytest as _pytest
 
     from firstamerican_etl_spark.operators.graph import connected_components
@@ -157,7 +156,62 @@ def test_connected_components_raises_on_round_cap(spark):
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=3, driver_max_edges=0)
+        connected_components(
+            pairs, max_rounds=3, driver_max_edges=0, strategy="minlabel"
+        )
+
+
+def test_connected_components_auto_falls_back_to_star(spark):
+    """strategy='auto' (the default) must CONVERGE on a >50-diameter
+    chain — min-label exhausts its cap and hands the same edges to
+    star contraction (r6 verdict item #3: high-diameter graphs should
+    cluster, not raise). 200-node chain, shuffled ids so the
+    component min is interior, driver path disabled to force the
+    distributed route."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    # chain over a permuted id space: node ids 7·i mod 997 are all
+    # distinct, the min id sits mid-chain — label must still be the
+    # component-global min, not a traversal artifact
+    ids = [(7 * i) % 997 + 1 for i in range(200)]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs, driver_max_edges=0)
+    got = {(r["node"], r["label"]) for r in labels.collect()}
+    mn = min(ids)
+    assert got == {(n, mn) for n in ids}
+
+
+def test_star_contraction_parity_with_minlabel(spark):
+    """All three strategies emit the identical (node, label) set on a
+    dense multi-component fixture — the strategy knob may never be
+    observable in results."""
+    from firstamerican_etl_spark.operators.graph import connected_components
+
+    edges = [
+        (1, 5), (5, 9), (9, 1), (5, 17), (17, 9),   # dense blob
+        (20, 21), (21, 22), (22, 20),                # triangle
+        (30, 31),                                    # isolated edge
+        (40, 41), (41, 42), (42, 43), (43, 44),      # short chain
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs).collect()  # driver exact
+    }
+    star = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, strategy="star").collect()
+    }
+    ml = {
+        (r["node"], r["label"])
+        for r in connected_components(
+            pairs, strategy="minlabel", driver_max_edges=0
+        ).collect()
+    }
+    assert star == want
+    assert ml == want
 
 
 def test_duplicate_span_cut_leaves_no_cross_doc_window(spark, sf_dir):

@@ -59,6 +59,9 @@ ARROW_PYTHON_OK = {
     "pq_adc_topk",  # numpy block encode (integer grid, exact)
     "embedding_gram_matrix",  # numpy partial-matmul blocks (integer grid, exact)
     "corpus_byte_histogram",  # mapInArrow buffer-level numpy bincount
+    # C-skiplist sliding median per (user, week-bucket) — the exact
+    # rolling-median state machine Catalyst has no operator for
+    "rolling_7d_median_bucketed",
 }
 
 
