@@ -134,12 +134,14 @@ def build_corpus(
         "_fp", F.md5(_NORM(F.col("text")))
     )
     keep_exact = normed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    obs_exact = Observation("corpus_exact")
     exact = (
         normed.join(keep_exact, ["_fp", "doc_id"])
         .drop("_fp")
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_after_exact = exact.count()
+    n_after_exact = int(obs_exact.get["n"])
 
     # 3: near-dup clustering on the exact survivors; a doc whose
     # component label differs from its own id is a redundant near-dup.
@@ -153,8 +155,13 @@ def build_corpus(
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    near = exact.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
-    n_after_near = near.count()
+    obs_near = Observation("corpus_near")
+    near = (
+        exact.join(losers, "doc_id", "left_anti")
+        .observe(obs_near, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_after_near = int(obs_near.get["n"])
 
     # 3.5 (optional): duplicate-SPAN removal (arXiv:2107.06499 §3.1) on
     # the whole-doc survivors — excises duplicated 8-token runs that
@@ -364,15 +371,40 @@ def build_corpus_delta(
 
     # the equivalence contract above needs monotone ids; a violation
     # would silently flip keep-the-min decisions, so fail loud
-    max_indexed = idx_fp.agg(F.max("doc_id").alias("m")).first()["m"]
-    min_new = new_docs.agg(F.min("doc_id").alias("m")).first()["m"]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    # The delta is ACTION-FLOOR-bound at small batch sizes (~14 fixed
+    # driver round-trips; SCALING.md's crossover note) — so actions
+    # with no mutual dependency run on concurrent driver threads (the
+    # same lever that cut the FA pipeline's floor in half; Spark job
+    # submission is thread-safe). Three independent preflight
+    # aggregates launch together: index max id, batch min+count (one
+    # fused scan), existing-corpus max bin_id.
+    existing = spark.read.parquet(out_dir)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_idx = pool.submit(
+            lambda: idx_fp.agg(F.max("doc_id").alias("m")).first()["m"]
+        )
+        f_pre = pool.submit(
+            lambda: new_docs.agg(
+                F.min("doc_id").alias("m"), F.count(F.lit(1)).alias("n")
+            ).first()
+        )
+        f_bin = pool.submit(
+            lambda: existing.agg(F.max("bin_id").alias("m")).first()["m"]
+        )
+        max_indexed = f_idx.result()
+        pre = f_pre.result()
+        bin_base = (f_bin.result() or -1) + 1
+    min_new, n_raw = pre["m"], int(pre["n"])
     if max_indexed is not None and min_new is not None and min_new <= max_indexed:
         raise ValueError(
             f"delta batch doc_ids must exceed every indexed id "
             f"(min new {min_new} <= max indexed {max_indexed})"
         )
 
-    n_raw = new_docs.count()
     normed = new_docs.withColumn("_fp", F.md5(_NORM(F.col("text"))))
     # exact: drop fps already in the corpus, then keep-min within batch
     fresh = normed.join(
@@ -382,9 +414,17 @@ def build_corpus_delta(
     # _fp stays on the checkpointed frame so the index-sidecar write at
     # the end reads the cached rows instead of recomputing the
     # fresh-join (the final select(*existing.columns) strips it from
-    # the corpus output).
-    exact = fresh.join(keep_exact, ["_fp", "doc_id"]).localCheckpoint(eager=True)
-    n_after_exact = exact.count()
+    # the corpus output). Stage counts ride the checkpoint actions as
+    # OBSERVED METRICS (the full build's no-extra-pass discipline) —
+    # the delta used to burn one count() job per stage on top of each
+    # checkpoint.
+    obs_exact = Observation("delta_exact")
+    exact = (
+        fresh.join(keep_exact, ["_fp", "doc_id"])
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_after_exact = int(obs_exact.get["n"])
 
     # near: within-batch pairs ∪ cross pairs against the indexed bands
     # (one signature pass: both pair generators read the checkpointed
@@ -413,32 +453,47 @@ def build_corpus_delta(
     # holds). One aggregate over the already-computed labels joined
     # against a column-pruned doc_id scan of the corpus. Surfaced in
     # the stats and recorded in the index sidecar for compaction.
-    existing = spark.read.parquet(out_dir)
-    written_ids = existing.select(F.col("doc_id").alias("node")).distinct()
-    bridged = (
-        labels.filter(F.col("node") <= F.lit(max_indexed))
-        .join(written_ids, "node")
-        .groupBy("label")
-        .agg(F.count_distinct("node").alias("n_indexed_survivors"))
-        .filter(F.col("n_indexed_survivors") >= 2)
-        .localCheckpoint(eager=True)
-    )
-    n_bridged = bridged.count()
-    if n_bridged:
-        log.warning(
-            "delta batch bridged %d previously-disconnected indexed "
-            "component(s) — output diverges from a full rebuild until "
-            "a compaction pass; bridged labels recorded in %s",
-            n_bridged, os.path.join(idx, "bridged_components"),
+    # Runs on its OWN DRIVER THREAD — nothing downstream consumes it
+    # (the result only feeds the returned stats and the sidecar
+    # append), so it overlaps the losers/quality/pack chain instead of
+    # serializing two more actions into the floor.
+    def _bridge_audit() -> int:
+        written_ids = existing.select(F.col("doc_id").alias("node")).distinct()
+        obs_bridge = Observation("delta_bridge")
+        bridged = (
+            labels.filter(F.col("node") <= F.lit(max_indexed))
+            .join(written_ids, "node")
+            .groupBy("label")
+            .agg(F.count_distinct("node").alias("n_indexed_survivors"))
+            .filter(F.col("n_indexed_survivors") >= 2)
+            .observe(obs_bridge, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        bridged.write.mode("append").parquet(
-            os.path.join(idx, "bridged_components")
-        )
+        n = int(obs_bridge.get["n"])
+        if n:
+            log.warning(
+                "delta batch bridged %d previously-disconnected indexed "
+                "component(s) — output diverges from a full rebuild until "
+                "a compaction pass; bridged labels recorded in %s",
+                n, os.path.join(idx, "bridged_components"),
+            )
+            bridged.write.mode("append").parquet(
+                os.path.join(idx, "bridged_components")
+            )
+        return n
+
+    audit_pool = ThreadPoolExecutor(max_workers=1)
+    f_bridge = audit_pool.submit(_bridge_audit)
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    near = exact.join(losers, "doc_id", "left_anti").localCheckpoint(eager=True)
-    n_after_near = near.count()
+    obs_near = Observation("delta_near")
+    near = (
+        exact.join(losers, "doc_id", "left_anti")
+        .observe(obs_near, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_after_near = int(obs_near.get["n"])
 
     # quality gate + redaction: same expressions as the full build
     toks = F.split(F.col("text"), " ", -1)
@@ -451,20 +506,24 @@ def build_corpus_delta(
         & (F.length("text") <= max_chars)
         & (alpha_frac >= min_alpha_frac)
     )
-    redacted = quality.withColumn(
-        "text",
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _URL_RE,
-            "<URL>",
-        ),
-    ).localCheckpoint(eager=True)
-    n_after_quality = redacted.count()
+    obs_quality = Observation("delta_quality")
+    redacted = (
+        quality.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _URL_RE,
+                "<URL>",
+            ),
+        )
+        .observe(obs_quality, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_after_quality = int(obs_quality.get["n"])
 
     # pack into fresh bins after the existing corpus's max bin_id
-    # (column-pruned scan of one int column on the frame the bridge
-    # audit already opened, not a corpus re-read)
-    bin_base = (existing.agg(F.max("bin_id").alias("m")).first()["m"] or -1) + 1
+    # (bin_base came from the concurrent preflight aggregate — a
+    # column-pruned scan of one int column, not a corpus re-read)
     with_tok = redacted.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
     packed = global_running_sum(
         with_tok, "doc_id", "n_tokens", out_col="_run_tok"
@@ -493,8 +552,6 @@ def build_corpus_delta(
     packed = packed.select(*existing.columns)
     # one observation on the write action carries all four diagnostics
     # (same no-extra-pass discipline as the full build)
-    from pyspark.sql import Observation
-
     obs = Observation("delta_split")
     observed = packed.observe(
         obs,
@@ -503,13 +560,30 @@ def build_corpus_delta(
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
         F.size(F.collect_set("bin_id")).alias("n_bins"),
     )
-    observed.write.mode("append").partitionBy("split").parquet(out_dir)
+    # THREE independent sinks (corpus append + the two index-sidecar
+    # appends, all reading cached/checkpointed frames) commit on
+    # concurrent driver threads; obs.get blocks until the corpus
+    # write's own action fires.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_main = pool.submit(
+            lambda: observed.write.mode("append")
+            .partitionBy("split")
+            .parquet(out_dir)
+        )
+        f_fp = pool.submit(
+            lambda: exact.select("_fp", "doc_id")
+            .write.mode("append")
+            .parquet(fp_path)
+        )
+        f_bands = pool.submit(
+            lambda: batch_bands.write.mode("append").parquet(bands_path)
+        )
+        f_main.result()
+        f_fp.result()
+        f_bands.result()
     row = obs.get
-
-    # extend the index with this batch's exact survivors (from the
-    # checkpointed frame — no fresh-join recompute)
-    exact.select("_fp", "doc_id").write.mode("append").parquet(fp_path)
-    batch_bands.write.mode("append").parquet(bands_path)
+    n_bridged = f_bridge.result()
+    audit_pool.shutdown()
 
     return CorpusBuildStats(
         n_raw=n_raw,

@@ -243,7 +243,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BACKBONE_M = 5000  # heaviest co-shipment edges kept for the graph passes
 
 
-def _coshipment_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _coshipment_backbone(
+    spark: SparkSession, sf_dir: str, m: int = None
+) -> DataFrame:
     """Top-M-edge backbone of the supplier co-shipment graph, shared by
     the triangle / k-core / LPA passes: suppliers-per-order collected
     into a sorted array (one 2-int-column shuffle — no fact-table
@@ -276,7 +278,7 @@ def _coshipment_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("weight"))
         .orderBy(F.col("weight").desc(), "u", "v")
-        .limit(_BACKBONE_M)
+        .limit(m if m is not None else _BACKBONE_M)
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
@@ -381,6 +383,141 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
         .select(F.col("node").cast("long").alias("node"), "n_triangles")
+    )
+
+
+def _triangle_oracle(m: int) -> str:
+    """The id-oriented triangle SQL at backbone size ``m`` — shared by
+    the id-oriented plan and the degree-oriented twin (the triangle
+    SET is orientation-independent, so one oracle checks both)."""
+    return f"""
+WITH w AS (
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v,
+         count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT u, v FROM w
+  ORDER BY weight DESC, u, v
+  LIMIT {m}
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM per_node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+
+
+def _degree_oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation with DEGREE orientation
+    (compact-forward on the (degree, id) total order — Schank & Wagner
+    2005; Suri & Vassilvitskii WWW'11 for the MapReduce argument):
+    orient every edge from the endpoint with the LOWER (degree, id)
+    rank to the higher, wedge-join on the middle vertex, close each
+    wedge against the oriented edge set. The triangle SET is identical
+    to id-orientation (any total order closes each triangle exactly
+    once), but the wedge count is provably O(m^1.5): an out-neighbor
+    list under degree order has ≤ O(√m) entries, whereas id order can
+    concentrate Θ(n²) wedges on a low-id hub. Same output, same
+    oracle, different bound — the orientation a web-scale backbone
+    needs.
+
+    Physical shape: degree build is one aggregate over the 2·|E| node
+    incidences; rank attachment is two joins against the |V|-row
+    degree frame (backbone |V| ≤ 2M — broadcast); wedge + closure
+    joins run on the ≤M-row oriented frame."""
+    bidir = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.alias("o3")
+    # wedge a→b→c closes with a→c: rank(a) < rank(b) < rank(c) makes
+    # the closing edge's orientation deterministic — each triangle
+    # materializes exactly once, no /6 correction
+    tri = (
+        o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.src"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+        .select(F.col("node").cast("long").alias("node"), "n_triangles")
+    )
+
+
+@register(
+    "graph_triangle_count_degree",
+    oracle=_triangle_oracle(_BACKBONE_M),
+    tags=("graph", "triangle", "degree-oriented", "extension"),
+)
+def graph_triangle_count_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph_triangle_count`` with DEGREE orientation instead of id
+    orientation (r6 verdict #6) — identical output on the identical
+    5000-edge backbone, checked by the SAME id-oriented DuckDB oracle:
+    a genuine cross-ALGORITHM value check, not a transliteration. See
+    ``_degree_oriented_triangles`` for the O(m^1.5) bound argument."""
+    return _degree_oriented_triangles(_coshipment_backbone(spark, sf_dir))
+
+
+@register(
+    "graph_triangle_degree_50k",
+    oracle=_triangle_oracle(50_000),
+    tags=("graph", "triangle", "degree-oriented", "scale-probe"),
+)
+def graph_triangle_degree_50k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-oriented pass at a 10× BACKBONE (top-50k edges) —
+    the registered proof that the orientation survives the cap being
+    raised: at 50k edges an id-oriented low-id hub could own Θ(n²)
+    wedges, while degree orientation keeps every out-list ≤ O(√m).
+    At small sf the cap exceeds the raw co-shipment graph, so this is
+    the UNcapped graph — the regime the id-oriented docstring
+    measured as its wedge-explosion failure mode."""
+    return _degree_oriented_triangles(
+        _coshipment_backbone(spark, sf_dir, m=50_000)
     )
 
 

@@ -179,6 +179,116 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "asset_id", "cosine")
 
 
+def _mm_lsh_sql() -> str:
+    """Oracle for the BUCKETED multimodal kNN: the featurizer CTE plus
+    md5-seeded sign-LSH buckets (the same inlined ±1 literals the
+    Spark plan uses), candidates meeting ONLY within a bucket."""
+    from firstamerican_etl_spark.plans.vectorplans import _lsh_weights
+
+    ws = _lsh_weights(planes=8, dim=8)
+    projs = []
+    for p, w in enumerate(ws):
+        chain = " + ".join(f"f{j} * {w[j]:.1f}" for j in range(8))
+        projs.append(f"CASE WHEN ({chain}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+WITH feat AS (
+  SELECT doc_id AS asset_id,
+         {", ".join(f"{_feat_sql(j)} AS f{j}" for j in range(8))}
+  FROM documents
+),
+b AS (
+  SELECT *, {bucket} AS bucket FROM feat
+),
+scored AS (
+  SELECT p.asset_id AS probe_id, c.asset_id AS asset_id, p.bucket,
+         floor(({_chain('p', 'c')})
+               / (sqrt({_chain('p', 'p')}) * sqrt({_chain('c', 'c')}))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM b p JOIN b c ON p.bucket = c.bucket
+  WHERE p.asset_id < 10 AND c.asset_id >= 10
+)
+SELECT probe_id, asset_id, bucket, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cosine DESC, asset_id
+  ) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "multimodal_knn_bucketed",
+    oracle=_mm_lsh_sql(),
+    tags=("multimodal", "mapInPandas", "features", "knn", "lsh"),
+)
+def multimodal_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for multimodal similarity search —
+    ``multimodal_featurize_knn`` without the probe×corpus crossJoin
+    (fine at 10 probes, quadratic the day probes become a feed): the
+    sign-LSH bucket recipe from ``knn_lsh_bucketed_oracled`` applied
+    to the featurizer output. 8 md5-seeded ±1 hyperplanes (inlined as
+    literals on BOTH engines) → 8-bit bucket; probes meet candidates
+    through an EQUI-JOIN on bucket — cost Σ bucket², never
+    |probes|·|corpus|, and the physical plan carries no
+    BroadcastNestedLoopJoin on any unbounded side (pinned by
+    tests/test_plan_shapes.py). Projections and cosines are
+    left-associated double folds, bit-identical in DuckDB, so the
+    bucketed candidate sets AND scores carry a full value oracle.
+
+    Trade-off vs the brute-force row (kept as the contrast twin): a
+    probe only sees its own bucket, so recall < 1 by design — the
+    knn_ivf_recall_eval pattern grades that rate for the embedding
+    family; here the bucket ids are part of the checked output."""
+    from firstamerican_etl_spark.plans.vectorplans import _lsh_weights
+
+    feats = featurize(_assets(spark, sf_dir), dim=8)
+    ws = _lsh_weights(planes=8, dim=8)
+    bucket = None
+    for p, w in enumerate(ws):
+        lit_w = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with("features", lit_w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = feats.select("asset_id", "features", bucket.alias("bucket"))
+    probes = b.filter(F.col("asset_id") < 10).select(
+        F.col("asset_id").alias("probe_id"),
+        F.col("features").alias("probe_vec"),
+        "bucket",
+    )
+    cands = b.filter(F.col("asset_id") >= 10)
+    dot = F.aggregate(
+        F.zip_with("probe_vec", "features", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos_raw = dot / (norm(F.col("probe_vec")) * norm(F.col("features")))
+    scored = (
+        probes.join(cands, on="bucket")
+        .withColumn(
+            "cosine",
+            F.floor(cos_raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0),
+        )
+        .select("probe_id", "asset_id", "bucket", "cosine")
+    )
+    from firstamerican_etl_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        partition_by=["probe_id"],
+        order_by=[F.col("cosine").desc(), F.col("asset_id")],
+        k=3,
+        rank_col="rank",
+    ).select("probe_id", "asset_id", "bucket", "cosine")
+
+
 @register(
     "multimodal_ppm_pixel_decode",
     oracle="""

@@ -429,3 +429,16 @@ def test_count_distinct_two_phase_has_no_expand(spark, sf_dir):
     plan = _plan(df)
     assert "Expand" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multimodal_knn_bucketed_has_no_nested_loop(spark, sf_dir):
+    """The bucketed multimodal kNN exists so similarity search over
+    featurized assets never degenerates to probe×corpus — candidates
+    must meet through an EQUI-join on the LSH bucket (r6 verdict #5).
+    The brute-force contrast row keeps its bounded crossJoin; this
+    plan may carry no nested-loop join of any kind."""
+    df = REGISTRY["multimodal_knn_bucketed"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

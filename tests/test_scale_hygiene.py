@@ -39,6 +39,7 @@ ARROW_PYTHON_OK = {
     "multimodal_resize_chain",
     "multimodal_frame_sample",
     "multimodal_featurize_knn",
+    "multimodal_knn_bucketed",  # same featurizer, LSH-bucketed candidates
     "multimodal_ppm_pixel_decode",  # pure-python netpbm raster decode
     "multimodal_binaryfile_ingest",  # same netpbm decode over binaryFile rows
     "multimodal_wds_roundtrip",  # netpbm decode over wds tar-shard rows

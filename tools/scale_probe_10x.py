@@ -98,7 +98,37 @@ PROBE = [
     "count_distinct_two_phase",
     "matryoshka_truncation_recall",
     "bpe_train_unrolled",
+    # r7: the skiplist rolling-median twin (vs the 2.4× window row
+    # above it), degree-oriented triangles at both backbone caps, and
+    # the LSH-bucketed multimodal kNN
+    "rolling_7d_median_bucketed",
+    "graph_triangle_count_degree",
+    "graph_triangle_degree_50k",
+    "multimodal_knn_bucketed",
 ]
+
+#: End-to-end pipelines (not registry entries): (label, callable(spark,
+#: sf_dir) -> seconds). The fa pipeline is parameterized by scale
+#: factor (it generates its own raw zips), the corpus builds by table
+#: dir — both time ONLY the pipeline, not input generation.
+def _e2e_probes():
+    import bench
+
+    def fa(spark, d):
+        sf = 1.0 if "sf1" in os.path.basename(d) else 0.1
+        return bench._fa_pipeline_e2e(spark, sf, partition_staging_by_fips=True)
+
+    def corpus_full(spark, d):
+        return bench._corpus_build_e2e(spark, d)
+
+    def corpus_delta(spark, d):
+        return bench._corpus_build_delta(spark, d)
+
+    return [
+        ("fa_pipeline_e2e", fa),
+        ("corpus_build_e2e", corpus_full),
+        ("corpus_build_delta", corpus_delta),
+    ]
 
 
 def build_sf1(spark) -> str:
@@ -200,6 +230,15 @@ def main() -> None:
         # JIT/host noise hits that second; the min is the plan cost
         t_small = best_of(2, name, SRC)
         t_big = best_of(2, name, sf1)
+        rows.append((name, t_small, t_big))
+        print(f"# {name}: sf0.1 {t_small:.2f}s sf1 {t_big:.2f}s "
+              f"x{t_big / max(t_small, 1e-9):.1f}", file=sys.stderr)
+
+    # e2e pipelines: min-of-2 like the registry rows (each sample
+    # regenerates its inputs untimed, so the resume skip never fires)
+    for name, fn in _e2e_probes():
+        t_small = min(fn(spark, SRC) for _ in range(2))
+        t_big = min(fn(spark, sf1) for _ in range(2))
         rows.append((name, t_small, t_big))
         print(f"# {name}: sf0.1 {t_small:.2f}s sf1 {t_big:.2f}s "
               f"x{t_big / max(t_small, 1e-9):.1f}", file=sys.stderr)
