@@ -97,6 +97,12 @@ HEADLINE = [
     "bpe_train_unrolled",
     "rolling_7d_median_value",
     "char_entropy_quality",
+    # round 7: the scale twins — skiplist rolling median (vs the
+    # collect_list row above), degree-oriented triangles (vs the
+    # id-oriented row), bucketed multimodal kNN (vs the crossJoin row)
+    "rolling_7d_median_bucketed",
+    "graph_triangle_count_degree",
+    "multimodal_knn_bucketed",
 ]
 
 

@@ -62,10 +62,12 @@ def register(
 # driver's independent green row. tests/test_registry_window.py pins
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 scan / project / filter / sort (distinct is proven by
-    # dedup_exact_keep_first; distinct_projection stays pytest-oracled
-    # outside the window)
-    "scan_filter_project",
+    # (scan_filter_project retired to local-oracle coverage in r7 —
+    # P1-P5 scan/project/filter stay driver-proven inside q1, the FA
+    # flagship chain and string_date's scan; slot reused for the r6
+    # LPA community detection, never driver-seen: the third iterative
+    # graph family after PageRank and CC.)
+    "lpa_communities_unrolled",
     # (sort_limit_topk retired to local-oracle coverage in r6 — the
     # ordered-limit shape stays driver-proven inside q21's top-100 and
     # the per-group top-k flagships; slot reused for the SimHash md5
@@ -74,14 +76,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 aggregation family (rollup/cube/grouping-sets keep full local
     # oracles in tests/test_oracle.py)
     "q1_pricing_summary",
-    "agg_groupby_full",
+    # (agg_groupby_full retired to local-oracle coverage in r7 — the
+    # multi-aggregate groupBy shape stays driver-proven by q1 and the
+    # FA family chains; slot reused for the K=30 k-core peel, never
+    # driver-seen: iterative graph peeling with a round-for-round CTE
+    # oracle.)
+    "kcore_peel_unrolled",
     # (having_filter retired to local-oracle coverage in r6 — the
     # post-agg filter is also driver-proven inside q21 and the q18
     # local oracle; slot reused for the corpus-drift PSI monitor,
     # never driver-seen before)
     "corpus_drift_psi",
     # §2 join family (J1-J6)
-    "dim_join_broadcast",
+    # (dim_join_broadcast retired to local-oracle coverage in r7 — J3
+    # broadcast dim joins stay driver-proven inside q21 and the FA
+    # flagship's dimension chain; slot reused for association-rule
+    # confidence/lift over basket pairs, never driver-seen: the
+    # market-basket analytics family's first window row.)
+    "association_rules_lift",
     "left_join_null_filter",
     # (asymmetric_key_join retired to local-oracle coverage in r6 —
     # expression-keyed joins stay driver-proven inside
@@ -103,12 +115,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reused for the leakage-safe split assignment, never driver-seen
     # before and the anti-contamination flagship.)
     "leakage_safe_split_assign",
-    # §2.8 scalar function surface (F1-F14; the F9/F10 coalesce
-    # cascade and F11 concat-fallback are driver-proven inside
-    # fa_valhist_cascade below and keep their dedicated full local
-    # oracles — coalesce_cascade_q / concat_fallback — in
-    # tests/test_oracle.py)
-    "string_date_funcs",
+    # §2.8 scalar function surface (F1-F14; string_date_funcs retired
+    # to local-oracle coverage in r7 — the cast/slice/lpad/date-parse
+    # family stays driver-proven inside fa_ranked_deed +
+    # fa_valhist_cascade, which exist to exercise exactly those
+    # scalars; the F9/F10 coalesce cascade and F11 concat-fallback
+    # keep their dedicated full local oracles. Slot reused for
+    # INTERSECT ALL, never driver-seen: bag-semantics min-multiplicity
+    # set op completing the §2.7 family.)
+    "setop_intersect_all",
     # (conditional_flags — F7/F8 flag surface — retired to local-oracle
     # coverage in r5: its scalar family is also driver-proven inside
     # string_date_funcs + fa_ranked_deed; slot reused for the Arrow
@@ -137,9 +152,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_ranked_deed",
     "fa_valhist_cascade",
     "fa_flagship_merged",
-    # text analysis + retrieval (BM25 is the lexical-retrieval
-    # flagship of the round-4 retrieval family)
-    "text_quality",
+    # text analysis + retrieval (text_quality retired to local-oracle
+    # coverage in r7 — the scalar text-quality family stays
+    # driver-proven by vocab_oov_rate/tfidf/bm25 below; slot reused
+    # for the distinct-n corpus diversity diagnostic, never
+    # driver-seen: in-plan n-gram slicing + the Expand-free two-phase
+    # distinct recipe. BM25 is the lexical-retrieval flagship of the
+    # round-4 retrieval family.)
+    "ngram_diversity_ratio",
     # (token_count retired to local-oracle coverage in r5 — whitespace
     # + BPE-ish counting is also exercised inside corpus_pack/BM25;
     # slot reused for Spark 4 recursive CTE, a driver-unseen family)
@@ -190,8 +210,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # deferred-null-emission semantics no other streaming row
     # exercises.)
     "streaming_outer_interval_join",
-    # distributed linear algebra (exact integer Gram)
-    "embedding_gram_matrix",
+    # (embedding_gram_matrix retired to local-oracle coverage in r7 —
+    # the vector family stays driver-proven five ways in-window
+    # (IVF recall eval, semdedup, LSH twin, Lloyd step, containment);
+    # slot reused for the BPE train→apply fertility eval, never
+    # driver-seen: the tokenizer-training family's apply side.)
+    "bpe_apply_fertility",
     # event-time windows (§2.9; the tumbling batch twin is proven by
     # its value-identical streaming run below — events_tumbling_window
     # keeps its full local oracle, as do sliding and the
@@ -244,10 +268,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_tumbling_window",
     # (streaming_foreachbatch_ingest retired to local-oracle coverage
     # in r5 — streaming stays triple-proven by interval_join/
-    # ttl_throttle/tumbling; slot reused for the count-min sketch)
-    "heavy_hitters_cms",
-    # round-3 scale operators
-    "quantile_bins_scalable",
+    # ttl_throttle/tumbling. heavy_hitters_cms retired in r7 after
+    # three green rounds — the sketch keeps its local oracle; slot
+    # reused for the per-user rolling 7-day exact median, never
+    # driver-seen: the RANGE-frame composite Spark lacks natively.)
+    "rolling_7d_median_value",
+    # (quantile_bins_scalable retired to local-oracle coverage in r7
+    # after four green rounds — the prefix-sum family stays
+    # driver-proven by corpus_pack_contiguous; slot reused for the
+    # MAD robust outlier scores, never driver-seen: two exact-median
+    # passes broadcast back onto the fact scan.)
+    "mad_outlier_zscores",
     # (pareto_cumulative_share retired to local-oracle coverage in r5 —
     # ordered-cumulative windows stay driver-proven by quantile_bins +
     # the prefix-sum family; slot count back to 50)

@@ -500,6 +500,86 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         words[i] || ' ' || words[i + 1] AS gram
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(1, len(words) - 1)) AS i
+    FROM w WHERE len(words) >= 2
+  ) t
+),
+scored AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(gram), 1, 2)) AS BIGINT)
+            * 2654435761 % 1009) - 504 AS wgt
+  FROM grams
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(wgt) AS BIGINT) AS score_raw,
+       CAST(floor(CAST(sum(wgt) AS DOUBLE) / count(*) * 10000 + 0.5)
+            AS BIGINT) AS score_scaled,
+       sum(wgt) > 0 AS keep
+FROM scored
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "classifier", "hashed-features"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText/CCNet serving shape
+    (Wenzek et al. 2020; the GPT-3 data pipeline's quality classifier):
+    hash every word bigram into a 256-bucket feature space, score the
+    doc as the sum of per-bucket linear weights, keep docs scoring > 0.
+    The weights here are a FIXED deterministic stand-in (Knuth
+    multiplicative hash of the md5 bucket id into ±504) — training the
+    real weights is a separate offline concern; what the engine owns,
+    and what this query proves end-to-end, is the SERVING plan: feature
+    hashing, weight lookup (a pure expression — no 256-row join
+    needed), per-doc reduction, thresholding. Swapping learned weights
+    in changes one literal-generating function, not the plan.
+
+    Exactness: bucket = first md5 byte of the bigram (the DSIR hashing
+    recipe); weight arithmetic is int64 throughout (max |score| ≈
+    504·|grams| ≪ 2⁶³); the mean is quantized. Scale shape: one
+    Generate (bigram explode) + one doc-keyed hash aggregate with
+    map-side combine — no join, no window, the same single-exchange
+    class as token_count. Docs with <2 words have no bigram evidence
+    and are absent, same as DSIR."""
+    from firstamerican_etl_spark.plans.dedupplans import exploded_words
+
+    d = exploded_words(load_table(spark, sf_dir, "documents"))
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("words"), i), F.element_at(F.col("words"), i + 1)
+        ),
+    )
+    grams = d.filter(n >= 2).select(
+        "doc_id", F.explode(bigrams).alias("gram")
+    )
+    bucket = F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10).cast("long")
+    wgt = (bucket * F.lit(2654435761)) % F.lit(1009) - F.lit(504)
+    return grams.select("doc_id", wgt.alias("wgt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("wgt").alias("score_raw"),
+        F.floor(
+            F.sum("wgt").cast("double") / F.count(F.lit(1)) * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("score_scaled"),
+        (F.sum("wgt") > 0).alias("keep"),
+    )
+
+
+@register(
     "unigram_logprob_score",
     oracle="""
 WITH words AS (

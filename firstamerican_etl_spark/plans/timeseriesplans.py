@@ -473,6 +473,77 @@ def rolling_7d_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_truncated_k8",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+lags AS (
+  SELECT event_id, user_id, cents,
+         """ + ",\n         ".join(
+        f"lag(cents, {k}) OVER (PARTITION BY user_id "
+        f"ORDER BY epoch_s, event_id) AS l{k}"
+        for k in range(1, 8)
+    ) + """
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(cents * 128 """ + " ".join(
+        f"+ coalesce(l{k} * {128 >> k}, 0)" for k in range(1, 8)
+    ) + """ AS DOUBLE)
+       / (128 """ + " ".join(
+        f"+ CASE WHEN l{k} IS NULL THEN 0 ELSE {128 >> k} END"
+        for k in range(1, 8)
+    ) + """) AS ewma_cents
+FROM lags
+""",
+    tags=("timeseries", "ewma", "window", "smoothing"),
+)
+def ewma_truncated_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (λ = 1/2) per user,
+    TRUNCATED at 8 lags — the trend-smoothing companion to the rolling
+    median. The untruncated EWMA recursion ewma_t = λ·v_t +
+    (1−λ)·ewma_{t−1} is a data-length-dependent recurrence no engine's
+    window frame expresses; truncation at K=8 makes it a FIXED linear
+    combination (weights 2⁻ᵏ, residual mass 2⁻⁸ ≈ 0.4%) — and because
+    λ = 1/2 gives power-of-two weights, the numerator Σ v_{t−k}·2^(7−k)
+    is an EXACT int64 sum: the only float op is one final IEEE division
+    of exact integers, bit-identical in DuckDB under any partitioning.
+    Warm-up rows (fewer than 8 predecessors) renormalize over the
+    weights actually present, matching the recursive EWMA's behavior
+    of averaging only observed history.
+
+    Scale shape: ONE hash exchange (user) + per-user sort shared by
+    all 8 lag expressions — Spark plans a single Window node; per-row
+    state is 8 values, constant regardless of user history (contrast
+    the RANGE-frame median's per-row frame buffer). Deterministic
+    order: (epoch_s, event_id) — equal timestamps are tie-broken, so
+    the lag sequence is unique on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+    num = F.col("cents") * F.lit(128)
+    den = F.lit(128)
+    for k in range(1, 8):
+        lk = F.lag("cents", k).over(w)
+        num = num + F.coalesce(lk * F.lit(128 >> k), F.lit(0))
+        den = den + F.when(lk.isNull(), F.lit(0)).otherwise(F.lit(128 >> k))
+    return e.select(
+        "event_id",
+        "user_id",
+        (num.cast("double") / den).alias("ewma_cents"),
+    )
+
+
+@register(
     "mad_outlier_zscores",
     oracle="""
 WITH e AS (
