@@ -599,6 +599,85 @@ def build_corpus_delta(
     )
 
 
+def compact_corpus(spark: SparkSession, out_dir: str) -> int:
+    """Resolve the bridge divergences ``build_corpus_delta`` recorded —
+    the COMPACTION PASS that restores exact full-rebuild equivalence.
+
+    A delta batch that LSH-bridges two previously-disconnected written
+    survivors leaves the corpus holding a doc a rebuild would drop
+    (append-only output can't remove rows); the delta detects this and
+    records the merged components' labels under
+    ``_index/bridged_components``. Compaction finishes the job:
+
+    1. Re-derive the corpus-wide near-dup components from the INDEX
+       BANDS alone (they cover every exact survivor ever seen,
+       near-dup losers included, so the graph equals the one a full
+       rebuild would mine — no corpus text is re-read).
+    2. Every written member of a recorded bridged component except the
+       component-minimum keeper is dropped.
+    3. The surviving corpus is rewritten through a temp directory and
+       atomically swapped in (the ``_index`` sidecar is carried
+       across); the bridged-components record is cleared.
+
+    Doc SETS after compaction equal a from-scratch rebuild's exactly
+    (bin_ids/splits of surviving rows are untouched — packing is the
+    one field a rebuild numbers differently, same caveat as delta
+    mode). Returns the number of docs removed; 0 means no recorded
+    bridges and NO rewrite (the corpus is untouched — the pass is
+    idempotent and cheap to call unconditionally).
+
+    Scale shape: the component re-derivation is the rebuild's own
+    banded candidate graph (one groupBy on (band_id, band_hash) over
+    the narrow index frame); the rewrite is one anti-join against the
+    (usually tiny) drop list and a partitioned write. Nothing reads
+    corpus text."""
+    import shutil
+
+    from firstamerican_etl_spark.plans.dedupplans import (
+        minhash_lsh_pairs_from_bands,
+    )
+
+    idx = _index_dir(out_dir)
+    bridged_path = os.path.join(idx, "bridged_components")
+    if not os.path.isdir(bridged_path):
+        return 0
+    bridged = spark.read.parquet(bridged_path).select("label").distinct()
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    pairs = minhash_lsh_pairs_from_bands(bands).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    drop = (
+        labels.join(F.broadcast(bridged), "label")
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    existing = spark.read.parquet(out_dir)
+    from pyspark.sql import Observation
+
+    obs = Observation("compact")
+    kept = existing.join(drop, "doc_id", "left_anti").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    tmp = out_dir.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.select(*existing.columns).write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(tmp)
+    n_before = existing.count()
+    n_removed = n_before - int(obs.get["n"])
+    # atomic-ish swap: the index sidecar (inside out_dir, _-prefixed)
+    # rides across; the bridged record is cleared LAST so a crash
+    # before this point leaves a re-runnable state, never a corrupt one
+    shutil.move(os.path.join(out_dir, "_index"), os.path.join(tmp, "_index"))
+    old = out_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(_index_dir(out_dir), "bridged_components"))
+    log.info("compact_corpus removed %d bridged doc(s) from %s", n_removed, out_dir)
+    return n_removed
+
+
 def main(argv: list[str] | None = None) -> CorpusBuildStats:
     """CLI twin of ``pipeline/run.py main`` for the corpus build:
 

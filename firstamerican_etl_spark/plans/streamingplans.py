@@ -201,6 +201,60 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       floor(CAST(value AS DOUBLE) * 100 + 0.5) / 100 AS value_r
+FROM events
+""",
+    tags=("streaming", "dedup", "watermark", "within-watermark"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the Spark 3.5+ dedup
+    variant ``streaming_dedup_exactly_once`` CANNOT express: the
+    duplicate copies here carry DIFFERENT event times (ts + 30 s — the
+    at-least-once-ingest retry shape, where the replay is stamped at
+    redelivery time), so keying the plain ``dropDuplicates`` on
+    (event_id, ts) would pass both copies through. WithinWatermark
+    keys on event_id alone and holds seen-key state for the watermark
+    delay in EVENT TIME, emitting the first arrival only.
+
+    Proof by construction, same as the exactly-once row: the landing
+    file holds every event twice (original + jittered replay); the
+    drained output must equal the original table. The emitted row is
+    whichever copy arrived first — nondeterministic — so the checked
+    columns are the ts-INDEPENDENT ones, identical on both copies by
+    construction. Landing is ONE file ⇒ one availableNow micro-batch:
+    both copies are always in the same batch, so intra-run watermark
+    advancement can never expire a key between its two arrivals (the
+    multi-batch hazard the n_files=1 contract exists for).
+
+    State bound at scale: |keys within watermark horizon| — the same
+    bounded-state argument as the exactly-once row, with the horizon
+    covering the retry window instead of exact-timestamp replays."""
+    ev = load_table(spark, sf_dir, "events")
+    landing = tempfile.mkdtemp(prefix="fa_stream_wwm_land_")
+    doubled = ev.unionByName(
+        ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
+    )
+    doubled.coalesce(1).write.mode("overwrite").parquet(landing)
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_wwm_ckpt_")
+    deduped = (
+        read_events_stream(spark, landing)
+        .withWatermark("ts", "4 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_wwm_{abs(hash((sf_dir, ckpt))) % 10**8}"
+    out = _drain(deduped, name, ckpt, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value").cast("double") * 100 + 0.5) / 100).alias("value_r"),
+    )
+
+
+@register(
     "streaming_dedup_exactly_once",
     oracle="""
 SELECT event_id, user_id, event_type,

@@ -280,3 +280,49 @@ def test_corpus_build_delta_no_bridge_reports_zero(spark, sf_dir, tmp_path):
     s = build_corpus_delta(spark, docs.filter(F.col("doc_id") > mid), out,
                            token_budget=BUDGET)
     assert s.n_bridged_components == 0
+
+
+def test_compact_restores_rebuild_equivalence(spark, tmp_path):
+    """The full bridge lifecycle: build {A,B} (two components), delta
+    {C} bridges them (recorded divergence), compact_corpus drops the
+    doc a rebuild would never have kept — doc SET and texts must then
+    equal a from-scratch rebuild over {A,B,C}; the bridged record is
+    cleared and a second compact is a no-op."""
+    import os
+
+    from firstamerican_etl_spark.pipeline.corpus_build import (
+        build_corpus_delta,
+        compact_corpus,
+    )
+
+    a = "was would into know not could use its no him way have"
+    b = "make some your his more have than than up use been down"
+    c = a + " " + b
+    out = str(tmp_path / "lifecycle")
+    build = spark.createDataFrame([(1, a, "en"), (2, b, "en")],
+                                  ["doc_id", "text", "lang"])
+    build_corpus(spark, build, out, token_budget=BUDGET, min_tokens=5)
+    delta = spark.createDataFrame([(100, c, "en")], ["doc_id", "text", "lang"])
+    s = build_corpus_delta(spark, delta, out, token_budget=BUDGET, min_tokens=5)
+    assert s.n_bridged_components >= 1
+
+    n_removed = compact_corpus(spark, out)
+    assert n_removed >= 1
+
+    ref = str(tmp_path / "rebuild")
+    everything = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (100, c, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    build_corpus(spark, everything, ref, token_budget=BUDGET, min_tokens=5)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    want = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(ref).select("doc_id", "text").collect()
+    }
+    assert got == want
+    assert not os.path.isdir(os.path.join(out, "_index", "bridged_components"))
+    assert compact_corpus(spark, out) == 0
