@@ -729,3 +729,102 @@ def lpa_communities_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").cast("long").alias("min_member"),
     )
+
+
+@register(
+    "khop_neighbor_agg",
+    oracle=f"""
+WITH w AS (
+  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v,
+         count(*) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT u, v FROM w ORDER BY weight DESC, u, v LIMIT {_BACKBONE_M}
+),
+adj AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (
+  SELECT a AS node, count(*) AS degree FROM adj GROUP BY 1
+),
+nsum AS (
+  SELECT adj.a AS node, CAST(sum(d.degree) AS BIGINT) AS nbr_degree_sum
+  FROM adj JOIN deg d ON adj.b = d.node GROUP BY 1
+),
+hop2 AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT a AS node, b AS nbr FROM adj
+    UNION ALL
+    SELECT x.a AS node, y.b AS nbr
+    FROM adj x JOIN adj y ON x.b = y.a
+    WHERE y.b <> x.a
+  )
+),
+h2 AS (
+  SELECT node, count(*) AS n_within_2hops FROM hop2 GROUP BY 1
+)
+SELECT CAST(deg.node AS BIGINT) AS node, deg.degree,
+       nsum.nbr_degree_sum, h2.n_within_2hops
+FROM deg JOIN nsum ON deg.node = nsum.node
+         JOIN h2 ON deg.node = h2.node
+ORDER BY deg.degree DESC, deg.node
+LIMIT 20
+""",
+    tags=("graph", "khop", "gnn-features", "extension"),
+)
+def khop_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood aggregation on the co-shipment backbone —
+    the message-passing primitive under every GNN feature pipeline
+    (GraphSAGE/GCN layers ARE neighbor aggregates): per node, its
+    degree, the sum of its neighbors' degrees (one round of
+    sum-aggregation), and the distinct-node count within 2 hops
+    (receptive-field size). Top-20 hubs by degree.
+
+    Shape: symmetrize the oriented backbone (unionByName swap, ≤2M
+    rows at any backbone cap), ONE self-join on the middle vertex for
+    the 2-hop frontier — O(Σ deg²) wedge rows, bounded by the same
+    backbone cap that bounds the triangle pass — then two
+    metadata-sized aggregates. The degree side broadcasts back onto
+    the adjacency list. At web scale this is exactly one round of
+    Pregel-style message passing expressed as join+groupBy: k rounds
+    compose by iterating the same plan, each round one shuffle keyed
+    on the destination node."""
+    edges = _coshipment_backbone(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    nsum = (
+        adj.join(F.broadcast(deg), adj["b"] == deg["node"])
+        .groupBy(F.col("a").alias("nd"))
+        .agg(F.sum("degree").alias("nbr_degree_sum"))
+    )
+    two = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.b") == F.col("y.a"))
+        .filter(F.col("y.b") != F.col("x.a"))
+        .select(F.col("x.a").alias("node"), F.col("y.b").alias("nbr"))
+    )
+    hop2 = (
+        adj.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(two)
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_within_2hops"))
+    )
+    return (
+        deg.join(nsum, deg["node"] == nsum["nd"])
+        .join(hop2.withColumnRenamed("node", "n2"), F.col("node") == F.col("n2"))
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "degree",
+            "nbr_degree_sum",
+            "n_within_2hops",
+        )
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(20)
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.plans.registry import register
@@ -813,4 +814,307 @@ def count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n_users", F.lit(0)).alias("n_users"),
         "n_events",
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds on the u32 scale: k = #{t : t <= u}
+#: capped at 7 (P(K>7) ~ 1e-5). floor(CDF(k) * 2^32) precomputed so the
+#: replicate-count draw is ONE integer compare chain — no float RNG,
+#: no exp()/ln() cross-engine drift.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291, 4294609777)
+_BOOT_B = 32  # bootstrap replicates
+
+
+def _boot_oracle() -> str:
+    k_cols, s_cols, means = [], [], []
+    for b in range(_BOOT_B):
+        u = (f"CAST(('0x' || substr(md5(event_id::VARCHAR || ':' || '{b // 4}'), "
+             f"{1 + 8 * (b % 4)}, 8))::UBIGINT AS BIGINT)")
+        case = "CASE " + " ".join(
+            f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POIS_T)
+        ) + " ELSE 7 END"
+        k_cols.append(f"{case} AS k{b}")
+        s_cols.append(f"CAST(sum(k{b}) AS BIGINT) AS n{b},\n"
+                      f"         CAST(sum(k{b} * cents) AS BIGINT) AS s{b}")
+        means.append(f"CAST(s{b} AS DOUBLE) / nullif(n{b}, 0)")
+    sep = ",\n         "
+    k_sql, s_sql, m_sql = sep.join(k_cols), sep.join(s_cols), ", ".join(means)
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+k AS (
+  SELECT event_type, cents,
+         {k_sql}
+  FROM e
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         {s_sql}
+  FROM k GROUP BY 1
+),
+m AS (
+  SELECT event_type, n, sy,
+         list_sort([{m_sql}]) AS rep
+  FROM s
+)
+SELECT event_type, n,
+       floor((CAST(sy AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS mean_cents,
+       floor(rep[2] * 10000 + 0.5) / 10000 AS ci_lo,
+       floor(rep[31] * 10000 + 0.5) / 10000 AS ci_hi
+FROM m
+"""
+
+
+@register(
+    "bootstrap_mean_ci_poisson",
+    oracle=_boot_oracle(),
+    tags=("stats", "bootstrap", "deterministic", "ci"),
+)
+def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence band for the per-type mean — the
+    ONLY bootstrap that distributes: classic resampling needs n draws
+    with replacement from the full table (a global operation), but for
+    large n the multinomial replicate counts converge to iid
+    Poisson(1), which is a PURE PER-ROW draw. Each row contributes
+    k_{row,b} copies to replicate b, where k is read off a
+    precomputed inverse-CDF integer-threshold chain on a 32-bit hash —
+    no float RNG, reproducible under retries/partitioning, and one
+    md5 yields FOUR u32 replicate draws (8 hashes for B=32).
+
+    Replicates ride the SAME aggregate as the point estimate: the
+    groupBy emits 2+2B partial sums (map-side combined, all exact
+    int64 — bound: Σ k·cents ≤ 7·10⁵·rows_per_type, safe past 10¹²
+    rows/type), so the whole CI costs ONE shuffle of |types|·(2B+2)
+    numbers regardless of table size. The band is the middle 30 of 32
+    sorted replicate means (≈ 94% coverage); each mean is a single
+    IEEE division of exact integers — bit-identical across engines.
+    nullif guards the (unreachable past ~30 rows/type) empty-replicate
+    case rather than diverging on inf-vs-null division semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ks = []
+    for b in range(_BOOT_B):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
+                1 + 8 * (b % 4),
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        c = F.when(u < _POIS_T[0], F.lit(0))
+        for i in range(1, 7):
+            c = c.when(u < _POIS_T[i], F.lit(i))
+        ks.append(c.otherwise(F.lit(7)).alias(f"k{b}"))
+    k = e.select("event_type", "cents", *ks)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+    ]
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(F.col(f"k{b}")).alias(f"n{b}"))
+        aggs.append(F.sum(F.col(f"k{b}") * F.col("cents")).alias(f"s{b}"))
+    s = k.groupBy("event_type").agg(*aggs)
+    rep = F.array_sort(
+        F.array(
+            *[
+                F.col(f"s{b}").cast("double")
+                / F.nullif(F.col(f"n{b}"), F.lit(0)).cast("double")
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return s.select(
+        "event_type",
+        "n",
+        stable_round(F.col("sy").cast("double") / F.col("n"), 4).alias("mean_cents"),
+        stable_round(F.element_at(rep, 2), 4).alias("ci_lo"),
+        stable_round(F.element_at(rep, 31), 4).alias("ci_hi"),
+    )
+
+
+@register(
+    "ols_trend_per_group",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT)
+           - 18262 AS xd,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(xd AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(cents AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xd AS DECIMAL(38,6))
+                * CAST(cents AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xd AS DECIMAL(38,6))
+                * CAST(xd AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
+         / 10000 AS slope_cents_per_day,
+       floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+             * 10000 + 0.5) / 10000 AS intercept_cents
+FROM s
+""",
+    tags=("stats", "regression", "bit-stable"),
+)
+def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend line (value vs time) from EXACT
+    power sums — the closed-form slope/intercept need only (n, Σx, Σy,
+    Σxy, Σx²), which shuffle as map-side-combined decimal partials:
+    the regression of a 100 TB table costs exactly one aggregate, and
+    decimal accumulation makes the sums associative-exact, so the one
+    final double expression tree (shared verbatim with the oracle) is
+    bit-identical on 1 or 1000 executors. x is integer DAYS since
+    2020-01-01 (floor(epoch/86400) − 18262): centering near the data
+    keeps n·Σxx − (Σx)² well-conditioned in double — raw epoch seconds
+    would put ~17 significant digits into the cancellation — and the
+    slope lands in interpretable cents/day."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
+    e = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400.0)).cast("long")
+            - F.lit(18262)
+        ).alias("xd"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    x, y = F.col("xd").cast(dec), F.col("cents").cast(dec)
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        stable_round(slope, 4).alias("slope_cents_per_day"),
+        stable_round((sy - slope * sx) / n, 4).alias("intercept_cents"),
+    )
+
+
+@register(
+    "winsorized_robust_mean",
+    oracle="""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(floor((count(*) + 99) / 100.0) AS BIGINT) AS lo_r,
+         CAST(floor((99 * count(*) + 99) / 100.0) AS BIGINT) AS hi_r
+  FROM e GROUP BY 1
+),
+r AS (
+  SELECT e.event_type, e.cents, st.n, st.sy, st.lo_r, st.hi_r,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY e.cents, e.event_id) AS rn
+  FROM e JOIN st USING (event_type)
+),
+cuts AS (
+  SELECT event_type, any_value(n) AS n, any_value(sy) AS sy,
+         min(CASE WHEN rn = lo_r THEN cents END) AS lo_cut,
+         min(CASE WHEN rn = hi_r THEN cents END) AS hi_cut
+  FROM r GROUP BY 1
+)
+SELECT c.event_type, c.n, c.lo_cut, c.hi_cut,
+       CAST(sum(CASE WHEN e.cents < c.lo_cut OR e.cents > c.hi_cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       floor((CAST(c.sy AS DOUBLE) / c.n) * 10000 + 0.5) / 10000 AS mean_cents,
+       floor((CAST(sum(greatest(c.lo_cut, least(c.hi_cut, e.cents)))
+                   AS DOUBLE) / c.n) * 10000 + 0.5) / 10000
+         AS mean_winsorized
+FROM e JOIN cuts c USING (event_type)
+GROUP BY 1, 2, 3, 4, c.sy
+""",
+    tags=("stats", "robust", "winsorize"),
+)
+def winsorized_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per type: clamp values into the [p01, p99]
+    band before averaging — the robust-location estimate that (unlike
+    trimming) keeps n constant, standard for taming fat-tailed metric
+    columns before drift monitors. Cutpoints are RANK-defined (value
+    at row ceil(n/100) / ceil(99n/100) of the per-type sort, integer
+    arithmetic only) — no quantile interpolation, so the cut is a
+    value that exists in the data and both engines agree bit-exactly.
+
+    Shape: one per-type sort (single hash exchange — ranks come from a
+    row_number window with (cents, event_id) tie-broken order), the
+    2-row-per-type cut frame broadcasts back onto a second scan, and
+    the winsorized sum is an exact int64 aggregate with one final IEEE
+    division. At 100 TB the windowed rank pass is the cost; the
+    documented escape hatch for skewed single types is the
+    distributed-rank recipe (operators/scale.values_at_global_ranks),
+    which finds the two order statistics with aggregates only — same
+    cutpoints, no per-type sort."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    st = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sy"))
+        .select(
+            "event_type",
+            "n",
+            "sy",
+            F.floor((F.col("n") + 99) / F.lit(100.0)).cast("long").alias("lo_r"),
+            F.floor((99 * F.col("n") + 99) / F.lit(100.0)).cast("long").alias("hi_r"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).join(F.broadcast(st), "event_type")
+    cuts = r.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("sy").alias("sy"),
+        F.min(F.when(F.col("rn") == F.col("lo_r"), F.col("cents"))).alias("lo_cut"),
+        F.min(F.when(F.col("rn") == F.col("hi_r"), F.col("cents"))).alias("hi_cut"),
+    )
+    clamped = F.greatest(F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("cents")))
+    out_of_band = (F.col("cents") < F.col("lo_cut")) | (F.col("cents") > F.col("hi_cut"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "lo_cut", "hi_cut", "sy")
+        .agg(
+            F.sum(F.when(out_of_band, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(clamped).alias("sw"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_cut",
+            "hi_cut",
+            "n_clipped",
+            stable_round(F.col("sy").cast("double") / F.col("n"), 4).alias("mean_cents"),
+            stable_round(F.col("sw").cast("double") / F.col("n"), 4).alias(
+                "mean_winsorized"
+            ),
+        )
     )

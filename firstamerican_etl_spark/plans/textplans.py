@@ -1228,3 +1228,103 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fertility_ppm"),
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+uni AS (
+  SELECT unnest(words) AS tok FROM w
+),
+cu AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY 1
+),
+nu AS (SELECT count(*) AS n_uni FROM uni),
+bi AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+        FROM w WHERE len(words) >= 2) t
+),
+cb AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+),
+nb AS (SELECT count(*) AS n_bi FROM bi),
+scored AS (
+  SELECT cb.w1, cb.w2, cb.n_pair,
+         floor(ln((CAST(cb.n_pair AS DOUBLE) / nb.n_bi)
+                  / ((CAST(c1.c AS DOUBLE) / nu.n_uni)
+                     * (CAST(c2.c AS DOUBLE) / nu.n_uni)))
+               * 10000 + 0.5) / 10000 AS pmi
+  FROM cb
+  JOIN cu c1 ON cb.w1 = c1.tok
+  JOIN cu c2 ON cb.w2 = c2.tok
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE cb.n_pair >= 5
+)
+SELECT w1, w2, n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+""",
+    tags=("text", "collocations", "pmi", "topk"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by pointwise mutual information —
+    PMI(x,y) = ln(P(xy) / (P(x)·P(y))) over adjacent word pairs with a
+    min-count-5 support floor (raw PMI without a floor surfaces
+    hapax noise). The collocation dashboard row next to the Zipf
+    spectrum and distinct-n ratios: a corpus whose top PMI pairs are
+    template fragments ("click here", "terms conditions") has a
+    boilerplate problem that per-doc gates miss.
+
+    Shape: bigrams materialize map-side from the words array (index
+    transform + explode, never a self-join); shuffle #1 counts pairs,
+    shuffle #2 counts unigrams (vocab-sized). The unigram side joins
+    back TWICE (w1, w2) as broadcasts, the two scalar totals ride a
+    broadcast single-row crossJoin (no driver collect), and the final
+    top-20 is a TakeOrdered — per-partition heads, K rows to the
+    driver. Ranking uses the stably-ROUNDED pmi (+ pair tie-break) so
+    the row set survives last-ulp ln() drift across engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("words")
+    )
+    uni = d.select(F.explode("words").alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.size("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("words"), i).alias("w1"),
+            F.element_at(F.col("words"), i + 1).alias("w2"),
+        ),
+    )
+    bi = d.filter(n >= 2).select(F.explode(bigrams).alias("p")).select("p.w1", "p.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    scored = (
+        cb.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(cu.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(cu.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            stable_round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_uni"))
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)

@@ -907,3 +907,143 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_tokens"),
     )
     return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
+
+
+@register(
+    "sample_weighted_maxhash",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         least(greatest(CAST(floor(len(string_split(text, ' ')) / 64) AS BIGINT)
+                        + 1, 1), 16) AS n_tickets
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_tickets,
+         list_max([md5(doc_id::VARCHAR || ':' || j::VARCHAR)
+                   for j in range(1, n_tickets + 1)]) AS skey
+  FROM d
+)
+SELECT doc_id, n_tickets, skey
+FROM keyed
+ORDER BY skey DESC, doc_id
+LIMIT 25
+""",
+    tags=("sampling", "weighted", "deterministic", "topk"),
+)
+def sample_weighted_maxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, integer-exact (no float
+    RNG): each doc gets w ∈ [1,16] tickets proportional to length, its
+    key is max(md5(doc:j), j=1..w) — the max of w iid uniforms has CDF
+    u^w, which is EXACTLY the Efraimidis–Spirakis A-ES key u^(1/w)
+    ranking, but computed on hex strings (bit-identical everywhere)
+    instead of pow()/ln() doubles whose last-ulp drift could flip the
+    top-k cutoff between engines/executors. Take the 25 largest keys.
+
+    Scale shape: the key is a pure per-row projection (transform over
+    sequence — no explode, no join, no shuffle), then ONE TakeOrdered
+    (per-partition top-25, combine on the driver). At 100 TB that is a
+    full scan plus K rows per partition — the minimum possible; and
+    because the key is a pure function of (doc_id, length), the sample
+    is reproducible under retries and re-runs, unlike rand()-weighted
+    reservoir approaches."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.greatest(
+            F.floor(F.size(F.split(F.col("text"), " ", -1)) / F.lit(64)).cast("long")
+            + F.lit(1),
+            F.lit(1).cast("long"),
+        ),
+        F.lit(16).cast("long"),
+    )
+    keyed = d.select(
+        "doc_id",
+        w.alias("n_tickets"),
+        F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), w.cast("int")),
+                lambda j: F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))
+                ),
+            )
+        ).alias("skey"),
+    )
+    return keyed.orderBy(F.col("skey").desc(), "doc_id").limit(25)
+
+
+@register(
+    "rendezvous_shard_assign",
+    oracle="""
+WITH assign AS (
+  SELECT doc_id,
+         CAST(right(list_max([md5(doc_id::VARCHAR || '|' || s::VARCHAR)
+                              || s::VARCHAR for s in range(0, 8)]), 1)
+              AS INT) AS shard8,
+         CAST(right(list_max([md5(doc_id::VARCHAR || '|' || s::VARCHAR)
+                              || s::VARCHAR for s in range(0, 9)]), 1)
+              AS INT) AS shard9
+  FROM documents
+)
+SELECT shard8 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM assign
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("sharding", "deterministic", "rendezvous"),
+)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: doc →
+    argmax_s md5(doc|s) over 8 shards, plus the 9-shard assignment and
+    the per-shard count of docs that MOVE when a shard is added. HRW's
+    guarantee — only ~1/(N+1) of keys move on resize, and they move
+    FROM every old shard evenly, never between surviving shards — is
+    what makes it the right way to pin training-data shards to workers
+    (consistent-hash rings need virtual nodes to balance; HRW is
+    balanced by construction). argmax is computed as max over
+    (hash ‖ shard_digit) strings — the 32-hex-char hash dominates the
+    comparison, the appended digit rides along for extraction — so the
+    whole assignment is string ops, bit-identical across engines.
+
+    Scale shape: pure per-row projection (16 md5 calls inside one
+    whole-stage-codegen pass, no explode) followed by a GROUP BY on an
+    8-value key — a metadata-sized aggregate. At 100 TB: one scan, one
+    8-row shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def shard(n: int) -> F.Column:
+        return F.substring(
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda s: F.concat(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("|"),
+                                s.cast("string"),
+                            )
+                        ),
+                        s.cast("string"),
+                    ),
+                )
+            ),
+            -1,
+            1,
+        ).cast("int")
+
+    assign = d.select(shard(8).alias("shard8"), shard(9).alias("shard9"))
+    return (
+        assign.groupBy(F.col("shard8").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard9") != F.col("shard8"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
