@@ -244,3 +244,64 @@ def scd2_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY 1
+""",
+    tags=("etl", "incremental", "mergeable-state"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance for additive aggregates: the table
+    is split into an already-aggregated STATE (orders before 1997) and
+    a new BATCH (1997 onward); each side collapses to per-priority
+    partial states (n, Σcents, min_date, max_date), and the two state
+    frames MERGE by a second-level aggregate (sum the sums, min the
+    mins) — provably equal to the full recompute, which is exactly
+    what the oracle computes from scratch. This is the contract that
+    keeps a 100 TB rollup fresh: each arriving partition folds into a
+    metadata-sized state table, and the merge costs |groups| rows
+    instead of re-scanning history. Works precisely because every
+    statistic here is a COMMUTATIVE MONOID (count/sum/min/max — same
+    algebra Spark's own partial aggregation exploits within a job,
+    lifted to cross-job persistence); non-decomposable statistics
+    (exact median) need the sketch twin (see approx_percentiles_sketch
+    / hll_mergeable_rollup) instead."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    batch = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(batch)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )

@@ -667,3 +667,99 @@ def mad_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(z, 4).alias("robust_z"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+WITH e AS (
+  SELECT event_type, user_id % 50 AS series,
+         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT event_type, series, d, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS day_cents
+  FROM e GROUP BY 1, 2, 3
+),
+span AS (
+  SELECT event_type, series, min(d) AS d0, max(d) AS d1
+  FROM daily GROUP BY 1, 2
+),
+cal AS (
+  SELECT event_type, series, unnest(generate_series(d0, d1)) AS d FROM span
+),
+j AS (
+  SELECT cal.event_type, cal.series, cal.d,
+         coalesce(daily.n_events, 0) AS n_events,
+         daily.day_cents
+  FROM cal LEFT JOIN daily USING (event_type, series, d)
+)
+SELECT event_type, series, d AS day_n, n_events,
+       CASE WHEN day_cents IS NULL THEN 1 ELSE 0 END AS is_gap,
+       coalesce(last_value(day_cents IGNORE NULLS)
+                  OVER (PARTITION BY event_type, series ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS cents_filled
+FROM j
+""",
+    tags=("timeseries", "gapfill", "calendar"),
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify per-(type, user-bucket) daily series onto a gap-free
+    calendar and
+    forward-fill across the gaps — the prerequisite for every rolling
+    statistic downstream (a 7-day window over a SPARSE series silently
+    shortens its frame on quiet days; gap-filled, the frame always
+    holds 7 rows). Days are integer epoch-days, the calendar is a
+    per-series sequence(min_day, max_day) explode — |series| × span
+    rows, metadata-sized next to the fact table (for genuinely
+    high-cardinality keys, bound the explode by bucketing the key —
+    here users fold into 50 buckets per type — or clamp the span) —
+    left-joined onto the daily
+    aggregate, and the fill is last-non-null over a per-type ordered
+    frame (one hash exchange; Spark's last(ignorenulls) and the
+    oracle's last_value IGNORE NULLS are the same frame semantics).
+
+    Scale: the expensive input collapses FIRST (daily aggregate =
+    map-side combine to |types|·|days| rows); everything after runs on
+    the collapsed series, so the gap-fill itself costs the same at
+    100 TB as at 100 MB."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "event_type",
+        (F.col("user_id") % 50).alias("series"),
+        F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400.0))
+        .cast("long")
+        .alias("d"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "series", "d").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("day_cents")
+    )
+    cal = (
+        daily.groupBy("event_type", "series")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            "series",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    j = cal.join(daily, ["event_type", "series", "d"], "left")
+    w = (
+        Window.partitionBy("event_type", "series")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "series",
+        F.col("d").alias("day_n"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.when(F.col("day_cents").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        F.coalesce(
+            F.last("day_cents", ignorenulls=True).over(w), F.lit(0).cast("long")
+        ).alias("cents_filled"),
+    )
