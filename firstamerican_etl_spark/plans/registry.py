@@ -94,15 +94,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # confidence/lift over basket pairs, never driver-seen: the
     # market-basket analytics family's first window row.)
     "association_rules_lift",
-    "left_join_null_filter",
+    # (left_join_null_filter retired to local-oracle coverage in r7
+    # batch 2 — J6 left-join + null-reject (⇒ inner) stays driver-
+    # proven inside fa_valhist_cascade's cascade joins and q21; slot
+    # reused for the Poisson-bootstrap mean CI, never driver-seen:
+    # the distributable bootstrap as 2+2B exact partial sums.)
+    "bootstrap_mean_ci_poisson",
     # (asymmetric_key_join retired to local-oracle coverage in r6 —
     # expression-keyed joins stay driver-proven inside
     # pagerank_trade_graph and the q2 local oracle; slot reused for
     # the Lloyd-step kmeans md5 twin, never driver-seen before)
     "kmeans_lloyd_step_oracled",
-    # §2 window family (W1/W2; the lead/lag/running analytics row
-    # keeps its full local oracle in tests/test_oracle.py)
-    "window_dedup_top1",
+    # §2 window family (W1/W2): fa_ranked_deed IS the W1 ranked-dedup
+    # operator applied to the reference's own chain
+    # (operators/relational.py:22, same code path), so
+    # window_dedup_top1 retired to local-oracle coverage in r7 batch 2
+    # after six green rounds; slot reused for the rank-defined
+    # winsorized mean, never driver-seen: robust location with
+    # integer-exact p01/p99 cutpoints.
+    "winsorized_robust_mean",
     # (window_topk_per_group retired to local-oracle coverage in r6 —
     # per-group top-k stays driver-proven by window_dedup_top1,
     # fa_ranked_deed and geo_knn_grid_bucketed; slot reused for the
@@ -171,11 +181,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # paths now have their value-oracled twin independently green in
     # the driver.)
     "knn_lsh_bucketed_oracled",
-    # (unigram_logprob_score retired to local-oracle coverage in r5 —
-    # scalar text scoring stays driver-proven via lang_id/text_quality/
-    # bm25; slot reused for DSIR importance weighting. doc_fingerprint
-    # keeps its full local oracle as before.)
-    "dsir_importance_weights",
+    # (unigram_logprob_score retired to local-oracle coverage in r5;
+    # dsir_importance_weights — its r5 replacement — retired in r7
+    # batch 2 after two green rounds, importance weighting keeps its
+    # full local oracle; slot reused for closed-form per-group OLS,
+    # never driver-seen: a 100 TB regression as one decimal power-sum
+    # aggregate.)
+    "ols_trend_per_group",
     "bm25_topk_retrieval",
     # embeddings / ANN (cosine_topk_bruteforce retired to local-oracle
     # coverage in r6 — the cosine family stays driver-proven by
@@ -190,10 +202,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # for the VariantType semi-structured shred, a driver-unseen
     # family)
     "events_variant_shred",
-    # recall eval subsumes the plain IVF row (it recomputes the IVF
-    # search AND grades it against exact ground truth); knn_ivf_cells
-    # and embedding_centroid_per_label keep full local oracles
-    "knn_ivf_recall_eval",
+    # (knn_ivf_recall_eval retired to local-oracle coverage in r7
+    # batch 2 after three green rounds — ANN stays driver-proven by
+    # the LSH md5 twin + Lloyd step + semdedup in-window; IVF keeps
+    # its full local oracle. Slot reused for rendezvous-hash shard
+    # assignment with measured resize churn, never driver-seen: the
+    # stable-sharding primitive for pinning training data to
+    # workers.)
+    "rendezvous_shard_assign",
     # (knn_lsh_bucketed — rows-only by design — retired from the
     # window in r6 batch 2: its md5 verification twin
     # knn_lsh_bucketed_oracled is in-window with a FULL value oracle
@@ -216,11 +232,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slot reused for the BPE train→apply fertility eval, never
     # driver-seen: the tokenizer-training family's apply side.)
     "bpe_apply_fertility",
-    # event-time windows (§2.9; the tumbling batch twin is proven by
-    # its value-identical streaming run below — events_tumbling_window
-    # keeps its full local oracle, as do sliding and the
-    # multi-resolution rollup)
-    "events_session_window",
+    # (events_session_window retired to local-oracle coverage in r7
+    # batch 2 — §2.9 event-time windowing stays driver-proven FOUR
+    # ways in-window (streaming tumbling/interval/ttl/outer-interval),
+    # and the gaps-and-islands shape keeps its native twin's local
+    # oracle; slot reused for calendar gap-fill + forward-fill, never
+    # driver-seen: the densify step every honest rolling statistic
+    # needs.)
+    "timeseries_gapfill_ffill",
     # watermarked stream-stream attribution join (exact SQL oracle)
     "streaming_interval_join",
     # custom stateful per-key TTL throttle (exact recursive-CTE oracle)
@@ -243,15 +262,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stays pinned locally)
     "dedup_minhash_lsh_oracled",
     "boilerplate_segment_dedup",
-    # r5: windowed exact substring-span dedup (driver-unseen family)
-    "duplicate_span_report",
-    # deterministic sampling: the temperature-resample row subsumes the
-    # plain hash sample (same md5-prefix predicate, plus in-plan
-    # data-dependent rates); sample_hash_deterministic /
-    # sample_fixed_k_per_group keep full local oracles
-    "mixture_temperature_resample",
-    # iterative graph family (unrolled PageRank, bit-tight int oracle)
-    "pagerank_trade_graph",
+    # (duplicate_span_report retired to local-oracle coverage in r7
+    # batch 2 — the span family stays driver-proven by
+    # duplicate_span_cut, which recomputes the same spans before
+    # cutting them; slot reused for incremental aggregate state
+    # MERGE, never driver-seen: the commutative-monoid contract that
+    # keeps a 100 TB rollup fresh without rescanning history.)
+    "incremental_agg_merge",
+    # deterministic sampling: mixture_temperature_resample retired to
+    # local-oracle coverage in r7 batch 2 after three green rounds —
+    # the md5-predicate family keeps three local oracles; slot reused
+    # for weighted A-ES sampling WITHOUT replacement, never
+    # driver-seen: the u^(1/w) key made integer-exact as max of w
+    # md5 tickets.
+    "sample_weighted_maxhash",
+    # (pagerank_trade_graph retired to local-oracle coverage in r7
+    # batch 2 after four green rounds — the iterative graph family
+    # stays driver-proven by lpa_communities + kcore_peel in-window;
+    # slot reused for 2-hop neighborhood aggregation, never
+    # driver-seen: the GNN message-passing primitive on the
+    # co-shipment backbone.)
+    "khop_neighbor_agg",
     # round-4 geo family: the grid-bucketed scale path proves the
     # whole family's candidate-pruning design in the driver
     "geo_knn_grid_bucketed",
@@ -262,7 +293,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_wds_roundtrip",
     "corpus_clean_pipeline",
     "corpus_pack_contiguous",
-    "tfidf_top_terms",
+    # (tfidf_top_terms retired to local-oracle coverage in r7 batch 2
+    # after five green rounds — term weighting stays driver-proven by
+    # bm25_topk_retrieval (same explode/df/broadcast shape plus
+    # length normalization); slot reused for PMI collocations, never
+    # driver-seen: corpus-level association mining on stably-rounded
+    # log scores.)
+    "pmi_collocations",
     # structured streaming flagship + incremental-ingest dedup
     # (foreachBatch with an exact batch-split-invariant SQL oracle)
     "streaming_tumbling_window",
