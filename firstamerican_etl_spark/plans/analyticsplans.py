@@ -531,3 +531,138 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_bp"),
         )
     )
+
+
+@register(
+    "rfm_user_segments",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+anchor AS (SELECT max(d) AS a FROM e),
+u AS (
+  SELECT user_id, any_value(a) - max(d) AS recency_d,
+         count(*) AS freq,
+         CAST(sum(cents) AS BIGINT) AS money
+  FROM e CROSS JOIN anchor GROUP BY 1
+),
+rr AS (
+  SELECT u.*,
+         row_number() OVER (ORDER BY recency_d, user_id) AS rn_r,
+         row_number() OVER (ORDER BY freq, user_id) AS rn_f,
+         row_number() OVER (ORDER BY money, user_id) AS rn_m,
+         count(*) OVER () AS n
+  FROM u
+),
+cut AS (
+  SELECT max(CASE WHEN rn_r = greatest(n // 4, 1) THEN recency_d END) AS r1,
+         max(CASE WHEN rn_r = greatest((2 * n) // 4, 1) THEN recency_d END) AS r2,
+         max(CASE WHEN rn_r = greatest((3 * n) // 4, 1) THEN recency_d END) AS r3,
+         max(CASE WHEN rn_f = greatest(n // 4, 1) THEN freq END) AS f1,
+         max(CASE WHEN rn_f = greatest((2 * n) // 4, 1) THEN freq END) AS f2,
+         max(CASE WHEN rn_f = greatest((3 * n) // 4, 1) THEN freq END) AS f3,
+         max(CASE WHEN rn_m = greatest(n // 4, 1) THEN money END) AS m1,
+         max(CASE WHEN rn_m = greatest((2 * n) // 4, 1) THEN money END) AS m2,
+         max(CASE WHEN rn_m = greatest((3 * n) // 4, 1) THEN money END) AS m3
+  FROM rr
+),
+coded AS (
+  SELECT (CASE WHEN recency_d <= r1 THEN 1 WHEN recency_d <= r2 THEN 2
+               WHEN recency_d <= r3 THEN 3 ELSE 4 END) * 100
+       + (CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2
+               WHEN freq <= f3 THEN 3 ELSE 4 END) * 10
+       + (CASE WHEN money <= m1 THEN 1 WHEN money <= m2 THEN 2
+               WHEN money <= m3 THEN 3 ELSE 4 END) AS segment,
+         money
+  FROM u, cut
+)
+SELECT segment, count(*) AS n_users,
+       floor((CAST(sum(money) AS DOUBLE) / count(*)) * 100 + 0.5) / 100
+         AS avg_money_cents
+FROM coded GROUP BY 1
+""",
+    tags=("analytics", "rfm", "segmentation", "scale"),
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile
+    codes, R·100 + F·10 + M) over the per-user activity profile — the
+    classic lifecycle-marketing cut, here with ascending-VALUE
+    quartile codes in every dimension (1 = lowest quarter) so the
+    code is a pure comparison against cut values and both engines
+    agree bit-exactly; flip 5−code for the marketing convention.
+
+    Scale discipline: the fact table collapses FIRST to the per-user
+    frame (one exact-integer aggregate; the recency anchor rides a
+    broadcast single-row crossJoin), that frame is localCheckpointed
+    once (three rank probes re-read it — Catalyst has no cross-branch
+    CSE), and each dimension's exact quartile cutpoints come from the
+    rank-targeted recipe (operators/scale.values_at_global_ranks:
+    shard counts + ONE partitioned-window pass per dimension — never
+    a global ORDER BY window, never one hot task). Assignment is then
+    a pure broadcast-literal comparison and one |segments|-row
+    aggregate. Ties at a cutpoint fall to the lower code by value on
+    both engines."""
+    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400.0))
+        .cast("long")
+        .alias("d"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    anchor = e.agg(F.max("d").alias("a"))
+    u = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (F.first("a") - F.max("d")).alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("money"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def cuts(col: str) -> tuple[float, float, float]:
+        seen = {"n": 0}
+
+        def qranks(n: int) -> list[int]:
+            seen["n"] = n
+            return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+
+        vals = values_at_global_ranks(u, [col, "user_id"], ranks_of_n=qranks)
+        n = seen["n"]
+        ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+        by_rank = dict(zip(ranks, (int(v[0]) for v in vals)))
+        return tuple(by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3))
+
+    r1, r2, r3 = cuts("recency_d")
+    f1, f2, f3 = cuts("freq")
+    m1, m2, m3 = cuts("money")
+
+    def code(col: str, c1: int, c2: int, c3: int) -> F.Column:
+        return (
+            F.when(F.col(col) <= F.lit(c1), 1)
+            .when(F.col(col) <= F.lit(c2), 2)
+            .when(F.col(col) <= F.lit(c3), 3)
+            .otherwise(4)
+        )
+
+    segment = (
+        code("recency_d", r1, r2, r3) * 100
+        + code("freq", f1, f2, f3) * 10
+        + code("money", m1, m2, m3)
+    )
+    return (
+        u.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            stable_round(F.sum("money").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_money_cents"
+            ),
+        )
+    )

@@ -344,3 +344,57 @@ def events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("kept_event_id"),
         (F.count(F.lit(1)) - 1).alias("n_suppressed"),
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch(ts) AS BIGINT) AS epoch_s, event_id
+  FROM events WHERE user_id IS NOT NULL
+),
+seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_s, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_s, event_id) AS t3
+  FROM e
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+FROM seq
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+    tags=("events", "sequence-mining", "topk"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams — the sequential-pattern counterpart
+    of markov_event_transitions (which sees only bigram steps): which
+    three-step paths (view>click>purchase vs view>click>error)
+    dominate user journeys. Sequence order is (epoch_s, event_id) —
+    tie-broken, so the lead() sequence is unique on both engines.
+
+    Shape: ONE hash exchange on user_id with a per-user sort shared by
+    both lead() expressions (Catalyst plans a single Window node),
+    then a map-side-combined count on the trigram string and a
+    TakeOrdered top-20. Per-row window state is 2 lookahead values —
+    constant memory regardless of user history, safe at any per-user
+    event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -105,6 +105,17 @@ PROBE = [
     "graph_triangle_count_degree",
     "graph_triangle_degree_50k",
     "multimodal_knn_bucketed",
+    # r7 batch 2: data-sized newcomers (bootstrap = 64 partial sums on
+    # one exchange; gapfill = calendar explode + ffill window; rfm =
+    # per-user collapse + 3 rank probes; trigram = per-user window +
+    # count; weighted sampling = pure projection + TakeOrdered)
+    "bootstrap_mean_ci_poisson",
+    "timeseries_gapfill_ffill",
+    "rfm_user_segments",
+    "event_path_trigrams",
+    "sample_weighted_maxhash",
+    "winsorized_robust_mean",
+    "pmi_collocations",
 ]
 
 #: End-to-end pipelines (not registry entries): (label, callable(spark,
