@@ -442,3 +442,48 @@ def test_multimodal_knn_bucketed_has_no_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_maxhash_no_exchange_before_topk(spark, sf_dir):
+    """The A-ES key is a pure projection; the top-25 must be a
+    TakeOrderedAndProject over the scan — ANY hash exchange means the
+    key computation regressed into a shuffle (explode + groupBy)."""
+    df = REGISTRY["sample_weighted_maxhash"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_rendezvous_single_metadata_exchange(spark, sf_dir):
+    """Rendezvous sharding is per-row string math + one 8-row
+    aggregate: exactly one hash exchange (the groupBy), no explode/
+    Generate node (the shard argmax stays inside array expressions)."""
+    df = REGISTRY["rendezvous_shard_assign"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate" not in plan  # no explode in the assignment path
+
+
+def test_bootstrap_single_aggregate_pass(spark, sf_dir):
+    """All 32 replicates ride ONE partial-aggregate exchange (2+2B
+    sums) — a second hash exchange would mean the replicates exploded
+    into rows instead of columns."""
+    df = REGISTRY["bootstrap_mean_ci_poisson"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate" not in plan
+
+
+def test_gapfill_single_window_per_series(spark, sf_dir):
+    """The forward-fill must plan ONE Window node partitioned by the
+    series key (never an unpartitioned frame), and the calendar
+    explode must ride the collapsed daily aggregate, not the fact
+    scan."""
+    df = REGISTRY["timeseries_gapfill_ffill"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    assert "No Partition Defined" not in plan
