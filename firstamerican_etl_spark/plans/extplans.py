@@ -1019,3 +1019,65 @@ def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+WITH o AS (  -- one row per (custkey, orderdate): deterministic target
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS next_orderkey, o.o_orderdate AS next_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+""",
+    tags=("join", "asof", "forward", "events"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each event picks the EARLIEST order
+    at-or-after its timestamp for the same user: the attribution
+    direction ("which conversion followed this touch?") where the
+    backward twin answers state-as-of ("which order was live at this
+    event?"). Same union-merge scale shape as the backward operator —
+    ONE shuffle + per-key sort over |events| + |orders| rows, no
+    range-predicate blow-up — mirrored: the running frame looks
+    FORWARD (currentRow → unboundedFollowing) and takes
+    first(ignorenulls); at equal timestamps events sort BEFORE orders
+    (is_ev descending) so the match is inclusive (>=) exactly like
+    the oracle's ASOF e.ts <= o.date."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    null_l = lambda t: F.lit(None).cast(t)  # noqa: E731
+    left = ev.select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.lit(1).alias("is_ev"), "event_id", "user_id", "ts",
+        null_l("long").alias("okr"), null_l("timestamp_ntz").alias("odr"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_ev"), null_l("long").alias("event_id"),
+        null_l("long").alias("user_id"), null_l("timestamp_ntz").alias("ts"),
+        F.col("o_orderkey").alias("okr"), F.col("o_orderdate").alias("odr"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_ev").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("mk", F.first("okr", ignorenulls=True).over(w))
+        .withColumn("md", F.first("odr", ignorenulls=True).over(w))
+        .filter(F.col("is_ev") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("mk").alias("next_orderkey"),
+            F.col("md").alias("next_orderdate"),
+        )
+    )

@@ -361,3 +361,63 @@ def stage_is_fresh(path: str, input_paths: list[str]) -> bool:
         except OSError:
             return False  # missing/unreadable input → recompute
     return True
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    trigger_ratio: float = 0.5,
+) -> dict:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived 100 TB lake needs: incremental appends (delta corpus
+    batches, per-county landings, streaming foreachBatch sinks) leave
+    directories with thousands of KB-scale part files, and scan cost
+    degrades from data-bound to FILE-OPEN-bound (driver listing +
+    footer reads + one task per tiny split; at 10k files the metadata
+    round-trips dominate the scan).
+
+    Policy: measure the directory; if the MEAN data-file size is
+    already >= trigger_ratio * target_bytes, do nothing (report only —
+    compaction must be idempotent and cheap to re-invoke from cron).
+    Otherwise rewrite via coalesce(ceil(total_bytes / target_bytes)) —
+    coalesce, not repartition: compaction must NOT pay a shuffle, it
+    only glues existing partitions — into a sibling temp dir, then
+    atomically swap (rename old → .trash, new → path, drop trash).
+    Readers racing the swap see either generation, never a partial
+    one; a crash mid-swap leaves the .trash copy for manual recovery.
+
+    Returns the action report: {files_before, files_after, bytes,
+    compacted: bool}. Row-content preservation is pinned by test
+    (count + value hash before/after)."""
+    import math
+    import shutil
+
+    def _data_files(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith((".parquet", ".orc")) and not f.startswith((".", "_")):
+                    out.append(os.path.join(root, f))
+        return out
+
+    files = _data_files(path)
+    total = sum(os.path.getsize(f) for f in files)
+    report = {"files_before": len(files), "bytes": total, "compacted": False,
+              "files_after": len(files)}
+    if not files or total / len(files) >= trigger_ratio * target_bytes:
+        return report
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):  # gluing wouldn't reduce the file count
+        return report
+    tmp = path.rstrip("/") + ".compact_tmp"
+    trash = path.rstrip("/") + ".trash"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    report["compacted"] = True
+    report["files_after"] = len(_data_files(path))
+    return report

@@ -1,0 +1,55 @@
+"""Small-files compaction: content preservation, trigger policy,
+idempotence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from firstamerican_etl_spark.sources.io import compact_parquet_dir, load_table
+
+
+def _value_hash(df) -> int:
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    return df.select(F.sum(F.xxhash64(*cols)).alias("h")).collect()[0]["h"]
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "frag")
+    # fragment: many tiny files
+    src.repartition(64).write.parquet(d)
+    before_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(before_files) == 64
+    n0, h0 = src.count(), _value_hash(spark.read.parquet(d))
+
+    rep = compact_parquet_dir(spark, d, target_bytes=1 << 30)
+    assert rep["compacted"] is True
+    after_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(after_files) < 64
+    got = spark.read.parquet(d)
+    assert got.count() == n0
+    assert _value_hash(got) == h0
+    # no leftover temp/trash generations
+    assert not os.path.exists(d + ".compact_tmp")
+    assert not os.path.exists(d + ".trash")
+
+
+def test_compaction_noop_when_files_already_big(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "ok")
+    src.coalesce(1).write.parquet(d)
+    rep = compact_parquet_dir(spark, d, target_bytes=1 << 20, trigger_ratio=0.001)
+    assert rep["compacted"] is False
+    assert rep["files_before"] == rep["files_after"]
+
+
+def test_compaction_idempotent(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "events")
+    d = str(tmp_path / "twice")
+    src.repartition(32).write.parquet(d)
+    r1 = compact_parquet_dir(spark, d, target_bytes=1 << 30)
+    assert r1["compacted"] is True
+    r2 = compact_parquet_dir(spark, d, target_bytes=1 << 30)
+    assert r2["compacted"] is False  # second pass: already compact
