@@ -103,6 +103,12 @@ HEADLINE = [
     "rolling_7d_median_bucketed",
     "graph_triangle_count_degree",
     "multimodal_knn_bucketed",
+    # round 7 batch 2: one-exchange resampling/robust stats, the
+    # densify prerequisite, corpus collocations, rank-recipe RFM
+    "bootstrap_mean_ci_poisson",
+    "timeseries_gapfill_ffill",
+    "pmi_collocations",
+    "rfm_user_segments",
 ]
 
 
@@ -207,6 +213,16 @@ def main() -> None:
         failures["corpus_build_delta"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# corpus_build_delta: FAILED {failures['corpus_build_delta']}", file=sys.stderr)
 
+    # Vector serving e2e: train IVF centroids (3 deterministic Lloyd
+    # rounds), write the cell-partitioned index, serve 20 probes with
+    # partition pruning and grade recall — build + query both timed.
+    try:
+        timings["ann_index_pipeline_e2e"] = round(_ann_pipeline_e2e(spark, sf_dir), 3)
+        print(f"# ann_index_pipeline_e2e: {timings['ann_index_pipeline_e2e']:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        failures["ann_index_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# ann_index_pipeline_e2e: FAILED {failures['ann_index_pipeline_e2e']}", file=sys.stderr)
+
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
     # per-query timings remain for diagnosis.
@@ -231,6 +247,27 @@ def main() -> None:
         out["failures"] = failures
     print(json.dumps(out))
     spark.stop()
+
+
+def _ann_pipeline_e2e(spark, sf_dir: str) -> float:
+    """Time IVF index build + 20-probe serve into a fresh temp dir."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from firstamerican_etl_spark.pipeline.ann_build import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ann_bench_")
+    try:
+        t0 = _t.perf_counter()
+        build_ann_index(spark, sf_dir, d, n_cells=16, lloyd_rounds=3)
+        query_ann_index(spark, d, sf_dir, n_probes=20, nprobe=4, k=10).collect()
+        return _t.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _corpus_build_e2e(spark, sf_dir: str) -> float:

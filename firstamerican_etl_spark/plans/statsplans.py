@@ -817,22 +817,26 @@ def count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Poisson(1) inverse-CDF thresholds on the u32 scale: k = #{t : t <= u}
-#: capped at 7 (P(K>7) ~ 1e-5). floor(CDF(k) * 2^32) precomputed so the
-#: replicate-count draw is ONE integer compare chain — no float RNG,
-#: no exp()/ln() cross-engine drift.
-_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
-           4292415291, 4294609777)
+#: Poisson(1) inverse-CDF thresholds, as 8-char lowercase-hex strings
+#: on the u32 scale (floor(CDF(k) * 2^32) in hex): k = #{t : t <= u}
+#: capped at 7 (P(K>7) ~ 1e-5). Fixed-length lowercase hex compares
+#: exactly like the integer on BOTH engines (md5 emits lowercase hex
+#: in both), so the draw is a string-compare chain directly on the
+#: md5 substring — no hex→int conversion in the hot loop (conv()'s
+#: per-call BigInteger parsing was ~40% of the aggregate's CPU), no
+#: float RNG, no exp()/ln() cross-engine drift.
+_POIS_T_HEX = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+               "ff1025f5", "ffd90f3b", "fffa8b71")
 _BOOT_B = 32  # bootstrap replicates
 
 
 def _boot_oracle() -> str:
     k_cols, s_cols, means = [], [], []
     for b in range(_BOOT_B):
-        u = (f"CAST(('0x' || substr(md5(event_id::VARCHAR || ':' || '{b // 4}'), "
-             f"{1 + 8 * (b % 4)}, 8))::UBIGINT AS BIGINT)")
+        u = (f"substr(md5(event_id::VARCHAR || ':' || '{b // 4}'), "
+             f"{1 + 8 * (b % 4)}, 8)")
         case = "CASE " + " ".join(
-            f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POIS_T)
+            f"WHEN {u} < '{t}' THEN {i}" for i, t in enumerate(_POIS_T_HEX)
         ) + " ELSE 7 END"
         k_cols.append(f"{case} AS k{b}")
         s_cols.append(f"CAST(sum(k{b}) AS BIGINT) AS n{b},\n"
@@ -882,7 +886,9 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     large n the multinomial replicate counts converge to iid
     Poisson(1), which is a PURE PER-ROW draw. Each row contributes
     k_{row,b} copies to replicate b, where k is read off a
-    precomputed inverse-CDF integer-threshold chain on a 32-bit hash —
+    precomputed inverse-CDF threshold chain compared DIRECTLY on the
+    md5 hex substring (fixed-length lowercase hex orders exactly like
+    the u32 it encodes, so no hex→int conversion runs per row) —
     no float RNG, reproducible under retries/partitioning, and one
     md5 yields FOUR u32 replicate draws (8 hashes for B=32).
 
@@ -903,18 +909,14 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = []
     for b in range(_BOOT_B):
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
-                1 + 8 * (b % 4),
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        c = F.when(u < _POIS_T[0], F.lit(0))
+        u = F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
+            1 + 8 * (b % 4),
+            8,
+        )
+        c = F.when(u < _POIS_T_HEX[0], F.lit(0))
         for i in range(1, 7):
-            c = c.when(u < _POIS_T[i], F.lit(i))
+            c = c.when(u < _POIS_T_HEX[i], F.lit(i))
         ks.append(c.otherwise(F.lit(7)).alias(f"k{b}"))
     k = e.select("event_type", "cents", *ks)
     aggs = [
