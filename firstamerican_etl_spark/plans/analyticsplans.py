@@ -635,12 +635,19 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
 
         vals = values_at_global_ranks(u, [col, "user_id"], ranks_of_n=qranks)
+        if not vals:  # empty input: no cutpoints to take
+            return None
         n = seen["n"]
         ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
         by_rank = dict(zip(ranks, (int(v[0]) for v in vals)))
         return tuple(by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3))
 
-    r1, r2, r3 = cuts("recency_d")
+    rcuts = cuts("recency_d")
+    if rcuts is None:  # zero users: empty report, stable schema
+        return spark.createDataFrame(
+            [], "segment int, n_users bigint, avg_money_cents double"
+        )
+    r1, r2, r3 = rcuts
     f1, f2, f3 = cuts("freq")
     m1, m2, m3 = cuts("money")
 

@@ -135,10 +135,14 @@ def _e2e_probes():
     def corpus_delta(spark, d):
         return bench._corpus_build_delta(spark, d)
 
+    def ann(spark, d):
+        return bench._ann_pipeline_e2e(spark, d)
+
     return [
         ("fa_pipeline_e2e", fa),
         ("corpus_build_e2e", corpus_full),
         ("corpus_build_delta", corpus_delta),
+        ("ann_index_pipeline_e2e", ann),
     ]
 
 
