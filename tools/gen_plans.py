@@ -125,6 +125,29 @@ per-(doc, bucket) hashed-bigram counts are staged; both 256-row distribution
 frames derive from the staged counts and the int64-quantized log-ratio frame
 re-joins via BroadcastExchange. The per-doc score is an exact integer dot
 product, so any partitioning gives bit-identical weights.""",
+    "bootstrap_mean_ci_poisson": """Poisson bootstrap as columns, not rows: all 32 replicates ride
+ONE HashAggregate pass (2+2B exact int64 partial sums, map-side combined) —
+look for a single Exchange hashpartitioning and no Generate node (an
+exploded-replicate formulation would shuffle 32× the table). The per-row
+replicate draw is 8 md5 calls compared directly against hex-string
+inverse-CDF thresholds (no per-row hex→int conversion).""",
+    "sample_weighted_maxhash": """Weighted sampling without replacement that costs a scan: the
+A-ES key (max of w md5 tickets — exactly the u^(1/w) ranking, integer-exact)
+is a pure projection, so the plan is Scan → Project → TakeOrderedAndProject.
+No Exchange anywhere; at 100 TB the sample costs one scan plus K rows per
+partition — the minimum possible.""",
+    "timeseries_gapfill_ffill": """Calendar densify + forward fill: the fact table collapses
+FIRST (daily aggregate, map-side combined), the per-series calendar explodes
+from the collapsed frame's min/max bounds (metadata next to the facts), and
+the fill is ONE Window node partitioned by (type, series) — never an
+unpartitioned frame. Everything after the first aggregate is
+collapsed-series-sized regardless of input scale.""",
+    "rfm_user_segments": """RFM quartile segmentation at scale: the fact table collapses to
+the per-user frame once (localCheckpointed — three rank probes re-read it),
+each dimension's exact cutpoints come from the rank-targeted recipe (shard
+counts + ONE partitioned window filtered to 3 ordinals — no global ORDER BY),
+and segment assignment is a broadcast-literal comparison feeding one
+|segments|-row aggregate.""",
 }
 
 HEADER = [
