@@ -710,6 +710,11 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
     p.add_argument("--span_cut", action="store_true",
                    help="excise duplicated 8-token spans from survivors "
                         "(keep one canonical occurrence corpus-wide)")
+    p.add_argument("--compact_files", action="store_true",
+                   help="run small-files compaction on the written corpus "
+                        "(measure -> coalesce-glue -> atomic swap; no-op "
+                        "when mean file size is already healthy — the "
+                        "maintenance pass for delta-append fragmentation)")
     a = p.parse_args(argv)
 
     spark = get_spark(app_name="corpus_build")
@@ -726,6 +731,11 @@ def main(argv: list[str] | None = None) -> CorpusBuildStats:
         weight_target_lang=a.weight_target_lang,
         span_cut=a.span_cut,
     )
+    if a.compact_files and a.output_format == "parquet":
+        from firstamerican_etl_spark.sources.io import compact_parquet_dir
+
+        rep = compact_parquet_dir(spark, a.out_dir)
+        print(f"# compaction: {rep}", file=sys.stderr)
     print(json.dumps(dataclasses.asdict(stats)))
     print(f"# corpus written to {a.out_dir}", file=sys.stderr)
     return stats

@@ -1328,3 +1328,61 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_hits_sql('the')} + {_marker_hits_sql('and')} + {_marker_hits_sql('of')}  AS score_en,
+         {_marker_hits_sql('el')} + {_marker_hits_sql('la')} + {_marker_hits_sql('que')}   AS score_es,
+         {_marker_hits_sql('le')} + {_marker_hits_sql('la')} + {_marker_hits_sql('et')}    AS score_fr,
+         {_marker_hits_sql('der')} + {_marker_hits_sql('und')} + {_marker_hits_sql('die')} AS score_de
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+              WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+              WHEN score_fr >= score_de THEN 'fr'
+              ELSE 'de' END AS lang_pred
+  FROM scored
+),
+cm AS (
+  SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1
+)
+SELECT cm.lang, cm.lang_pred, cm.n,
+       floor((CAST(cm.n AS DOUBLE) / tot.n_true) * 10000 + 0.5) / 10000
+         AS frac_of_true
+FROM cm JOIN tot USING (lang)
+""",
+    tags=("text", "langid", "eval", "confusion-matrix"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-anchor language ID against the
+    labeled `lang` column — the eval harness every classifier-shaped
+    gate needs before it is trusted to drop data: per (true,
+    predicted) cell count plus its share of the true class (row-
+    normalized recall diagonal). The zh column has no Latin markers by
+    construction, so its row shows exactly where unmodeled languages
+    land — the honest failure-mode readout.
+
+    Shape: the scoring is the same pure map as lang_id_heuristic (no
+    shuffle), the matrix is a |langs|² aggregate, and the per-class
+    totals broadcast back — the eval costs one scan regardless of
+    corpus size."""
+    pred = lang_id_heuristic(spark, sf_dir).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        stable_round(F.col("n").cast("double") / F.col("n_true"), 4).alias(
+            "frac_of_true"
+        ),
+    )

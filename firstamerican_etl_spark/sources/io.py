@@ -380,17 +380,29 @@ def compact_parquet_dir(
     Policy: measure the directory; if the MEAN data-file size is
     already >= trigger_ratio * target_bytes, do nothing (report only —
     compaction must be idempotent and cheap to re-invoke from cron).
-    Otherwise rewrite via coalesce(ceil(total_bytes / target_bytes)) —
-    coalesce, not repartition: compaction must NOT pay a shuffle, it
-    only glues existing partitions — into a sibling temp dir, then
-    atomically swap (rename old → .trash, new → path, drop trash).
-    Readers racing the swap see either generation, never a partial
-    one; a crash mid-swap leaves the .trash copy for manual recovery.
+    Otherwise rewrite into a sibling temp dir and atomically swap
+    (rename old → .trash, new → path, drop trash). Readers racing the
+    swap see either generation, never a partial one; a crash mid-swap
+    leaves the .trash copy for manual recovery.
+
+    Layout-aware rewrite:
+    - UNPARTITIONED dir: coalesce(ceil(total/target)) — coalesce, not
+      repartition: gluing existing splits must not pay a shuffle.
+    - Hive-PARTITIONED dir (key=value subdirs): the layout IS an index
+      (partition pruning), so it must survive — the rewrite
+      repartitions on the partition keys (each key lands in exactly
+      one task → one file per partition value) and writes with the
+      same partitionBy. This pays one hash shuffle; that is the price
+      of per-partition gluing, same as any table-format OPTIMIZE. A
+      single partition larger than target_bytes still becomes one
+      file — acceptable for a maintenance pass whose enemy is the
+      thousand-tiny-files direction.
 
     Returns the action report: {files_before, files_after, bytes,
-    compacted: bool}. Row-content preservation is pinned by test
-    (count + value hash before/after)."""
+    compacted: bool, partition_keys: [...]}. Row-content preservation
+    is pinned by test (count + value hash before/after)."""
     import math
+    import re
     import shutil
 
     def _data_files(d: str) -> list[str]:
@@ -401,10 +413,22 @@ def compact_parquet_dir(
                     out.append(os.path.join(root, f))
         return out
 
+    def _partition_keys(d: str) -> list[str]:
+        keys = []
+        cur = d
+        while True:
+            subs = [e.name for e in os.scandir(cur)
+                    if e.is_dir() and re.match(r"^[^=./][^=/]*=", e.name)]
+            if not subs:
+                return keys
+            keys.append(subs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subs[0])
+
     files = _data_files(path)
     total = sum(os.path.getsize(f) for f in files)
+    keys = _partition_keys(path)
     report = {"files_before": len(files), "bytes": total, "compacted": False,
-              "files_after": len(files)}
+              "files_after": len(files), "partition_keys": keys}
     if not files or total / len(files) >= trigger_ratio * target_bytes:
         return report
     n_out = max(1, math.ceil(total / target_bytes))
@@ -414,7 +438,11 @@ def compact_parquet_dir(
     trash = path.rstrip("/") + ".trash"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    df = spark.read.parquet(path)
+    if keys:
+        df.repartition(*keys).write.mode("overwrite").partitionBy(*keys).parquet(tmp)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, trash)
     os.rename(tmp, path)
     shutil.rmtree(trash, ignore_errors=True)

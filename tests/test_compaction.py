@@ -53,3 +53,27 @@ def test_compaction_idempotent(spark, sf_dir, tmp_path):
     assert r1["compacted"] is True
     r2 = compact_parquet_dir(spark, d, target_bytes=1 << 30)
     assert r2["compacted"] is False  # second pass: already compact
+
+
+def test_compaction_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """A hive-partitioned dir keeps its key=value layout (the index!)
+    through compaction, with fewer files and identical content."""
+    src = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "split"
+    )
+    d = str(tmp_path / "part")
+    src.repartition(16).write.partitionBy("split").parquet(d)
+    n0, h0 = src.count(), _value_hash(spark.read.parquet(d))
+    before = len([f for r, _d, fs in os.walk(d) for f in fs if f.endswith(".parquet")])
+
+    rep = compact_parquet_dir(spark, d, target_bytes=1 << 30)
+    assert rep["compacted"] is True
+    assert rep["partition_keys"] == ["split"]
+    # layout survived
+    subdirs = [e for e in os.listdir(d) if e.startswith("split=")]
+    assert len(subdirs) >= 2
+    after = len([f for r, _d, fs in os.walk(d) for f in fs if f.endswith(".parquet")])
+    assert after < before
+    got = spark.read.parquet(d)
+    assert got.count() == n0
+    assert _value_hash(got) == h0

@@ -93,6 +93,36 @@ def test_corpus_build_cli(spark, sf_dir, tmp_path, capsys):
     assert spark.read.parquet(out).count() == stats.n_after_quality
 
 
+def test_corpus_build_cli_compact_files(spark, sf_dir, tmp_path, capsys):
+    """--compact_files runs the maintenance pass after the build:
+    content identical, and a re-read works (the swap is atomic)."""
+    import json
+
+    from firstamerican_etl_spark.pipeline.corpus_build import main
+
+    out = str(tmp_path / "cli_compact")
+    stats = main(
+        [
+            "--input_parquet",
+            f"{sf_dir}/documents.parquet",
+            "--out_dir",
+            out,
+            "--token_budget",
+            str(BUDGET),
+            "--compact_files",
+        ]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["n_after_quality"] == stats.n_after_quality
+    got = spark.read.parquet(out)
+    assert got.count() == stats.n_after_quality
+    # split partition dirs survive compaction reads
+    assert set(r["split"] for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+
 def test_corpus_build_jsonl_output(spark, sf_dir, tmp_path):
     """jsonl output: gzipped line-delimited JSON partitioned by split,
     same row count and doc_id set as the parquet path."""
