@@ -1081,3 +1081,68 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("md").alias("next_orderdate"),
         )
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+back AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey AS bk, o.o_orderdate AS bd
+  FROM events e
+  ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+),
+fwd AS (
+  SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fd
+  FROM events e
+  ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE
+         WHEN b.bk IS NULL THEN f.fk
+         WHEN f.fk IS NULL THEN b.bk
+         WHEN CAST(epoch(b.ts) AS BIGINT) - CAST(epoch(b.bd) AS BIGINT)
+              <= CAST(epoch(f.fd) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)
+         THEN b.bk ELSE f.fk
+       END AS nearest_orderkey
+FROM back b JOIN fwd f USING (event_id)
+""",
+    tags=("join", "asof", "nearest", "events"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third direction, completing the
+    family (backward = state-as-of, forward = next-conversion,
+    nearest = sensor-alignment: pair each event with the closest
+    order in time either way, ties to the backward side like pandas
+    merge_asof(direction='nearest')). Composed from the two
+    union-merge passes — each is one shuffle + per-key sort — joined
+    on event_id; the distance compare runs in epoch seconds (integer,
+    engine-exact). No native engine has a nearest ASOF (DuckDB's is
+    directional too — the oracle composes it the same way), so the
+    composition IS the operator."""
+    back = asof_join_events_orders(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("matched_orderkey").alias("bk"),
+        F.col("matched_orderdate").alias("bd"),
+    )
+    fwd = asof_join_forward(spark, sf_dir).select(
+        "event_id",
+        F.col("next_orderkey").alias("fk"),
+        F.col("next_orderdate").alias("fd"),
+    )
+    j = back.join(fwd, "event_id")
+    ts_s = F.unix_timestamp("ts")
+    nearest = (
+        F.when(F.col("bk").isNull(), F.col("fk"))
+        .when(F.col("fk").isNull(), F.col("bk"))
+        .when(
+            ts_s - F.unix_timestamp("bd") <= F.unix_timestamp("fd") - ts_s,
+            F.col("bk"),
+        )
+        .otherwise(F.col("fk"))
+    )
+    return j.select("event_id", "user_id", "ts", nearest.alias("nearest_orderkey"))
