@@ -673,3 +673,103 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FUNNEL_GAP_S = 172_800  # 48h per-step conversion window
+
+
+@register(
+    "funnel_time_bounded",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS s
+  FROM events WHERE user_id IS NOT NULL
+),
+v AS (
+  SELECT user_id, min(s) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.s) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.s >= v.t_view AND e.s <= v.t_view + {_FUNNEL_GAP_S}
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.s) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.s >= c.t_click AND e.s <= c.t_click + {_FUNNEL_GAP_S}
+  GROUP BY 1
+)
+SELECT count(*) AS n_entered,
+       count(c.t_click) AS n_clicked,
+       count(p.t_purchase) AS n_purchased,
+       floor(CAST(count(c.t_click) AS DOUBLE) / count(*) * 10000 + 0.5)
+         / 10000 AS click_rate,
+       floor(CAST(count(p.t_purchase) AS DOUBLE)
+             / nullif(count(c.t_click), 0) * 10000 + 0.5) / 10000
+         AS purchase_rate
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+    tags=("analytics", "funnel", "time-bounded"),
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED sequential funnel (view → click ≤48h → purchase
+    ≤48h): unlike funnel_stage_conversion's whole-history minima, each
+    stage must happen within the conversion window of the PREVIOUS
+    stage's anchor — the attribution-honest funnel (a purchase a month
+    after the click doesn't convert). Skip-ahead semantics: any number
+    of other events may sit between stages.
+
+    Shape: stage anchors cascade as per-user aggregates — min view,
+    then min qualifying click joined back on user_id, then min
+    qualifying purchase — three same-key aggregates and two user-keyed
+    joins that all reuse ONE hash partitioning (co-partitioned chain,
+    AQE coalesces), then a single global rollup row. Integer epoch
+    seconds end-to-end; the only floats are the two final rounded
+    rates."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = ev.select(
+        "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("s")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("s") >= F.col("t_view"))
+            & (F.col("s") <= F.col("t_view") + _FUNNEL_GAP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("s") >= F.col("t_click"))
+            & (F.col("s") <= F.col("t_click") + _FUNNEL_GAP_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_purchase"))
+    )
+    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_entered"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        stable_round(
+            F.count("t_click").cast("double") / F.count(F.lit(1)), 4
+        ).alias("click_rate"),
+        stable_round(
+            F.count("t_purchase").cast("double")
+            / F.nullif(F.count("t_click"), F.lit(0)).cast("double"),
+            4,
+        ).alias("purchase_rate"),
+    )
