@@ -773,3 +773,77 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purchase_rate"),
     )
+
+
+@register(
+    "audience_overlap_jaccard",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+),
+sizes AS (
+  SELECT event_type, count(*) AS n FROM du GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       floor(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both)
+             * 10000 + 0.5) / 10000 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+    tags=("analytics", "audience", "jaccard", "setop"),
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the user sets
+    behind every pair of event types — the segmentation-sanity readout
+    (two event types whose audiences are near-identical measure the
+    same behavior; near-disjoint ones partition the user base). The
+    |A∪B| denominator comes from |A|+|B|−|A∩B|, so only the
+    INTERSECTION is ever joined.
+
+    Shape: the fact table collapses FIRST to distinct (type, user)
+    pairs (one map-side-combined aggregate — the frame is ≤
+    |types|·|users| and usually far smaller), the self-join runs on
+    user_id with the `<` orientation generating each unordered pair
+    once, and per-type sizes broadcast back onto the
+    |types|²-row intersection frame. Per-user fan-out is bounded by
+    |types| (5 here), so the join output is ≤ |types|²/2 rows per
+    user — never quadratic in users."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            stable_round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
