@@ -763,3 +763,80 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_cents", ignorenulls=True).over(w), F.lit(0).cast("long")
         ).alias("cents_filled"),
     )
+
+
+@register(
+    "weekday_seasonality_profile",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST((CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT)
+               + 4) % 7 AS INT) AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+per AS (
+  SELECT event_type, dow, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(s) AS BIGINT) AS st
+  FROM per GROUP BY 1
+)
+SELECT per.event_type, per.dow, per.n,
+       floor((CAST(per.s AS DOUBLE) / per.n) * 100 + 0.5) / 100
+         AS mean_cents,
+       floor(((CAST(per.s AS DOUBLE) / per.n)
+              / (CAST(tot.st AS DOUBLE) / tot.nt)) * 10000 + 0.5) / 10000
+         AS seasonality_ratio
+FROM per JOIN tot USING (event_type)
+""",
+    tags=("timeseries", "seasonality", "calendar"),
+)
+def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: each (type, weekday)
+    cell's mean value and its ratio to the type's overall mean — the
+    profile a forecast deseasonalizes with and an anomaly monitor
+    normalizes against. Day-of-week comes from pure integer epoch
+    arithmetic ((epoch_day + 4) mod 7, Sunday = 0) rather than either
+    engine's dayofweek() — Spark numbers Sunday = 1, DuckDB Sunday =
+    0, and timezone-dependent calendar functions are exactly the kind
+    of silent cross-engine divergence the oracle exists to catch.
+
+    Shape: one map-side-combined aggregate to the |types|×7 frame;
+    the per-type totals derive from THAT frame (7 rows per type), not
+    a second scan. Exact integer sums; two final IEEE divisions shared
+    verbatim with the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            (
+                F.floor(F.unix_timestamp("ts").cast("long") / F.lit(86400.0)).cast(
+                    "long"
+                )
+                + 4
+            )
+            % 7
+        )
+        .cast("int")
+        .alias("dow"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    mean_cell = F.col("s").cast("double") / F.col("n")
+    mean_type = F.col("st").cast("double") / F.col("nt")
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        stable_round(mean_cell, 2).alias("mean_cents"),
+        stable_round(mean_cell / mean_type, 4).alias("seasonality_ratio"),
+    )
