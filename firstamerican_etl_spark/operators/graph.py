@@ -177,9 +177,20 @@ def star_contraction_components(
             "star forest — checksum collision; re-run with a higher "
             "max_rounds"
         )
+    # (node, node) seed rows for EVERY endpoint of the ORIGINAL edge
+    # set: the canonicalization above drops self-loop edges, so a node
+    # appearing only in self-pairs would otherwise vanish from the
+    # output — whereas the min-label and driver union-find strategies
+    # label it (node, node). Seeding every node keeps the three
+    # strategies' output node sets identical (the min() ignores the
+    # seed whenever a real label exists). ADVICE r7.
+    all_nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
     return (
         cur.select(F.col("src").alias("node"), F.col("dst").alias("label"))
         .union(cur.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
+        .union(all_nodes.select("node", F.col("node").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
     )

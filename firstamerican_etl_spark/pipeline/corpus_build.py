@@ -47,6 +47,7 @@ from firstamerican_etl_spark.operators.graph import connected_components
 from firstamerican_etl_spark.operators.scale import global_running_sum
 from firstamerican_etl_spark.plans.dedupplans import (
     _NORM,
+    MINHASH_SCHEME_VERSION,
     minhash_bands,
     minhash_lsh_pairs_from_bands,
 )
@@ -62,6 +63,40 @@ def _index_dir(out_dir: str) -> str:
     # readers treat _-prefixed paths as hidden metadata, so reading
     # the corpus parquet/jsonl never picks the index up
     return os.path.join(out_dir, "_index")
+
+
+def _write_scheme_stamp(spark: SparkSession, idx: str) -> None:
+    """Persist the MinHash signature-scheme version next to the band
+    sidecar. The r7 permutation fix (outer pmod) changed every band
+    hash, which would make a delta against a pre-fix index silently
+    miss ALL cross-batch near-dups — the stamp turns that silent
+    contamination into a loud contract failure (ADVICE r7)."""
+    spark.createDataFrame(
+        [(int(MINHASH_SCHEME_VERSION),)], "minhash_scheme_version INT"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "scheme"))
+
+
+def _check_scheme_stamp(spark: SparkSession, idx: str) -> None:
+    """Fail loudly if the persisted index's signature scheme differs
+    from (or predates) the one this code computes — mixing schemes in
+    the (band_id, band_hash) join yields zero cross-batch candidates
+    with no error, exactly the contamination the delta contract
+    exists to prevent. Recovery is always a full rebuild."""
+    path = os.path.join(idx, "scheme")
+    try:
+        rows = spark.read.parquet(path).collect()
+        got = int(rows[0]["minhash_scheme_version"]) if rows else None
+    except Exception:
+        got = None
+    if got != MINHASH_SCHEME_VERSION:
+        raise ValueError(
+            f"dedup index at {idx} carries MinHash signature scheme "
+            f"{got if got is not None else '<unstamped/pre-versioning>'} "
+            f"but this build computes scheme {MINHASH_SCHEME_VERSION}; "
+            "band hashes are incompatible and cross-batch near-dups "
+            "would be silently missed — run a FULL rebuild "
+            "(build_corpus) to refresh the corpus and its index"
+        )
 
 
 @dataclass(frozen=True)
@@ -276,6 +311,7 @@ def build_corpus(
             "_fp", "doc_id"
         ).write.mode("overwrite").parquet(os.path.join(idx, "fingerprints"))
         bands.write.mode("overwrite").parquet(os.path.join(idx, "bands"))
+        _write_scheme_stamp(spark, idx)
 
     # n_bins needs a DISTINCT count, which observed metrics disallow —
     # a column-pruned scan of just the written bin_id column (a single
@@ -366,6 +402,7 @@ def build_corpus_delta(
             "output_format='jsonl'; delta mode appends parquet only — "
             "rebuild full with parquet output (or refresh full in jsonl)"
         )
+    _check_scheme_stamp(spark, idx)
     idx_fp = spark.read.parquet(fp_path)
     idx_bands = spark.read.parquet(bands_path)
 

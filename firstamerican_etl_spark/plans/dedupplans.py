@@ -115,6 +115,15 @@ def ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M64 = 1 << 64
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
 
+#: Version of the MinHash signature SCHEME (shingle hash + permutation
+#: formula + banding layout). Bump on ANY change that alters band
+#: hashes — persisted dedup indexes stamp this at build time so an
+#: incremental delta against an index built under a different scheme
+#: fails loudly instead of silently missing cross-batch near-dups.
+#: v1 = pre-r7 monotone affine map (no outer mod); v2 = r7 outer-pmod
+#: Carter–Wegman fix (firstamerican_etl_spark/plans/dedupplans.py:205).
+MINHASH_SCHEME_VERSION = 2
+
 #: LSH buckets larger than this expand as a STAR (member ↔ min-id hub,
 #: O(bucket) candidate rows) instead of a full clique (O(bucket²)) —
 #: the mega-bucket guard for degenerate signatures at corpus scale.

@@ -417,8 +417,9 @@ def rolling_7d_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       group ordinal × (epoch span + window + 1) + epoch. Consecutive
       groups land further apart than the window ever reaches, so one
       rolling call computes every group's windows without ever mixing
-      them; chunked at 2000 groups per pass to stay inside
-      datetime64[ns] range.
+      them; the groups-per-pass chunk is derived from the measured
+      epoch span (9.0e9 // span) so ordinal·span stays inside the
+      datetime64[ns] range for ANY data horizon, days or decades.
 
     Exactness vs the oracle: integer cents are exact in float64;
     pandas' even-n interpolation is the same (a+b)/2; the time window
@@ -478,9 +479,11 @@ def rolling_7d_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         span = int(epoch.max()) - base + _WEEK_S + 1
         vals = pd.to_numeric(pdf["cents"]).astype("float64").values
         med = np.empty(len(pdf), dtype="float64")
-        # ≤2000 groups per rolling pass keeps ordinal·span inside
-        # datetime64[ns] (~9.2e9 s); chunk boundaries align to groups
-        chunk = 2000
+        # groups-per-rolling-pass derived from the MEASURED span so
+        # ordinal·span stays inside datetime64[ns] (~9.2e9 s) for any
+        # data horizon — a fixed constant only held for ≲45-day data;
+        # chunk boundaries align to groups
+        chunk = max(1, int(9.0e9 // span))
         n_groups = int(g[-1]) + 1 if len(g) else 0
         for g0 in range(0, n_groups, chunk):
             lo = np.searchsorted(g, g0, side="left")

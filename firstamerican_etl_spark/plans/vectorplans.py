@@ -987,14 +987,19 @@ _SEMDEDUP_K = 8  # coarse cells (deterministic centroids: vec_id < K)
 _SEMDEDUP_TAU = (2, 5)  # cosine threshold τ = 2/5 as an exact rational
 
 
-_SEMDEDUP_ORACLE = f"""
+def _semdedup_oracle(k_sql: str) -> str:
+    """SemDeDup oracle parameterized on the centroid-count expression:
+    the fixed-K twin inlines a literal, the sqrt-K scale twin derives
+    K from the data in SQL (subquery against the same CTE), so BOTH
+    variants carry full value oracles."""
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < {_SEMDEDUP_K}),
+cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < {k_sql}),
 assigned AS (
   SELECT vec_id, q, cell FROM (
     SELECT e.vec_id, e.q, c.cent_id AS cell,
@@ -1023,6 +1028,16 @@ SELECT n2.vec_id, n2.cell, d.dup_of,
        CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
 FROM n2 LEFT JOIN dups d ON n2.vec_id = d.vec_id
 """
+
+
+_SEMDEDUP_ORACLE = _semdedup_oracle(str(_SEMDEDUP_K))
+#: K = max(8, isqrt(N)//2) derived IN SQL from the same embeddings CTE
+#: the rest of the oracle reads — data-dependent K is still one static
+#: SQL string (VERDICT r7 task 2).
+_SEMDEDUP_SQRTK_ORACLE = _semdedup_oracle(
+    f"(SELECT greatest({_SEMDEDUP_K}, "
+    "CAST(floor(sqrt(count(*))) AS BIGINT) // 2) FROM e)"
+)
 
 
 def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
@@ -1177,21 +1192,24 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_cluster_prune_sqrtk",
-    oracle=None,
+    oracle=_SEMDEDUP_SQRTK_ORACLE,
     tags=("dedup", "embedding", "semdedup", "cluster", "scale"),
 )
 def semdedup_cluster_prune_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup scale path: K grows as √N (the paper's cell sizing), so
     per-cell candidate pairs stay Σ|cell|² ≈ N·√N-bounded instead of
     N²/K — the measured fixed-K probe ratio was 3.2× per 10× data vs
-    2.2× for this variant (SCALING.md; both still floor-dominated). Deterministic: centroids
-    are the first K vectors by vec_id, ties in assignment break by
-    cent_id, so a double run is bit-identical (pinned by the rows-only
-    determinism sweep in tests/test_oracle.py). No SQL oracle — K is
-    data-dependent, so the semantics are not expressible as one static
-    SQL string; the fixed-K twin above value-pins the shared kernel."""
+    2.2× for this variant (SCALING.md; both still floor-dominated).
+    Deterministic: centroids are the first K vectors by vec_id, ties
+    in assignment break by cent_id, so a double run is bit-identical.
+    FULL value oracle since r8: the data-dependent K is derived IN the
+    oracle SQL (greatest(8, isqrt(N)//2) as a subquery over the same
+    embeddings CTE), matching ``math.isqrt`` here exactly — double
+    sqrt of an exact-in-double count floors identically below 2^53."""
+    import math
+
     n = load_table(spark, sf_dir, "embeddings").count()  # metadata scalar
-    k = max(_SEMDEDUP_K, int(n**0.5) // 2)
+    k = max(_SEMDEDUP_K, math.isqrt(n) // 2)
     return _semdedup(spark, sf_dir, k)
 
 

@@ -166,11 +166,25 @@ def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
     Returns the list of extracted file paths.
     """
     os.makedirs(out_dir, exist_ok=True)
-    jobs: list[tuple[str, str]] = [
-        (zp, member)
-        for zp in zip_paths
-        for member in zipfile.ZipFile(zp).namelist()
-    ]
+    jobs: list[tuple[str, str]] = []
+    for zp in zip_paths:
+        with zipfile.ZipFile(zp) as zf:  # close after listing (fd leak)
+            jobs.extend((zp, member) for member in zf.namelist())
+    # Two zips carrying the SAME member name would race in the thread
+    # pool below — interleaved writes to one output path can leave a
+    # truncated file where the old serial loop at least gave a
+    # deterministic last-writer-wins. Duplicate member names across
+    # archives are a data-layout bug (the reference's per-county zips
+    # are disjoint by construction, fa-etl.py:53-55); fail loudly.
+    seen: dict[str, str] = {}
+    for zp, member in jobs:
+        if member in seen and seen[member] != zp:
+            raise ValueError(
+                f"duplicate member {member!r} in both {seen[member]} and "
+                f"{zp}; parallel extraction to one output path would "
+                "race — extract these archives to separate directories"
+            )
+        seen[member] = zp
     # zlib decompression releases the GIL, so a thread pool extracts
     # members genuinely in parallel — the serial loop left 31 cores
     # idle during the one driver-side step that is on the e2e wall.
@@ -438,10 +452,30 @@ def compact_parquet_dir(
     trash = path.rstrip("/") + ".trash"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
-    df = spark.read.parquet(path)
     if keys:
-        df.repartition(*keys).write.mode("overwrite").partitionBy(*keys).parquet(tmp)
+        # A maintenance pass must be a LAYOUT-only rewrite: with
+        # default partition-column type inference the re-read ALTERS
+        # type-ambiguous partition VALUES (split=05 infers int and is
+        # rewritten as split=5; date-like strings become dates),
+        # changing directory names and column types under readers.
+        # Pin inference OFF for the rewrite so directory names survive
+        # verbatim (partition values stay the literal strings on
+        # disk); downstream readers re-infer exactly as before.
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = spark.conf.get(conf_key, "true")
+        try:
+            spark.conf.set(conf_key, "false")
+            df = spark.read.parquet(path)
+            (
+                df.repartition(*keys)
+                .write.mode("overwrite")
+                .partitionBy(*keys)
+                .parquet(tmp)
+            )
+        finally:
+            spark.conf.set(conf_key, old)
     else:
+        df = spark.read.parquet(path)
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     os.rename(path, trash)
     os.rename(tmp, path)

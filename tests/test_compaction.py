@@ -77,3 +77,32 @@ def test_compaction_preserves_partition_layout(spark, sf_dir, tmp_path):
     got = spark.read.parquet(d)
     assert got.count() == n0
     assert _value_hash(got) == h0
+
+
+def test_compaction_preserves_ambiguous_partition_values(spark, tmp_path):
+    """Type-ambiguous partition values must survive compaction
+    VERBATIM (ADVICE r7): with default type inference the rewrite
+    re-read would turn split=05 into int 5 and date-like strings into
+    dates, silently renaming directories and retyping the column.
+    Also pins that the inference conf is restored afterwards."""
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.format_string("%02d", (F.col("id") % 3).cast("int")).alias("split"),
+    )
+    d = str(tmp_path / "amb")
+    df.repartition(16).write.partitionBy("split").parquet(d)
+    dirs_before = sorted(e for e in os.listdir(d) if e.startswith("split="))
+    assert dirs_before == ["split=00", "split=01", "split=02"]
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(conf_key, "true")
+
+    rep = compact_parquet_dir(spark, d, target_bytes=1 << 30)
+    assert rep["compacted"] is True
+    assert spark.conf.get(conf_key, "true") == old  # conf restored
+    dirs_after = sorted(e for e in os.listdir(d) if e.startswith("split="))
+    assert dirs_after == dirs_before  # zero-padded values intact
+    got = spark.read.parquet(d)
+    assert got.count() == 2000
+    assert sorted(
+        r["split"] for r in got.select("split").distinct().collect()
+    ) == [0, 1, 2]  # downstream readers re-infer exactly as before

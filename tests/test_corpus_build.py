@@ -271,6 +271,41 @@ def test_corpus_build_delta_rejects_jsonl_corpus(spark, sf_dir, tmp_path):
         )
 
 
+def test_corpus_build_delta_rejects_scheme_mismatch(spark, sf_dir, tmp_path):
+    """An index whose band sidecar was written under a DIFFERENT
+    MinHash signature scheme (e.g. pre-r7 permutation formula) must
+    fail the delta loudly — a silent run would join new-scheme batch
+    bands against old-scheme indexed bands and miss every cross-batch
+    near-dup (ADVICE r7)."""
+    import shutil
+
+    from firstamerican_etl_spark.pipeline.corpus_build import (
+        _index_dir,
+        build_corpus_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    out = str(tmp_path / "scheme")
+    build_corpus(spark, docs.filter(F.col("doc_id") <= mid), out,
+                 token_budget=BUDGET)
+    scheme_dir = str(tmp_path / "scheme") + "/_index/scheme"
+    # tamper: rewrite the stamp as scheme v1 (the pre-fix formula)
+    shutil.rmtree(scheme_dir)
+    spark.createDataFrame([(1,)], "minhash_scheme_version INT").coalesce(
+        1
+    ).write.parquet(scheme_dir)
+    with pytest.raises(ValueError, match="signature scheme 1"):
+        build_corpus_delta(spark, docs.filter(F.col("doc_id") > mid), out,
+                           token_budget=BUDGET)
+    # and an UNSTAMPED (pre-versioning) index fails with direction
+    shutil.rmtree(scheme_dir)
+    with pytest.raises(ValueError, match="unstamped"):
+        build_corpus_delta(spark, docs.filter(F.col("doc_id") > mid), out,
+                           token_budget=BUDGET)
+    assert _index_dir(out).endswith("_index")
+
+
 def test_corpus_build_delta_detects_bridged_components(spark, tmp_path):
     """A new doc that near-dup-links two indexed docs' components must
     be detected: n_bridged_components > 0 and the bridged labels

@@ -194,6 +194,8 @@ def test_star_contraction_parity_with_minlabel(spark):
         (20, 21), (21, 22), (22, 20),                # triangle
         (30, 31),                                    # isolated edge
         (40, 41), (41, 42), (42, 43), (43, 44),      # short chain
+        (50, 50),                                    # self-pair-ONLY node
+        (40, 40),                                    # self-pair on a chain node
     ]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     want = {
