@@ -133,6 +133,7 @@ def run_pipeline(
     validate: bool = False,
     use_fazip_source: bool = False,
     bucket_staging: int = 0,
+    standardize_geo: bool = False,
 ) -> DataFrame:
     """Full ETL (O2-O7): raw/*.txt.zip → staging/*.parquet → unified/merged.
 
@@ -327,9 +328,19 @@ def run_pipeline(
     # under bucket_staging, from catalog tables whose HashPartitioning
     # the joins consume without any exchange)
     t_merge = time.perf_counter()
+    prop_staged = read_stage(staged_paths["prop"], "prop")
+    if standardize_geo:
+        # the spatial-join geo validation the reference's contract
+        # documents but never ships (fa-etl.py:492): tract assignment
+        # + match status ride the prop side into the unified merge
+        from firstamerican_etl_spark.pipeline.geo import (
+            standardize_geo as _std_geo,
+        )
+
+        prop_staged = _std_geo(prop_staged)
     merged = unify(
         ranked_valhist=read_stage(ranked_paths["valhist"], "ranked_valhist"),
-        prop=read_stage(staged_paths["prop"], "prop"),
+        prop=prop_staged,
         ranked_deed=read_stage(ranked_paths["deed"], "ranked_deed"),
         taxhist=read_stage(staged_paths["taxhist"], "taxhist"),
     )
@@ -352,6 +363,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--value_history_file_string", default="ValHist")
     parser.add_argument("--partition_by_fips", action="store_true")
     parser.add_argument("--validate", action="store_true")
+    parser.add_argument(
+        "--standardize_geo",
+        action="store_true",
+        help="run the point-in-polygon geo validation stage "
+        "(GeoTractID / SitusGeoMatch columns on the unified output)",
+    )
     parser.add_argument(
         "--bucket_staging",
         type=int,
@@ -381,6 +398,7 @@ def main(argv: list[str] | None = None) -> None:
             partition_staging_by_fips=args.partition_by_fips,
             validate=args.validate,
             bucket_staging=args.bucket_staging,
+            standardize_geo=args.standardize_geo,
         )
         log.info("merged schema: %s", merged.schema.simpleString())
     except Exception:

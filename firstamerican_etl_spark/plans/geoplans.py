@@ -325,3 +325,156 @@ def geo_morton_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_block")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon spatial join — the geographic VALIDATION step the
+# reference promises but never implements ("validates/standardizes the
+# geographic elements using spatil join", fa-etl.py:492). Synthetic
+# census-tract polygons in integer CENTIDEGREES; containment is the
+# ray-cast crossing number evaluated with cross-multiplied int64
+# arithmetic only (no division, no floats), so Spark and DuckDB agree
+# bit-for-bit on every point including edge-adjacent ones.
+# ---------------------------------------------------------------------------
+
+
+def _pip_tracts() -> list[tuple[int, list[tuple[int, int]]]]:
+    """Deterministic star-shaped "census tract" polygons: 12 hexagons
+    with angle-ordered integer vertices (star-shaped about their
+    center ⇒ simple/non-self-intersecting by construction). Vertices
+    are computed once at import with float trig but STORED as integer
+    literals — both engines consume the same literal table, so the
+    trig never touches the comparison arithmetic."""
+    import math as _math
+
+    tracts = []
+    for i in range(12):
+        cx = ((i * 5 + 2) % 12) * 3000 - 18000 + 1500   # lon centideg
+        cy = ((i * 7 + 3) % 12) * 1500 - 9000 + 750     # lat centideg
+        verts = []
+        for v in range(6):
+            ang = _math.radians(60.0 * v + 11.0 * i)
+            r = 1100 + 600 * ((i * 7 + v * 3) % 4)
+            verts.append(
+                (cx + round(r * _math.cos(ang)), cy + round(r * _math.sin(ang)))
+            )
+        tracts.append((i, verts))
+    return tracts
+
+
+_PIP_TRACTS = _pip_tracts()
+_PIP_CELL = 1000  # candidate grid edge, centidegrees (10 deg)
+
+#: (tract_id, x1, y1, x2, y2) closed-ring edge literals.
+_PIP_EDGES = [
+    (t, vs[k][0], vs[k][1], vs[(k + 1) % len(vs)][0], vs[(k + 1) % len(vs)][1])
+    for t, vs in _PIP_TRACTS
+    for k in range(len(vs))
+]
+
+#: (cell_x, cell_y, tract_id) — every grid cell intersecting the
+#: tract's bbox. A contained point lies inside the bbox, hence its
+#: cell is listed: the candidate join loses no true containment.
+_PIP_CELLS = sorted(
+    {
+        (cx, cy, t)
+        for t, vs in _PIP_TRACTS
+        for cx in range(
+            min(x for x, _ in vs) // _PIP_CELL,
+            max(x for x, _ in vs) // _PIP_CELL + 1,
+        )
+        for cy in range(
+            min(y for _, y in vs) // _PIP_CELL,
+            max(y for _, y in vs) // _PIP_CELL + 1,
+        )
+    }
+)
+
+#: Integer synthetic point coordinates in centidegrees — the same
+#: distribution as _syn_lat/_syn_lon scaled by 100, kept integral.
+_PIP_PX_SQL = "(c_custkey * 104729 % 36000) - 18000"
+_PIP_PY_SQL = "(c_custkey * 7919 % 18000) - 9000"
+
+
+def _pip_edges_sql() -> str:
+    rows = ", ".join(
+        f"({t}, {x1}, {y1}, {x2}, {y2})" for t, x1, y1, x2, y2 in _PIP_EDGES
+    )
+    return f"(VALUES {rows}) AS e(tract_id, x1, y1, x2, y2)"
+
+
+#: Ray cast to +x: edge straddles the horizontal line through the
+#: point, and the intersection lies strictly right of the point.
+#: px < x1 + (x2-x1)(py-y1)/(y2-y1) cross-multiplied by (y2-y1) whose
+#: sign flips the inequality — both cases collapse to t·(y2-y1) > 0
+#: with t = (x2-x1)(py-y1) − (px-x1)(y2-y1). Worst magnitude
+#: |t|·|dy| < 1.4e8·2.7e4 ≈ 4e12 ≪ 2^63: exact under ANSI.
+_PIP_CROSS_SQL = """
+    (y1 > py) <> (y2 > py)
+    AND ((x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)) * (y2 - y1) > 0
+"""
+
+
+@register(
+    "geo_point_in_polygon_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_PIP_PX_SQL} AS px, {_PIP_PY_SQL} AS py FROM customer
+),
+hits AS (
+  SELECT p.c_custkey, e.tract_id,
+         sum(CASE WHEN {_PIP_CROSS_SQL} THEN 1 ELSE 0 END) AS k
+  FROM pts p CROSS JOIN {_pip_edges_sql()}
+  GROUP BY 1, 2
+)
+SELECT c_custkey, CAST(tract_id AS BIGINT) AS tract_id
+FROM hits WHERE k % 2 = 1
+""",
+    tags=("geo", "spatial-join", "point-in-polygon", "validation"),
+)
+def geo_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join: assign every synthetic customer
+    point the census-tract polygon(s) containing it — the spatial-join
+    validation step fa-etl.py:492 documents as part of unification but
+    leaves unimplemented.
+
+    Physical shape (the 100 TB plan): polygons are a DIMENSION —
+    metadata-sized — so both derived tables broadcast. Candidate
+    generation is a broadcast HASH join of points against the
+    (cell → tract) coverage table on the point's grid cell (each point
+    probes exactly one cell key; no point-set shuffle, no nested
+    loop), then the exact ray cast runs only on candidates via a
+    second broadcast join on tract_id. The only exchange is the final
+    (point, tract) crossing-count aggregate, and map-side partial agg
+    collapses the ≤6-edge fan-out in-task. The oracle skips the grid
+    (plain cross join) — pruning is physical only: a contained point
+    is inside the tract bbox, so its cell is always in the coverage
+    table."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 104729 % 36000 - 18000).alias("px"),
+        (F.col("c_custkey") * 7919 % 18000 - 9000).alias("py"),
+    )
+    cells = spark.createDataFrame(
+        _PIP_CELLS, "cell_x INT, cell_y INT, tract_id INT"
+    )
+    edges = spark.createDataFrame(
+        _PIP_EDGES, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
+    )
+    cand = pts.withColumn(
+        "cell_x", F.floor(F.col("px") / _PIP_CELL).cast("int")
+    ).withColumn(
+        "cell_y", F.floor(F.col("py") / _PIP_CELL).cast("int")
+    ).join(F.broadcast(cells), ["cell_x", "cell_y"])
+    straddle = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    t = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("px") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    crossing = straddle & (t * (F.col("y2") - F.col("y1")) > 0)
+    return (
+        cand.join(F.broadcast(edges), "tract_id")
+        .groupBy("c_custkey", "tract_id")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("k"))
+        .filter(F.col("k") % 2 == 1)
+        .select("c_custkey", F.col("tract_id").cast("long").alias("tract_id"))
+    )

@@ -160,8 +160,12 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos_raw = dot / (norm(F.col("probe_vec")) * norm(F.col("features")))
+    # PIN the broadcast: probes are bounded (10 rows) by construction,
+    # so the crossJoin must plan as BroadcastNestedLoopJoin with the
+    # probe side shipped — never a shuffled CartesianProduct, whose
+    # cost at corpus scale is a full 2-sided shuffle (VERDICT r7 #4).
     scored = (
-        probes.crossJoin(feats.filter(F.col("asset_id") >= 10))
+        F.broadcast(probes).crossJoin(feats.filter(F.col("asset_id") >= 10))
         .withColumn(
             "cosine",
             F.floor(cos_raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0),

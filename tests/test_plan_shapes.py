@@ -444,6 +444,19 @@ def test_multimodal_knn_bucketed_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_multimodal_featurize_knn_broadcasts_probes(spark, sf_dir):
+    """The brute-force multimodal kNN's probe×corpus crossJoin is only
+    acceptable because the probe side is bounded (10 rows) AND pinned
+    broadcast: the plan must be a BroadcastNestedLoopJoin — a shuffled
+    CartesianProduct would pay a two-sided exchange that a corpus-side
+    scale-up turns into the job (VERDICT r7 #4)."""
+    df = REGISTRY["multimodal_featurize_knn"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_weighted_maxhash_no_exchange_before_topk(spark, sf_dir):
     """The A-ES key is a pure projection; the top-25 must be a
     TakeOrderedAndProject over the scan — ANY hash exchange means the
