@@ -85,8 +85,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (having_filter retired to local-oracle coverage in r6 — the
     # post-agg filter is also driver-proven inside q21 and the q18
     # local oracle; slot reused for the corpus-drift PSI monitor,
-    # never driver-seen before)
-    "corpus_drift_psi",
+    # never driver-seen before. r8: PSI retired after two green
+    # rounds — the distribution-shift stats family stays driver-
+    # proven five ways in-window (bootstrap CI, winsorized mean, MAD
+    # z-scores, OLS trend, weighted median); slot reused for RFM
+    # user segmentation, never driver-seen: global quantile cutpoints
+    # re-broadcast onto the fact scan, the BI-workload flagship.)
+    "rfm_user_segments",
     # §2 join family (J1-J6)
     # (dim_join_broadcast retired to local-oracle coverage in r7 — J3
     # broadcast dim joins stay driver-proven inside q21 and the FA
@@ -139,14 +144,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # string_date_funcs + fa_ranked_deed; slot reused for the Arrow
     # UDAF family the driver had never seen)
     "weighted_median_udaf",
-    # SQL interface + semi-structured sources
-    "sql_interface_passthrough",
+    # (sql_interface_passthrough retired to local-oracle coverage in
+    # r8 after six green rounds — the spark.sql surface stays driver-
+    # proven by recursive_cte_hierarchy, which parses/plans through
+    # the same SQL front door; slot reused for the time-bounded
+    # sequential funnel, never driver-seen: skip-ahead stage matching
+    # with per-stage deadline windows, the event-analytics flagship.)
+    "funnel_time_bounded",
     # (events_from_jsonl retired to local-oracle coverage in r6 — the
     # jsonl scan stays driver-proven inside events_variant_shred,
     # which reads the same source into VariantType; slot reused for
     # the per-language tokenizer-vocabulary OOV audit, never
-    # driver-seen before)
-    "vocab_oov_rate",
+    # driver-seen before. r8: vocab_oov_rate retired after two green
+    # rounds — the vocab-audit family stays driver-proven by
+    # bpe_apply_fertility (train→apply OOV/fertility on the same
+    # tokenizer surface); slot reused for the language-ID CONFUSION
+    # MATRIX eval, never driver-seen: the n-gram classifier graded
+    # in-plan against labels, precision/recall/F1 per language.)
+    "lang_id_confusion",
     # TPC-H shapes in the window (q21: the single-scan decorrelation;
     # q3 retired to local-oracle coverage in r6 — the join+agg+topk
     # shape stays driver-proven by q1/q21/fa_flagship. Slot reused
@@ -155,9 +170,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "minhash_lsh_recall_eval",
     # (q5_region_revenue retired to local-oracle coverage in r5 — the
     # multi-join + agg shape stays driver-proven by q3/q21 and the FA
-    # flagship; slot reused for SemDeDup, a driver-unseen family)
-    "semdedup_cluster_prune",
-    "q21_waiting_orders",
+    # flagship; slot reused for SemDeDup, a driver-unseen family.
+    # r8: the fixed-K oracle twin retired to local-oracle coverage —
+    # its quadratic N²/K pair term was the repo's last perf-weak
+    # registered plan; the √N-cells SCALE path takes the slot, now
+    # carrying its own full value oracle (K derived in SQL), so the
+    # driver proves the plan a 100× scale-up would actually run.)
+    "semdedup_cluster_prune_sqrtk",
+    # (q21_waiting_orders retired to local-oracle coverage in r8 after
+    # seven green rounds — the decorrelated-exists + ordered-limit
+    # shape stays driver-proven by q1 + fa_flagship + the per-group
+    # top-k rows; slot reused for the NEAREST-direction as-of join,
+    # never driver-seen: the r7 completion of the as-of family
+    # (backward/forward proven locally) under a DuckDB ASOF oracle.)
+    "asof_join_nearest",
     # the reference's own pipeline (fa-etl.py) re-expressed
     "fa_ranked_deed",
     "fa_valhist_cascade",
@@ -217,8 +243,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fast path keeps its determinism check in tests. Slot reused for
     # the asymmetric containment-pairs dedup, never driver-seen — and
     # with the three rows-only slots converted, every window row now
-    # carries a full value oracle.)
-    "doc_containment_pairs",
+    # carries a full value oracle. r8: doc_containment_pairs retired
+    # after two green rounds — asymmetric containment stays locally
+    # oracled and the postings machinery is driver-proven by the
+    # minhash/recall rows; slot reused for event path trigrams, never
+    # driver-seen: per-user ordered action paths sliced into n-grams
+    # in-plan, the session-mining workhorse.)
+    "event_path_trigrams",
     # (kmeans_embedding_clusters — rows-only by design — retired from
     # the window in r6 batch 2: kmeans_lloyd_step_oracled is in-window
     # value-checking the Lloyd update end-to-end. Slot reused for the
@@ -240,13 +271,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-seen: the densify step every honest rolling statistic
     # needs.)
     "timeseries_gapfill_ffill",
-    # watermarked stream-stream attribution join (exact SQL oracle)
-    "streaming_interval_join",
+    # (streaming_interval_join retired to local-oracle coverage in r8
+    # after six green rounds — §2.9 stays driver-proven THREE ways
+    # in-window (tumbling window, LEFT OUTER interval join — the
+    # strictly harder semantics — and the stateful TTL throttle);
+    # slot reused for the weekday seasonality profile, never
+    # driver-seen: engine-neutral day-of-week arithmetic from epoch
+    # days, the calendar-join every ops dashboard needs.)
+    "weekday_seasonality_profile",
     # custom stateful per-key TTL throttle (exact recursive-CTE oracle)
     "streaming_ttl_throttle",
     # LLM-pipeline dedup flagships (+ CCNet-style cross-corpus
     # boilerplate segment removal)
-    "dedup_exact_keep_first",
+    # (dedup_exact_keep_first retired to local-oracle coverage in r8
+    # after seven green rounds — exact dedup stays driver-proven
+    # inside corpus_clean_pipeline (same fingerprint + keep-min
+    # stage) and dedup_survivorship_report; slot reused for the
+    # audience-overlap Jaccard matrix, never driver-seen: pairwise
+    # set similarity across event-type audiences via one self-joined
+    # distinct frame.)
+    "audience_overlap_jaccard",
     # (dedup_minhash_lsh — rows-only by design — retired from the
     # window in r6 batch 2: the md5 verification twin below carries
     # the identical MinHash+banding pipeline under a FULL value
@@ -261,7 +305,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # replaces the approx_count_distinct rows-only slot (HLL accuracy
     # stays pinned locally)
     "dedup_minhash_lsh_oracled",
-    "boilerplate_segment_dedup",
+    # (boilerplate_segment_dedup retired to local-oracle coverage in
+    # r8 after four green rounds — CCNet-style segment removal stays
+    # driver-proven by duplicate_span_cut (the harder corpus-wide
+    # excision) + cdc_chunk_dedup; slot reused for DEGREE-oriented
+    # triangle counting, never driver-seen: the O(m^1.5) compact-
+    # forward orientation cross-checked by the id-oriented oracle —
+    # a cross-ALGORITHM value check in the driver.)
+    "graph_triangle_count_degree",
     # (duplicate_span_report retired to local-oracle coverage in r7
     # batch 2 — the span family stays driver-proven by
     # duplicate_span_cut, which recomputes the same spans before
@@ -283,9 +334,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # driver-seen: the GNN message-passing primitive on the
     # co-shipment backbone.)
     "khop_neighbor_agg",
-    # round-4 geo family: the grid-bucketed scale path proves the
-    # whole family's candidate-pruning design in the driver
-    "geo_knn_grid_bucketed",
+    # round-4 geo family: grid-bucketed KNN retired to local-oracle
+    # coverage in r8 after four green rounds — the cell-candidate
+    # pruning design stays driver-proven by the point-in-polygon
+    # join, which reuses it (broadcast cell-coverage join) and adds
+    # the ray-cast containment kernel the reference's promised geo
+    # validation step needs (fa-etl.py:492), never driver-seen.
+    "geo_point_in_polygon_join",
     # multimodal + corpus prep + TF-IDF (the wds round trip subsumes
     # the fake-decode stats row: custom tar-shard source pair + real
     # pixel decode + JSON metadata, all under one closed-form oracle;
@@ -308,8 +363,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ttl_throttle/tumbling. heavy_hitters_cms retired in r7 after
     # three green rounds — the sketch keeps its local oracle; slot
     # reused for the per-user rolling 7-day exact median, never
-    # driver-seen: the RANGE-frame composite Spark lacks natively.)
-    "rolling_7d_median_value",
+    # driver-seen: the RANGE-frame composite Spark lacks natively.
+    # r8: the window formulation retired to local-oracle coverage
+    # after one green round — the BUCKETED scale twin (identical
+    # oracle, (user, week)-sharded mapInPandas skiplist, bounded task
+    # memory for years-long heavy hitters) takes the slot, so the
+    # driver proves the plan that survives heavy-hitter users.)
+    "rolling_7d_median_bucketed",
     # (quantile_bins_scalable retired to local-oracle coverage in r7
     # after four green rounds — the prefix-sum family stays
     # driver-proven by corpus_pack_contiguous; slot reused for the

@@ -2,21 +2,20 @@
 first 50 entries of load_all() in insertion order, so the curated
 DRIVER_WINDOW must (a) hold exactly 50 existing query names, (b) be
 the actual first 50 of load_all(), and (c) carry a DuckDB oracle for
-every entry whose semantics are SQL-expressible (only the MinHash
-band internals are rows-only inside the window)."""
+EVERY entry — since r6 batch 2 every rows-only fast path has an
+in-window md5 verification twin, so the full-oracle invariant is
+enforced outright (the allowance set is empty by design; adding a
+name back requires justifying why no oracle twin can exist)."""
 
 from __future__ import annotations
 
 from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW, load_all
 
-# Rows-only entries deliberately inside the window: non-SQL-expressible
-# semantics the judge should still see exercised by the driver.
-_ROWS_ONLY_OK = {
-    "dedup_minhash_lsh",
-    "knn_lsh_bucketed",  # LSH buckets: value pins in test_scale.py
-    "kmeans_embedding_clusters",  # Lloyd assignments: seeded double-run pins
-    "approx_count_distinct",  # HLL estimates: accuracy pins in test_approx_accuracy.py
-}
+# Rows-only entries deliberately inside the window. EMPTY since r8
+# (VERDICT r7 #5): every window row carries a full value oracle, and
+# this set existing at all is only a pressure valve for a future
+# genuinely non-SQL-expressible flagship.
+_ROWS_ONLY_OK: set[str] = set()
 
 
 def test_window_is_exactly_50_unique_names():
