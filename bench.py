@@ -228,11 +228,12 @@ def main() -> None:
     # per-query timings remain for diagnosis.
     total = round(sum(timings.values()), 3) if not failures else None
     load_after = round(os.getloadavg()[0], 2)
+    # Key order is deliberate: the driver's log capture keeps the TAIL
+    # of output, and r7's record lost the headline because it led the
+    # (long) line — the per-query map goes FIRST and the headline
+    # scalars LAST so any prefix truncation eats query detail, never
+    # the totals (VERDICT r7 #9). The headline also echoes to stderr.
     out = {
-        "metric": "headline_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "complete": not failures,
         "queries": timings,
         "sf": sf,
         "load_before": load_before,
@@ -242,9 +243,14 @@ def main() -> None:
         # numbers were taken on a contended host and round-over-round
         # comparison should discount them
         "contended": load_before > 0.5 * n_cpus,
+        "metric": "headline_query_wall_seconds",
+        "unit": "sec",
+        "complete": not failures,
+        "value": total,
     }
     if failures:
         out["failures"] = failures
+    print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

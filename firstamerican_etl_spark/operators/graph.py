@@ -59,7 +59,11 @@ def _driver_union_find(edge_rows, spark, node_type) -> DataFrame:
         if r not in roots or n < roots[r]:
             roots[r] = n
     rows = [(n, roots[find(n)]) for n in parent]
-    return spark.createDataFrame(rows, schema=schema)
+    # Arrow fast path: up to 2·driver_max_edges rows — the RDD-pickle
+    # constructor pays a Python-worker round trip per call.
+    from firstamerican_etl_spark.sources.io import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def star_contraction_components(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from firstamerican_etl_spark.sources.io import local_df
+
 #: Default tracts: a 2×2 rectangle grid over the FA test fixture's
 #: situs box (lat 34–35, lon −119 – −118; tools/fa_bench_data.py), in
 #: integer centidegrees. Boundaries sit at x.5·10⁻³-degree offsets so
@@ -73,10 +75,10 @@ def standardize_geo(
             )
         }
     )
-    edges_df = spark.createDataFrame(
-        edges, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
+    edges_df = local_df(
+        spark, edges, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
     )
-    cells_df = spark.createDataFrame(cells, "cell_x INT, cell_y INT, tract_id INT")
+    cells_df = local_df(spark, cells, "cell_x INT, cell_y INT, tract_id INT")
 
     # stable row key for the re-join: PropertyID is unique in staged
     # Prop (fa-etl.py:164 filters null ids; m:1 uniqueness is asserted

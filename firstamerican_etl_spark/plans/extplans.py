@@ -20,7 +20,7 @@ from firstamerican_etl_spark.functions.stable import (
 )
 
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table, staging_tag
+from firstamerican_etl_spark.sources.io import load_table, local_df, staging_tag
 
 
 # ----------------------------------------------------------- as-of join
@@ -120,7 +120,7 @@ def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop with zero shuffle of the fact side; never let a theta
     join against a small dim plan as a cartesian over a shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    bands = local_df(spark, _BANDS, "band STRING, lo BIGINT, hi BIGINT")
     return (
         li.join(
             F.broadcast(bands),

@@ -41,7 +41,7 @@ from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, local_df
 
 #: Deterministic synthetic coordinates: exact integer arithmetic on
 #: the key, identical in Spark and DuckDB (no float modulo involved).
@@ -100,8 +100,10 @@ def _qpoints_sql() -> str:
 
 
 def _qpoints_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, la, lo) for i, la, lo in _QPOINTS], "q_id INT, q_lat DOUBLE, q_lon DOUBLE"
+    return local_df(
+        spark,
+        [(i, la, lo) for i, la, lo in _QPOINTS],
+        "q_id INT, q_lat DOUBLE, q_lon DOUBLE",
     )
 
 
@@ -221,8 +223,8 @@ def geo_knn_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dy in (-1, 0, 1)
         for dx in (-1, 0, 1)
     ]
-    probes = spark.createDataFrame(
-        probe_rows, "q_id INT, q_lat DOUBLE, q_lon DOUBLE, cy BIGINT, cx BIGINT"
+    probes = local_df(
+        spark, probe_rows, "q_id INT, q_lat DOUBLE, q_lon DOUBLE, cy BIGINT, cx BIGINT"
     )
     cand = pts.join(F.broadcast(probes), ["cy", "cx"]).select(
         "q_id",
@@ -455,11 +457,9 @@ def geo_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 104729 % 36000 - 18000).alias("px"),
         (F.col("c_custkey") * 7919 % 18000 - 9000).alias("py"),
     )
-    cells = spark.createDataFrame(
-        _PIP_CELLS, "cell_x INT, cell_y INT, tract_id INT"
-    )
-    edges = spark.createDataFrame(
-        _PIP_EDGES, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
+    cells = local_df(spark, _PIP_CELLS, "cell_x INT, cell_y INT, tract_id INT")
+    edges = local_df(
+        spark, _PIP_EDGES, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
     )
     cand = pts.withColumn(
         "cell_x", F.floor(F.col("px") / _PIP_CELL).cast("int")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.operators.relational import top_k_per_group
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table, staging_tag
+from firstamerican_etl_spark.sources.io import load_table, local_df, staging_tag
 
 
 def _as_double(col: Column) -> Column:
@@ -368,7 +368,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("prediction").alias("cluster_id"),
         vector_to_array("features").alias("v"),
     )
-    centers = spark.createDataFrame(
+    centers = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster_id int, c array<double>",
     )
@@ -510,9 +511,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
 
-    queries = spark.createDataFrame(
+    queries = local_df(
+        spark,
         [(q, table_for(small[q])) for q in _PQ_QUERIES],
-        schema="q_id bigint, dt array<array<bigint>>",
+        "q_id bigint, dt array<array<bigint>>",
     )
     adc = None
     for m in range(_PQ_M):

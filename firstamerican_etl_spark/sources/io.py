@@ -483,3 +483,27 @@ def compact_parquet_dir(
     report["compacted"] = True
     report["files_after"] = len(_data_files(path))
     return report
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small local/dimension frame via the ARROW fast path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` always takes the
+    RDD-pickle route — it serializes rows through a Python worker and
+    costs ~3.5 s cold / ~0.5 s warm on local[32] even for 16 rows,
+    a tax paid PER CALL (measured in the ANN build, where four such
+    constructors were half the pipeline wall). Routing the same rows
+    through a pandas frame with an explicit schema uses Arrow: one
+    zero-copy batch, ~0.15 s, identical LocalTableScan plan.
+
+    ``schema`` is a DDL string ("a INT, b ARRAY<DOUBLE>") or a
+    StructType; rows are tuples/lists in schema field order."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if not rows:
+        return spark.createDataFrame([], st)
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=st.names)
+    return spark.createDataFrame(pdf, st)

@@ -48,25 +48,70 @@ from tools.scale_probe_10x import SCALED, _SHIFT, build_sf1
 SRC = "/root/testdata/sf0.1"
 COPIES = 100
 
-#: queries with a REAL data term at sf1 (≥1.3× in the 10× table or a
-#: production scale twin that must prove itself at 100×)
+#: r8: extended to (essentially) the full 10×-probe set so every slope
+#: claim in PLANS.md carries a measured sf1→sf10 row (VERDICT r7 #8).
+#: The one exclusion is the fixed-K `semdedup_cluster_prune` twin: its
+#: N²/K pair term is DOCUMENTED quadratic (4.5× per decade measured at
+#: 10×) and another 100× on the pair count is minutes of wall for a
+#: number the 10× table already proves; its √N production twin runs
+#: here instead.
 PROBE = [
     "fa_flagship_merged",
     "q1_pricing_summary",           # floor contrast: should stay flat
+    "q21_waiting_orders",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "boilerplate_segment_dedup",
     "corpus_pack_contiguous",
     "semdedup_cluster_prune_sqrtk",  # the production twin at 100×
+    "semdedup_threshold_sweep",
     "jaccard_prefix_filter_pairs",
+    "ngram_jaccard_pairs",
+    "jaccard_df_capped_pairs",       # the df-cap slope drop, measured
     "leakage_safe_split_assign",
+    "rolling_7d_median_value",       # window twin: heavy-hitter regime
     "rolling_7d_median_bucketed",    # skiplist at 100× per-user volume
+    "graph_triangle_count",
     "graph_triangle_count_degree",   # O(m^1.5) orientation at 100×
+    "graph_triangle_degree_50k",
+    "kcore_peel_unrolled",
+    "lpa_communities_unrolled",
+    "pagerank_trade_graph",
     "bootstrap_mean_ci_poisson",     # pure map-side CPU: must be linear
     "tfidf_top_terms",
+    "bm25_topk_retrieval",
+    "contamination_ngram_overlap",
+    "cosine_topk_bruteforce",
+    "dsir_importance_weights",
+    "duplicate_span_report",
+    "duplicate_span_cut",
+    "dedup_survivorship_report",
+    "doc_containment_pairs",
+    "cdc_chunk_dedup",
+    "minhash_lsh_recall_eval",
+    "heavy_hitters_cms",
+    "corpus_drift_psi",
+    "vocab_oov_rate",
+    "markov_event_transitions",
+    "cohort_retention_matrix",
+    "pearson_correlation_matrix",
+    "salted_skew_join",
+    "zipf_rank_frequency",
+    "token_budget_sample",
+    "mad_outlier_zscores",
+    "char_entropy_quality",
+    "count_distinct_two_phase",
+    "matryoshka_truncation_recall",
+    "bpe_train_unrolled",
+    "multimodal_knn_bucketed",
+    "timeseries_gapfill_ffill",
+    "rfm_user_segments",
+    "event_path_trigrams",
+    "sample_weighted_maxhash",
+    "pmi_collocations",
+    "winsorized_robust_mean",
     "quantile_bins_scalable",
     "global_row_index_scalable",
-    "winsorized_robust_mean",
 ]
 
 
