@@ -1185,10 +1185,14 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     tags=("dedup", "embedding", "semdedup", "cluster", "training-data"),
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-oracled SemDeDup at the fixed K the SQL oracle mirrors
-    (K=8). See ``_semdedup`` for the algorithm and exactness analysis.
-    Fixed K makes per-cell pair work N²/K — fine at oracle scale,
-    quadratic at growth; the `_sqrtk` twin below is the scale path."""
+    """SemDeDup at fixed K=8 — kept as the deliberate QUADRATIC
+    CONTRAST row (per-cell pair work N²/K) next to the production
+    `_sqrtk` twin below, which since r8 carries its own full value
+    oracle (K derived in SQL) and owns the driver-window slot. Use the
+    twin for anything that grows; this row exists so the 10×/100×
+    probes can show WHY cell sizing matters (4.5× vs 1.2× per decade,
+    SCALING.md). See ``_semdedup`` for the algorithm and exactness
+    analysis."""
     return _semdedup(spark, sf_dir, _SEMDEDUP_K)
 
 
@@ -1227,7 +1231,8 @@ WITH e AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < {_SEMDEDUP_K}),
+cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
+          WHERE vec_id < (SELECT greatest({_SEMDEDUP_K}, CAST(floor(sqrt(count(*))) AS BIGINT) // 2) FROM e)),
 assigned AS (
   SELECT vec_id, q, cell FROM (
     SELECT e.vec_id, e.q, c.cent_id AS cell,
@@ -1268,10 +1273,13 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick τ before committing a full-corpus prune: how many pairs (and
     therefore documents) each threshold would remove.
 
-    Scale shape: reuses the staged cell assignment (same content key
-    as semdedup_cluster_prune — invoking both stages once); the pair
-    join keys on cell at Σ|cell|² cost and the sweep is a CASE per τ
-    over the SAME dot product, so four thresholds cost one pass."""
+    Scale shape: √N cells (K = max(8, isqrt(N)//2), derived in the
+    oracle SQL exactly like semdedup_cluster_prune_sqrtk) bound the
+    within-cell pair work at ~N·√N — the fixed-K=8 formulation
+    measured 45× per decade at the 100× probe before r8. Reuses the
+    staged cell assignment (same content key as the sqrt-K prune —
+    invoking both stages once); the sweep is a CASE per τ over the
+    SAME dot product, so four thresholds cost one pass."""
     from firstamerican_etl_spark.operators.scale import stage_once
     from firstamerican_etl_spark.sources.io import staging_tag
 
@@ -1283,7 +1291,18 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
         ).alias("q"),
     )
-    cents = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+    # sqrt-N cells, same rule (and same in-SQL oracle derivation) as
+    # semdedup_cluster_prune_sqrtk: the r8 100x probe caught the fixed
+    # K=8 sweep at 45x per decade (sum(cell^2) = N^2/8 pair work, 243 s
+    # at derived sf10) - the tuning table must run on the SAME cell
+    # sizing the production prune uses anyway, which bounds pair work
+    # at ~N*sqrt(N) and keeps the tau counts comparable to what the
+    # prune will actually remove.
+    import math as _math
+
+    n = e.count()  # metadata scalar
+    k_cells = max(_SEMDEDUP_K, _math.isqrt(n) // 2)
+    cents = e.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
     )
     l2 = F.round(
@@ -1307,7 +1326,7 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_col="__rn",
         ).select("vec_id", F.col("cent_id").alias("cell"), "q"),
         "semdedup_assigned",
-        reuse_key=f"{staging_tag(sf_dir, 'embeddings')}_{_SEMDEDUP_K}",
+        reuse_key=f"{staging_tag(sf_dir, 'embeddings')}_{k_cells}",
     )
     # Pair scoring: the SAME exact int64 BLAS kernel as cell_prune —
     # NOT a cell self-join with interpreted zip_with/aggregate dot

@@ -444,6 +444,20 @@ def test_multimodal_knn_bucketed_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_point_in_polygon_join_never_shuffles_points(spark, sf_dir):
+    """The PIP spatial join's polygons are a broadcast DIMENSION: both
+    the cell-coverage and edge joins must be BroadcastHashJoins (equi
+    keys), with no nested-loop/cartesian anywhere and exactly ONE hash
+    exchange (the crossing-parity aggregate)."""
+    df = REGISTRY["geo_point_in_polygon_join"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_multimodal_featurize_knn_broadcasts_probes(spark, sf_dir):
     """The brute-force multimodal kNN's probe×corpus crossJoin is only
     acceptable because the probe side is bounded (10 rows) AND pinned

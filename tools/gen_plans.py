@@ -148,6 +148,18 @@ each dimension's exact cutpoints come from the rank-targeted recipe (shard
 counts + ONE partitioned window filtered to 3 ordinals — no global ORDER BY),
 and segment assignment is a broadcast-literal comparison feeding one
 |segments|-row aggregate.""",
+    "geo_point_in_polygon_join": """Point-in-polygon spatial join (the fa-etl.py:492 validation
+step). What to look for: the point scan is never shuffled — candidates come from
+a BroadcastHashJoin against the (cell -> tract) coverage dim on the point's grid
+cell (one equi-key probe per point, no nested loop anywhere), the exact ray-cast
+runs via a second BroadcastHashJoin on tract_id, and the only exchange is the
+(point, tract) crossing-parity aggregate whose <=6-edge fan-out collapses in the
+map-side partial. Both dims are Arrow LocalTableScans (sources/io.local_df).""",
+    "jaccard_df_capped_pairs": """The CCNet hot-shingle guard measured: identical
+postings machinery as ngram_jaccard_pairs, but posting lists longer than the df
+cap are filtered BEFORE the in-array pair expansion — the plan shows the size
+predicate on the aggregated postings, so the quadratic expansion is bounded at
+cap^2 per shingle and total candidate work at sum(min(df,cap)^2).""",
 }
 
 HEADER = [
