@@ -71,8 +71,10 @@ def _write_scheme_stamp(spark: SparkSession, idx: str) -> None:
     hash, which would make a delta against a pre-fix index silently
     miss ALL cross-batch near-dups — the stamp turns that silent
     contamination into a loud contract failure (ADVICE r7)."""
-    spark.createDataFrame(
-        [(int(MINHASH_SCHEME_VERSION),)], "minhash_scheme_version INT"
+    from firstamerican_etl_spark.sources.io import local_df
+
+    local_df(
+        spark, [(int(MINHASH_SCHEME_VERSION),)], "minhash_scheme_version INT"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "scheme"))
 
 
