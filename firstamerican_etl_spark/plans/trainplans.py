@@ -1047,3 +1047,79 @@ def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_EPOCH_SHARDS = 8
+_EPOCHS = 2
+
+
+@register(
+    "epoch_shuffle_shards",
+    oracle=f"""
+WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+k AS (
+  SELECT doc_id, epoch,
+         md5('ep' || CAST(epoch AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents CROSS JOIN e
+),
+s AS (
+  SELECT doc_id, epoch, key,
+         CAST(floor((instr('0123456789abcdef', substring(key, 1, 1)) - 1)
+                    / 2) AS BIGINT) AS shard
+  FROM k
+)
+SELECT epoch, shard, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY epoch, shard ORDER BY key, doc_id
+       ) AS BIGINT) AS pos
+FROM s
+""",
+    tags=("training-data", "sampling", "shuffle", "deterministic"),
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-EPOCH training-data shuffle WITHOUT a global
+    sort — the reader-side recipe every large-scale training loop
+    needs: each epoch e re-orders the corpus by md5('ep'||e||':'||id),
+    docs land on one of {_EPOCH_SHARDS} reader shards by the key's
+    first hex char (range bucketing — no modulo-on-BigInteger
+    parsing), and the read position within a shard is a row_number
+    over a (epoch, shard)-PARTITIONED window. Properties that matter:
+
+    - a NEW permutation per epoch (the key mixes the epoch in), yet
+      bit-reproducible under retries, partitioning, and resume — no
+      RNG state anywhere;
+    - NO global ORDER BY: at 100 TB a total sort per epoch is the
+      anti-pattern; per-shard windows shuffle once on (epoch, shard)
+      and each shard's order is independent — exactly how concurrent
+      readers consume it;
+    - shard skew is bounded by md5 uniformity (16 hex chars / 2 per
+      shard), and the plan is ONE exchange per epoch·shard partition.
+
+    The oracle replays the identical arithmetic (md5, instr range
+    bucket, partitioned row_number with the same (key, doc_id)
+    tie-break), so the full (epoch, shard, doc_id, pos) assignment is
+    value-checked."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    k = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("key"),
+    )
+    shard = F.floor(
+        (F.instr(F.lit("0123456789abcdef"), F.substring("key", 1, 1)) - 1) / 2
+    ).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return (
+        k.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("epoch", "shard", "doc_id", "pos")
+    )

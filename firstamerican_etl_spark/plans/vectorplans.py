@@ -1700,3 +1700,215 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_bp"),
     )
+
+
+import math as _ndcg_math
+
+#: Integer DCG position weights: floor(1e6 / log2(i+1) + 0.5) for
+#: ranks 1..10, PRECOMPUTED in Python and inlined as the same literals
+#: on both engines — no runtime log anywhere, so the quantization-
+#: boundary ULP risk of engine log2 never arises.
+_NDCG_W = tuple(round(1_000_000 / _ndcg_math.log2(i + 1)) for i in range(1, 11))
+#: Ideal DCG is a CONSTANT by construction: the exact top-10's graded
+#: gains are always the multiset {3,3,3,2,2,2,1,1,1,1} (grades are
+#: DEFINED from exact rank), so IDCG = Σ ideal_gain[i]·W[i].
+_NDCG_IDEAL = sum(g * w for g, w in zip((3, 3, 3, 2, 2, 2, 1, 1, 1, 1), _NDCG_W))
+
+
+def _ndcg_oracle() -> str:
+    ws = _lsh_weights()
+    projs = []
+    for p, w in enumerate(ws):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w[i]:.1f}" for i in range(64)
+        )
+        projs.append(f"CASE WHEN ({chain}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(projs)
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    sv = """CASE WHEN d >= 0 THEN
+         CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(nna AS DOUBLE) * CAST(nnb AS DOUBLE))
+                    * 1000000000) AS BIGINT)
+       ELSE
+         -CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                     / (CAST(nna AS DOUBLE) * CAST(nnb AS DOUBLE))
+                     * 1000000000) AS BIGINT)
+       END"""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {bucket} AS bucket,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, bucket, q,
+         CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS nn
+  FROM e
+),
+exact AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY (SELECT {sv} FROM (SELECT
+                       CAST(list_dot_product(a.q, b.q) AS BIGINT) AS d,
+                       a.nn AS nna, b.nn AS nnb)) DESC, b.vec_id
+         ) AS xrank
+  FROM n2 a JOIN n2 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+),
+gains AS (
+  SELECT q_id, c_id,
+         CASE WHEN xrank <= 3 THEN 3 WHEN xrank <= 6 THEN 2
+              WHEN xrank <= 10 THEN 1 ELSE 0 END AS gain
+  FROM exact
+),
+sys AS (
+  SELECT q_id, c_id, srank FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY (SELECT {sv} FROM (SELECT
+                         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS d,
+                         a.nn AS nna, b.nn AS nnb)) DESC, b.vec_id
+           ) AS srank
+    FROM n2 a JOIN n2 b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < 5
+  ) WHERE srank <= 10
+),
+dcg AS (
+  SELECT s.q_id,
+         CAST(count(*) AS BIGINT) AS n_sys,
+         CAST(sum(g.gain * (CASE s.srank {w_case} END)) AS BIGINT) AS dcg
+  FROM sys s JOIN gains g ON g.q_id = s.q_id AND g.c_id = s.c_id
+  GROUP BY 1
+)
+SELECT q_id, n_sys, dcg,
+       CAST(floor(CAST(dcg AS DOUBLE) * 1000000 / {_NDCG_IDEAL}) AS BIGINT)
+         AS ndcg_ppm
+FROM dcg
+""";
+
+
+@register(
+    "ndcg_at_k_eval",
+    oracle=_ndcg_oracle(),
+    tags=("vector", "retrieval", "eval", "ndcg", "lsh"),
+)
+def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-QUALITY eval for the ANN family: NDCG@10 of the sign-LSH
+    bucketed retrieval against exact-cosine graded relevance — the
+    metric that distinguishes "found the right set" (recall, already
+    measured by knn_ivf/minhash recall evals) from "put them in the
+    right ORDER".
+
+    Graded relevance is DEFINED from the exact ranking (rank ≤3 → 3,
+    ≤6 → 2, ≤10 → 1, else 0), which makes the ideal DCG a compile-time
+    CONSTANT and every term integer: gains are ints, position
+    discounts are precomputed integer weights floor(1e6/log2(i+1))
+    inlined as literals on BOTH engines, and the ranking key is the
+    signed quantized cosine-square floor(sign(d)·d²·1e9/(nna·nnb)) on
+    1e-3-quantized int64 vectors — every intermediate ≤2^53 so the one
+    float division is exactly rounded and bit-identical in DuckDB (the
+    semdedup exactness analysis, applied to ordering). No engine log,
+    no float summation, no rounded-cosine ties.
+
+    Scale shape: probes broadcast (5 rows) against the corpus for the
+    truth pass (one map + per-probe top-k — the cosine_topk shape);
+    the system pass meets candidates through the LSH bucket equi-join;
+    the DCG is a 5-group integer aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    ws = _lsh_weights()
+    bucket = None
+    for p, w in enumerate(ws):
+        lit_w = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(v, lit_w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    nn = F.aggregate(
+        F.transform(q, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    base = e.select("vec_id", q.alias("q"), bucket.alias("bucket"), nn.alias("nn"))
+
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qq"),
+        F.col("bucket").alias("qbucket"),
+        F.col("nn").alias("qnn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+    def signed_ratio(d_col):
+        mag = F.floor(
+            d_col.cast("double")
+            * d_col.cast("double")
+            / (F.col("qnn").cast("double") * F.col("nn").cast("double"))
+            * F.lit(1000000000.0)
+        ).cast("long")
+        return F.when(d_col >= 0, mag).otherwise(-mag)
+
+    exact_pairs = (
+        F.broadcast(probes)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), signed_ratio(dot).alias("sv"))
+    )
+    from pyspark.sql.window import Window
+
+    wx = Window.partitionBy("q_id").orderBy(F.col("sv").desc(), "c_id")
+    # gain for EVERY candidate (0 beyond exact rank 10): the system
+    # top-10 joins against this without dropping zero-gain retrievals,
+    # so n_sys counts what the system returned, not what scored
+    gains = exact_pairs.withColumn("xrank", F.row_number().over(wx)).select(
+        "q_id",
+        "c_id",
+        F.when(F.col("xrank") <= 3, 3)
+        .when(F.col("xrank") <= 6, 2)
+        .when(F.col("xrank") <= 10, 1)
+        .otherwise(0)
+        .alias("gain"),
+    )
+    sys_pairs = (
+        F.broadcast(probes)
+        .join(base, probes.qbucket == base.bucket)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), signed_ratio(dot).alias("sv"))
+    )
+    sys10 = (
+        sys_pairs.withColumn("srank", F.row_number().over(wx))
+        .filter(F.col("srank") <= 10)
+        .select("q_id", "c_id", "srank")
+    )
+    w_expr = F.element_at(F.array(*[F.lit(w) for w in _NDCG_W]), F.col("srank"))
+    return (
+        sys10.join(gains, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sys"),
+            F.sum(F.col("gain") * w_expr).cast("long").alias("dcg"),
+        )
+        .select(
+            "q_id",
+            "n_sys",
+            "dcg",
+            F.floor(
+                F.col("dcg").cast("double") * F.lit(1000000.0) / F.lit(float(_NDCG_IDEAL))
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
