@@ -116,6 +116,12 @@ PROBE = [
     "sample_weighted_maxhash",
     "winsorized_robust_mean",
     "pmi_collocations",
+    # r8 additions with real data terms
+    "jaccard_df_capped_pairs",
+    "geo_point_in_polygon_join",
+    "semdedup_threshold_sweep",
+    "epoch_shuffle_shards",
+    "ndcg_at_k_eval",
 ]
 
 #: End-to-end pipelines (not registry entries): (label, callable(spark,
