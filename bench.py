@@ -75,7 +75,10 @@ HEADLINE = [
     "knn_ivf_recall_eval",
     # round 5: semantic dedup + importance-weighted data selection +
     # windowed substring dedup + mergeable frequency sketch
-    "semdedup_cluster_prune",
+    # (semdedup_cluster_prune — the fixed-K quadratic contrast row —
+    # left the headline set in r9 with the `contrast` retag; its
+    # scale-safe sqrt-K twin is benched instead, below)
+    "semdedup_cluster_prune_sqrtk",
     "dsir_importance_weights",
     "duplicate_span_report",
     "heavy_hitters_cms",
@@ -92,10 +95,11 @@ HEADLINE = [
     "graph_triangle_count",
     "markov_event_transitions",
     "pearson_correlation_matrix",
-    # round 6 batch 3: BPE training loop, exact rolling median, the
-    # entropy quality gate
+    # round 6 batch 3: BPE training loop + the entropy quality gate
+    # (rolling_7d_median_value — the RANGE-frame collect_list contrast
+    # row — left the headline set in r9 with the `contrast` retag; its
+    # bucketed skiplist twin below stays benched)
     "bpe_train_unrolled",
-    "rolling_7d_median_value",
     "char_entropy_quality",
     # round 7: the scale twins — skiplist rolling median (vs the
     # collect_list row above), degree-oriented triangles (vs the
@@ -233,8 +237,13 @@ def main() -> None:
     # (long) line — the per-query map goes FIRST and the headline
     # scalars LAST so any prefix truncation eats query detail, never
     # the totals (VERDICT r7 #9). The headline also echoes to stderr.
+    # r9 (VERDICT r8 #5): per-query walls are emitted at 2 decimals to
+    # shrink the stdout line below the capture window, and the COMPLETE
+    # record (3-decimal walls) is also written to BENCH_FULL.json next
+    # to this script so round-over-round per-query diffs never depend
+    # on the driver's tail capture at all.
     out = {
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "load_before": load_before,
         "load_after": load_after,
@@ -251,6 +260,17 @@ def main() -> None:
     if failures:
         out["failures"] = failures
     print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
+    full = dict(out)
+    full["queries"] = timings  # full 3-decimal walls, never truncated
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -62,6 +62,83 @@ def register(
 # driver's independent green row. tests/test_registry_window.py pins
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ------------------------------------------------------------------
+    # r9 MASS ROTATION (VERDICT r8 #1). Through r8 the window rotated a
+    # handful of slots per round; 132 of 253 registry entries had still
+    # never received an independent driver CORRECTNESS row. This round
+    # the window keeps only SEVEN pinned veterans — the three FA anchors
+    # (the reference's own pipeline, re-proven every round) plus one
+    # flagship per always-on family (agg, near-dup, corpus e2e,
+    # streaming) — and fills the other FORTY-THREE slots with
+    # first-timers: the r8 additions that missed their own round's
+    # window, the entire never-proven stateful-streaming family, all 18
+    # remaining TPC-H shapes, and one representative per never-proven
+    # operator family. Every rotated-out veteran keeps its full local
+    # oracle in tests/test_oracle.py; the per-slot retirement rationale
+    # that used to live here is preserved in git history (r8 tag).
+    # No entry tagged `contrast` is eligible (test_registry_window).
+    # ------------------------------------------------------------------
+    # — pinned veterans (7) —
+    "fa_ranked_deed",
+    "fa_valhist_cascade",
+    "fa_flagship_merged",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh_oracled",
+    "corpus_clean_pipeline",
+    "streaming_tumbling_window",
+    # — r8 additions that missed the r8 window (5) —
+    "epoch_shuffle_shards",
+    "ndcg_at_k_eval",
+    "semdedup_threshold_sweep",
+    "jaccard_df_capped_pairs",
+    "multimodal_knn_bucketed",
+    # — stateful / exactly-once streaming, never driver-proven (4) —
+    "streaming_sessionize_stateful",
+    "streaming_dedup_within_watermark",
+    "streaming_dedup_exactly_once",
+    "streaming_custom_source_agg",
+    # — TPC-H, the 18 shapes outside q1/q3/q5/q21's prior rows —
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_types",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q22_dormant_customers",
+    # — one first-timer per never-proven operator family (16) —
+    "quality_gopher_rules",
+    "text_redact_pii",
+    "bpe_train_unrolled",
+    "char_entropy_quality",
+    "pq_adc_topk",
+    "matryoshka_truncation_recall",
+    "events_session_window_native",
+    "events_burst_dedup",
+    "dedup_cluster_components",
+    "contamination_ngram_overlap",
+    "salted_skew_join",
+    "count_distinct_two_phase",
+    "hybrid_rrf_fusion",
+    "asof_join_forward",
+    "scd2_value_intervals",
+    "cohort_retention_matrix",
+)
+
+# The r8 window, kept importable for the rotation-history tests and as
+# the documented prior generation (every name below is driver-proven
+# green in CORRECTNESS_r08.json).
+_R8_WINDOW: tuple[str, ...] = (
     # (scan_filter_project retired to local-oracle coverage in r7 —
     # P1-P5 scan/project/filter stay driver-proven inside q1, the FA
     # flagship chain and string_date's scan; slot reused for the r6

@@ -316,7 +316,7 @@ SELECT event_id, user_id,
        ) AS med_7d_cents
 FROM e
 """,
-    tags=("timeseries", "rolling", "median", "window"),
+    tags=("timeseries", "rolling", "median", "window", "contrast"),
 )
 def rolling_7d_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling 7-day EXACT median of event value — an

@@ -1182,7 +1182,7 @@ def _semdedup(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 @register(
     "semdedup_cluster_prune",
     oracle=_SEMDEDUP_ORACLE,
-    tags=("dedup", "embedding", "semdedup", "cluster", "training-data"),
+    tags=("dedup", "embedding", "semdedup", "cluster", "training-data", "contrast"),
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at fixed K=8 — kept as the deliberate QUADRATIC

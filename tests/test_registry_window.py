@@ -39,3 +39,23 @@ def test_window_entries_have_oracles():
 def test_load_all_keeps_every_registered_query():
     reg = load_all()
     assert len(reg) >= 143  # nothing evicted from the registry itself
+
+
+def test_no_contrast_row_in_window():
+    """Queries tagged ``contrast`` are deliberate scale-killer
+    anti-pattern rows kept ONLY for the 10x/100x probe tables
+    (SCALING.md); each has a scale-safe production twin. They are
+    ineligible for the driver window (VERDICT r8 #3) — a plan we would
+    not run at 100x must never be presented as a first-class proven
+    query."""
+    reg = load_all()
+    offenders = [n for n in DRIVER_WINDOW if "contrast" in reg[n].tags]
+    assert offenders == [], f"contrast rows in the driver window: {offenders}"
+
+
+def test_contrast_rows_have_scale_safe_twins():
+    reg = load_all()
+    contrast = {n for n, s in reg.items() if "contrast" in s.tags}
+    assert contrast == {"rolling_7d_median_value", "semdedup_cluster_prune"}
+    assert "rolling_7d_median_bucketed" in reg
+    assert "semdedup_cluster_prune_sqrtk" in reg
