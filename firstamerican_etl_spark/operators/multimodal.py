@@ -430,3 +430,153 @@ def featurize(assets: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return assets.mapInPandas(fn, schema=out_schema)
+
+
+# ------------------------------------------------- perceptual hashing
+
+#: Fixed raster for the deterministic gradient fixture: 18x16 so the
+#: dHash 9x8 grid falls on exact 2x2 pixel blocks (integer box sums,
+#: no resampling error for the SQL oracle to approximate).
+GRADIENT_W, GRADIENT_H = 18, 16
+
+#: Per-asset dHash output: the 64-bit gradient fingerprint carried as
+#: four 16-bit band values (two grid rows each) — the banding IS the
+#: LSH blocking key downstream, and staying in 16-bit longs sidesteps
+#: int64 sign-bit issues a packed 64-bit fingerprint would hit when
+#: bit 63 is set.
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Deterministic P5 (binary grayscale PGM) encoder — the writer
+    half of the gradient-image fixture; decoded by ``_decode_netpbm``."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    return b"P5\n%d %d\n255\n" % (width, height) + bytes(pixels)
+
+
+def _gradient_pixels(doc_id: int) -> bytes:
+    """Pixel raster for the perceptual-dedup fixture. Quadratic field
+    ``(a*x^2 + b*y^2 + x*y + c) % 256`` with (a, b, c) derived from
+    ``doc_id // 2`` and ``c`` perturbed by ``doc_id % 2`` — so
+    consecutive even/odd ids form designed NEAR-DUPLICATE pairs (a
+    uniform +1 brightness shift changes cell sums identically except
+    at mod-256 wrap pixels → small nonzero Hamming distance), while
+    different bases produce uncorrelated gradient-sign patterns. Every
+    term is integer, so a SQL oracle recomputes the raster exactly."""
+    import numpy as np
+
+    base, delta = doc_id // 2, doc_id % 2
+    a = (base * 7) % 11 + 1
+    b = (base * 3) % 13 + 1
+    c = (base * 31 + delta) % 256
+    x = np.arange(GRADIENT_W, dtype=np.int64)
+    y = np.arange(GRADIENT_H, dtype=np.int64)
+    xg, yg = np.meshgrid(x, y)  # row-major (H, W)
+    px = (a * xg * xg + b * yg * yg + xg * yg + c) % 256
+    return px.astype(np.uint8).tobytes()
+
+
+def documents_as_gradient_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic STRUCTURED-image ingest stand-in for perceptual
+    hashing: unlike the solid-color PPM fixture (whose dHash would be
+    degenerately all-zero), every document becomes an 18x16 grayscale
+    P5 raster with a doc-derived quadratic intensity field, and
+    consecutive even/odd doc_ids are designed near-duplicates. Narrow
+    mapInPandas generate stage, zero shuffles."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                payload = encode_pgm(GRADIENT_W, GRADIENT_H, _gradient_pixels(i))
+                rows.append(
+                    (
+                        i,
+                        payload,
+                        {
+                            "format": "image/x-portable-graymap",
+                            "width": GRADIENT_W,
+                            "height": GRADIENT_H,
+                            "n_bytes": len(payload),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    return docs.select("doc_id").mapInPandas(fn, schema=ASSET_SCHEMA)
+
+
+def image_dhash_bands(assets: DataFrame) -> DataFrame:
+    """dHash over DECODED pixels: downsample the raster to a 9x8 grid
+    of integer box sums, then emit the 64-bit horizontal-gradient
+    fingerprint (bit = left cell mean < right cell mean) as four
+    16-bit bands. The perceptual property: any uniform brightness or
+    contrast change that preserves left<right orderings leaves the
+    fingerprint untouched; local edits flip only the bits whose cells
+    they cross.
+
+    Grid cells use integer boundaries ``x0 = gx*w // 9`` and the mean
+    comparison is cross-multiplied (``s_l*n_r < s_r*n_l``) so the
+    operator is EXACT for any raster size — no float resampling.  On
+    the 18x16 fixture the boxes are uniform 2x2 blocks, which is what
+    the SQL oracle mirrors.
+
+    100 TB shape: narrow Arrow-batched mapInPandas (the only Python
+    stage — everything downstream of the fingerprint is relational),
+    partitioning preserved, one int64 row per asset out — the shuffle
+    that follows carries 4 ints per image, never pixels."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bands = [], [[], [], [], []]
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _, px = _decode_netpbm(bytes(payload))
+                arr = np.asarray(px, dtype=np.int64)
+                if arr.size == 3 * w * h:  # color: sum channels per pixel
+                    arr = arr.reshape(h * w, 3).sum(axis=1)
+                arr = arr.reshape(h, w)
+                xs = [(g * w) // 9 for g in range(10)]
+                ys = [(g * h) // 8 for g in range(9)]
+                s = np.empty((8, 9), dtype=np.int64)
+                n = np.empty((8, 9), dtype=np.int64)
+                for gy in range(8):
+                    for gx in range(9):
+                        block = arr[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]]
+                        s[gy, gx] = int(block.sum())
+                        n[gy, gx] = block.size
+                bits = (s[:, :-1] * n[:, 1:] < s[:, 1:] * n[:, :-1]).astype(
+                    np.int64
+                )  # (8 rows, 8 cols)
+                ids.append(int(asset_id))
+                for k in range(4):
+                    v = 0
+                    for r in range(2):
+                        row = bits[2 * k + r]
+                        for gx in range(8):
+                            v |= int(row[gx]) << (r * 8 + gx)
+                    bands[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "b0": pd.Series(bands[0], dtype="int64"),
+                    "b1": pd.Series(bands[1], dtype="int64"),
+                    "b2": pd.Series(bands[2], dtype="int64"),
+                    "b3": pd.Series(bands[3], dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=DHASH_SCHEMA
+    )

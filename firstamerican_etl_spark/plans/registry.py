@@ -130,9 +130,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_skew_join",
     "count_distinct_two_phase",
     "hybrid_rrf_fusion",
-    "asof_join_forward",
-    "scd2_value_intervals",
-    "cohort_retention_matrix",
+    # — new in r9, never driver-proven by construction (3): the image
+    # perceptual near-dup operator (VERDICT r8 #2) and the two custom
+    # DataSources that had pytest coverage but no registry row
+    # (VERDICT r8 #8) —
+    "dedup_image_dhash_pairs",
+    "fazip_source_roundtrip",
+    "jsonlgz_sink_roundtrip",
 )
 
 # The r8 window, kept importable for the rotation-history tests and as

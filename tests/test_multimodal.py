@@ -157,3 +157,76 @@ def test_ppm_roundtrip_through_spark(spark):
         assert r["mean_byte"] == pytest.approx(mean)
         assert r["n_bytes"] == len(payloads[aid])
         assert r["checksum"] == zlib.crc32(payloads[aid])
+
+
+def test_dhash_designed_near_dup_pairs(spark):
+    """The gradient fixture's even/odd doc_id pairs are designed
+    near-duplicates (+1 brightness on a quadratic field): the dHash
+    banded-Hamming query must recover (almost all of) them at small
+    Hamming distance, must NEVER pair two docs from different bases at
+    distance 0, and the fingerprints themselves must match a direct
+    numpy recomputation of the documented pixel math."""
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = reg["dedup_image_dhash_pairs"].spark(spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert pairs, "no near-dup pairs found at all"
+    designed = {(a, b) for (a, b) in pairs if a // 2 == b // 2}
+    # the fixture designs 250 sibling pairs at sf0.001 (500 docs); the
+    # +1 perturbation leaves nearly all within Hamming<=6 AND band-
+    # blockable — require a high floor rather than an exact count so
+    # the test pins the DESIGN property, not one dataset instance
+    assert len(designed) >= 200, f"only {len(designed)} designed pairs recovered"
+    # every designed pair the query reports must be genuinely close
+    assert all(h <= 6 for h in (pairs[p] for p in designed))
+    # perceptual soundness: a cross-base pair at distance 0 would mean
+    # the fingerprint collapses unrelated images
+    zero_cross = [
+        (a, b) for (a, b), h in pairs.items() if h == 0 and a // 2 != b // 2
+    ]
+    assert zero_cross == [], f"unrelated images at Hamming 0: {zero_cross[:5]}"
+
+
+def test_dhash_bands_match_numpy_reference(spark):
+    """image_dhash_bands over the synthesized assets equals a direct
+    numpy dHash of the same documented pixel formula — pins the
+    decode → box-sum → gradient-bit → band-pack chain independently of
+    the SQL oracle."""
+    import numpy as np
+
+    from firstamerican_etl_spark.operators.multimodal import (
+        GRADIENT_H,
+        GRADIENT_W,
+        documents_as_gradient_assets,
+        image_dhash_bands,
+    )
+    from firstamerican_etl_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(64)
+    got = {
+        r["asset_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_dhash_bands(documents_as_gradient_assets(docs)).collect()
+    }
+    assert len(got) == 64
+    for d in got:
+        base, delta = d // 2, d % 2
+        a = (base * 7) % 11 + 1
+        b = (base * 3) % 13 + 1
+        c = (base * 31 + delta) % 256
+        x = np.arange(GRADIENT_W)
+        y = np.arange(GRADIENT_H)
+        xg, yg = np.meshgrid(x, y)
+        px = (a * xg * xg + b * yg * yg + xg * yg + c) % 256
+        cells = px.reshape(8, 2, 9, 2).sum(axis=(1, 3))
+        bits = (cells[:, :-1] < cells[:, 1:]).astype(int)
+        want = tuple(
+            sum(
+                int(bits[2 * k + r, gx]) << (r * 8 + gx)
+                for r in range(2)
+                for gx in range(8)
+            )
+            for k in range(4)
+        )
+        assert got[d] == want, f"doc {d}: {got[d]} != {want}"

@@ -43,6 +43,10 @@ ARROW_PYTHON_OK = {
     "multimodal_ppm_pixel_decode",  # pure-python netpbm raster decode
     "multimodal_binaryfile_ingest",  # same netpbm decode over binaryFile rows
     "multimodal_wds_roundtrip",  # netpbm decode over wds tar-shard rows
+    # gradient-asset synth + netpbm decode + integer dHash: the ONE
+    # narrow Python stage; everything after the 4-int fingerprint is
+    # relational (banded equi-join + bit_count verify)
+    "dedup_image_dhash_pairs",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_vectorized",
     "semdedup_cluster_prune",  # per-cell int64 BLAS pair kernel (exact)
