@@ -40,6 +40,7 @@ import os
 import time
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,7 +89,11 @@ def _check_scheme_stamp(spark: SparkSession, idx: str) -> None:
     try:
         rows = spark.read.parquet(path).collect()
         got = int(rows[0]["minhash_scheme_version"]) if rows else None
-    except Exception:
+    except (AnalysisException, FileNotFoundError):
+        # stamp genuinely absent -> a pre-versioning index; anything
+        # else (IO/permission/cluster failure, malformed stamp) is NOT
+        # evidence the index is unversioned — re-raise so a transient
+        # error can't masquerade as "needs full rebuild"
         got = None
     if got != MINHASH_SCHEME_VERSION:
         raise ValueError(

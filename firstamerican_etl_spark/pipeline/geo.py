@@ -1,6 +1,6 @@
 """Geographic standardization stage — the spatial-join validation the
 reference PROMISES in its pipeline contract but never implements
-("validates/standardizes the geographic elements using spatil join",
+("validates/standardizes the geographic elements using spatil [sic] join",
 fa-etl.py:492; the staged Prop conversion stops at null-ing zero
 coordinates and whitelisting SitusGeoStatusCode, fa-etl.py:168-174).
 
@@ -44,6 +44,41 @@ FA_TRACTS: list[tuple[int, list[tuple[int, int]]]] = [
 
 _CELL = 1000  # candidate grid edge, centidegrees
 
+#: Sub-vertex lattice factor: property coordinates are snapped to an
+#: int64 lattice of 1/(100·_Q) degree = 10⁻⁵ deg (~1.1 m) before the
+#: crossing test, and ring vertices (centidegrees) are scaled by _Q
+#: onto the same lattice. The test then runs on EXACT int64
+#: arithmetic — the same kernel the oracled geo_point_in_polygon_join
+#: value-pins against DuckDB — instead of floats, where a point within
+#: float-rounding distance of an edge could classify differently from
+#: the exact kernel. Residual approximation: the ≤5·10⁻⁶-degree
+#: (~0.6 m) snap itself, which matters only for points genuinely ON a
+#: tract boundary (where any assignment is defensible).
+_Q = 1000
+
+
+def load_tracts(path: str) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Load tract rings from a JSON file shaped
+    ``[[tract_id, [[lon_centideg, lat_centideg], ...]], ...]`` —
+    vertex coordinates are INTEGER centidegrees (deg × 100), rings in
+    either orientation, no closing repeat vertex required. This is the
+    production entry point for real tract polygons; the in-code
+    ``FA_TRACTS`` default is a test fixture only."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    tracts: list[tuple[int, list[tuple[int, int]]]] = []
+    for item in raw:
+        tid, ring = item
+        vs = [(int(x), int(y)) for x, y in ring]
+        if len(vs) < 3:
+            raise ValueError(f"tract {tid}: ring needs >=3 vertices")
+        tracts.append((int(tid), vs))
+    if not tracts:
+        raise ValueError(f"no tract rings in {path}")
+    return tracts
+
 
 def standardize_geo(
     prop: DataFrame,
@@ -54,12 +89,20 @@ def standardize_geo(
     """Append GeoTractID / SitusGeoMatch to ``prop`` via a broadcast
     point-in-polygon join against ``tracts`` (vertex coordinates in
     integer centidegrees, rings in either orientation, star-shaped or
-    convex — any simple polygon works for the crossing-number test)."""
+    convex — any simple polygon works for the crossing-number test).
+    Points are snapped to the 10⁻⁵-degree int64 lattice (see ``_Q``)
+    so the crossing test is exact integer arithmetic."""
     spark: SparkSession = prop.sparkSession
     tracts = FA_TRACTS if tracts is None else tracts
 
     edges = [
-        (t, vs[k][0], vs[k][1], vs[(k + 1) % len(vs)][0], vs[(k + 1) % len(vs)][1])
+        (
+            t,
+            vs[k][0] * _Q,
+            vs[k][1] * _Q,
+            vs[(k + 1) % len(vs)][0] * _Q,
+            vs[(k + 1) % len(vs)][1] * _Q,
+        )
         for t, vs in tracts
         for k in range(len(vs))
     ]
@@ -76,22 +119,28 @@ def standardize_geo(
         }
     )
     edges_df = local_df(
-        spark, edges, "tract_id INT, x1 INT, y1 INT, x2 INT, y2 INT"
+        spark, edges, "tract_id INT, x1 LONG, y1 LONG, x2 LONG, y2 LONG"
     )
     cells_df = local_df(spark, cells, "cell_x INT, cell_y INT, tract_id INT")
 
     # stable row key for the re-join: PropertyID is unique in staged
     # Prop (fa-etl.py:164 filters null ids; m:1 uniqueness is asserted
     # downstream in unify), so the containment frame is keyed on it.
+    # round-then-cast snaps onto the shared int64 lattice; everything
+    # downstream is exact integer arithmetic.
     pts = prop.select(
         "PropertyID",
-        (F.col(lat_col) * 100.0).alias("py"),
-        (F.col(lon_col) * 100.0).alias("px"),
+        F.round(F.col(lat_col) * (100.0 * _Q)).cast("long").alias("py"),
+        F.round(F.col(lon_col) * (100.0 * _Q)).cast("long").alias("px"),
     ).filter(F.col("py").isNotNull() & F.col("px").isNotNull())
 
     cand = (
-        pts.withColumn("cell_x", F.floor(F.col("px") / _CELL).cast("int"))
-        .withColumn("cell_y", F.floor(F.col("py") / _CELL).cast("int"))
+        pts.withColumn(
+            "cell_x", F.floor(F.col("px") / (_CELL * _Q)).cast("int")
+        )
+        .withColumn(
+            "cell_y", F.floor(F.col("py") / (_CELL * _Q)).cast("int")
+        )
         .join(F.broadcast(cells_df), ["cell_x", "cell_y"])
     )
     straddle = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))

@@ -134,6 +134,7 @@ def run_pipeline(
     use_fazip_source: bool = False,
     bucket_staging: int = 0,
     standardize_geo: bool = False,
+    tracts_file: str | None = None,
 ) -> DataFrame:
     """Full ETL (O2-O7): raw/*.txt.zip → staging/*.parquet → unified/merged.
 
@@ -332,12 +333,25 @@ def run_pipeline(
     if standardize_geo:
         # the spatial-join geo validation the reference's contract
         # documents but never ships (fa-etl.py:492): tract assignment
-        # + match status ride the prop side into the unified merge
+        # + match status ride the prop side into the unified merge.
+        # Real runs MUST pass tracts_file (JSON rings, see
+        # pipeline.geo.load_tracts) — without it the stage falls back
+        # to the FA_TRACTS test fixture (a 2x2 grid over lat 34-35 /
+        # lon -119..-118) and everything outside that box is stamped
+        # 'O' with fixture-derived GeoTractIDs.
+        from firstamerican_etl_spark.pipeline.geo import load_tracts
         from firstamerican_etl_spark.pipeline.geo import (
             standardize_geo as _std_geo,
         )
 
-        prop_staged = _std_geo(prop_staged)
+        tracts = load_tracts(tracts_file) if tracts_file else None
+        if not tracts_file:
+            log.warning(
+                "standardize_geo running against the FA_TRACTS test "
+                "fixture (no --tracts_file given); GeoTractID / "
+                "SitusGeoMatch are fixture-derived, not real tracts"
+            )
+        prop_staged = _std_geo(prop_staged, tracts=tracts)
     merged = unify(
         ranked_valhist=read_stage(ranked_paths["valhist"], "ranked_valhist"),
         prop=prop_staged,
@@ -367,7 +381,19 @@ def main(argv: list[str] | None = None) -> None:
         "--standardize_geo",
         action="store_true",
         help="run the point-in-polygon geo validation stage "
-        "(GeoTractID / SitusGeoMatch columns on the unified output)",
+        "(GeoTractID / SitusGeoMatch columns on the unified output); "
+        "pass --tracts_file for real tract rings — WITHOUT it the "
+        "stage uses built-in TEST-FIXTURE polygons (a 2x2 grid over "
+        "lat 34-35 / lon -119..-118) and every property outside that "
+        "box is stamped 'O'",
+    )
+    parser.add_argument(
+        "--tracts_file",
+        default=None,
+        metavar="TRACTS.json",
+        help="JSON tract rings [[tract_id, [[lon_centideg, "
+        "lat_centideg], ...]], ...] for --standardize_geo "
+        "(see pipeline.geo.load_tracts)",
     )
     parser.add_argument(
         "--bucket_staging",
@@ -399,6 +425,7 @@ def main(argv: list[str] | None = None) -> None:
             validate=args.validate,
             bucket_staging=args.bucket_staging,
             standardize_geo=args.standardize_geo,
+            tracts_file=args.tracts_file,
         )
         log.info("merged schema: %s", merged.schema.simpleString())
     except Exception:

@@ -332,7 +332,7 @@ def geo_morton_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Point-in-polygon spatial join — the geographic VALIDATION step the
 # reference promises but never implements ("validates/standardizes the
-# geographic elements using spatil join", fa-etl.py:492). Synthetic
+# geographic elements using spatil [sic] join", fa-etl.py:492). Synthetic
 # census-tract polygons in integer CENTIDEGREES; containment is the
 # ray-cast crossing number evaluated with cross-multiplied int64
 # arithmetic only (no division, no floats), so Spark and DuckDB agree

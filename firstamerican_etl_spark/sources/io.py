@@ -170,19 +170,26 @@ def extract_zips(zip_paths: list[str], out_dir: str) -> list[str]:
     for zp in zip_paths:
         with zipfile.ZipFile(zp) as zf:  # close after listing (fd leak)
             jobs.extend((zp, member) for member in zf.namelist())
-    # Two zips carrying the SAME member name would race in the thread
-    # pool below — interleaved writes to one output path can leave a
-    # truncated file where the old serial loop at least gave a
-    # deterministic last-writer-wins. Duplicate member names across
-    # archives are a data-layout bug (the reference's per-county zips
-    # are disjoint by construction, fa-etl.py:53-55); fail loudly.
+    # Any two jobs carrying the SAME member name would race in the
+    # thread pool below — interleaved writes to one output path can
+    # leave a truncated file where the old serial loop at least gave a
+    # deterministic last-writer-wins. That includes repeats WITHIN one
+    # archive: the zip format permits multiple entries under one name,
+    # and two such jobs race exactly like cross-archive ones. Duplicate
+    # member names are a data-layout bug (the reference's per-county
+    # zips are disjoint by construction, fa-etl.py:53-55); fail loudly.
     seen: dict[str, str] = {}
     for zp, member in jobs:
-        if member in seen and seen[member] != zp:
+        if member in seen:
+            where = (
+                f"twice in {zp}" if seen[member] == zp
+                else f"in both {seen[member]} and {zp}"
+            )
             raise ValueError(
-                f"duplicate member {member!r} in both {seen[member]} and "
-                f"{zp}; parallel extraction to one output path would "
-                "race — extract these archives to separate directories"
+                f"duplicate member {member!r} {where}; parallel "
+                "extraction to one output path would race — extract "
+                "these archives to separate directories (or repack the "
+                "archive without repeated entry names)"
             )
         seen[member] = zp
     # zlib decompression releases the GIL, so a thread pool extracts
@@ -458,22 +465,29 @@ def compact_parquet_dir(
         # type-ambiguous partition VALUES (split=05 infers int and is
         # rewritten as split=5; date-like strings become dates),
         # changing directory names and column types under readers.
-        # Pin inference OFF for the rewrite so directory names survive
-        # verbatim (partition values stay the literal strings on
-        # disk); downstream readers re-infer exactly as before.
-        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        old = spark.conf.get(conf_key, "true")
-        try:
-            spark.conf.set(conf_key, "false")
-            df = spark.read.parquet(path)
-            (
-                df.repartition(*keys)
-                .write.mode("overwrite")
-                .partitionBy(*keys)
-                .parquet(tmp)
-            )
-        finally:
-            spark.conf.set(conf_key, old)
+        # Supplying an EXPLICIT schema with the partition keys typed
+        # string makes Spark take the user-specified type instead of
+        # inferring — directory names survive verbatim, and no
+        # session-global conf is touched (the repo deliberately runs
+        # Spark jobs on concurrent driver threads: a set/restore of
+        # partitionColumnTypeInference here would make any concurrent
+        # read of OTHER partitioned paths silently see string-typed
+        # partition columns for the compaction window). Downstream
+        # readers of the compacted path re-infer exactly as before.
+        from pyspark.sql import types as T
+
+        data_schema = spark.read.parquet(files[0]).schema
+        full = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField(k, T.StringType()) for k in keys]
+        )
+        df = spark.read.schema(full).parquet(path)
+        (
+            df.repartition(*keys)
+            .write.mode("overwrite")
+            .partitionBy(*keys)
+            .parquet(tmp)
+        )
     else:
         df = spark.read.parquet(path)
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)

@@ -479,3 +479,61 @@ def test_standardize_geo_stage(spark, tmp_path_factory):
     prop = spark.read.parquet(os.path.join(input_dir, "staging", "prop"))
     geo = {r["PropertyID"]: r for r in standardize_geo(prop).collect()}
     assert geo[2]["SitusGeoMatch"] is None and geo[2]["GeoTractID"] is None
+
+
+def test_standardize_geo_custom_tracts_file(spark, tmp_path_factory):
+    """--tracts_file routes REAL tract rings into the geo stage (the
+    FA_TRACTS default is fixture-only): with a ring around the NY
+    fixture coords, NY properties validate 'V' into the custom tract
+    and the LA properties — inside the default fixture grid but
+    outside the custom ring — are stamped 'O'."""
+    import json
+
+    from firstamerican_etl_spark.pipeline.geo import load_tracts, standardize_geo
+
+    tdir = tmp_path_factory.mktemp("tracts")
+    tracts_path = os.path.join(str(tdir), "ny_tracts.json")
+    # one ring around (40.7..40.95, -74.25..-73.95) in centidegrees,
+    # boundaries offset off the fixture lattice
+    ring = [[-7426, 4065], [-7394, 4065], [-7394, 4096], [-7426, 4096]]
+    with open(tracts_path, "w") as f:
+        json.dump([[36061001, ring]], f)
+
+    input_dir = str(tmp_path_factory.mktemp("fa_geo_custom"))
+    raw_dir = os.path.join(input_dir, "raw")
+    os.makedirs(raw_dir)
+    for name, header, rows in [
+        ("Deed36061", DEED_HEADER, DEED_36061),
+        ("Deed06037", DEED_HEADER, DEED_06037),
+        ("Prop36061", PROP_HEADER, PROP_36061),
+        ("Prop06037", PROP_HEADER, PROP_06037),
+        ("TaxHist36061", TAXHIST_HEADER, TAXHIST_36061),
+        ("TaxHist06037", TAXHIST_HEADER, TAXHIST_06037),
+        ("ValHist36061", VALHIST_HEADER, VALHIST_36061),
+        ("ValHist06037", VALHIST_HEADER, VALHIST_06037),
+    ]:
+        _write_zip(raw_dir, name, header, rows)
+    merged = run_pipeline(
+        spark, input_dir, standardize_geo=True, tracts_file=tracts_path
+    )
+    rows = {r["PropertyID"]: r for r in merged.collect()}
+    assert rows[1]["SitusGeoMatch"] == "V"
+    assert rows[1]["GeoTractID"] == 36061001
+    assert rows[10]["SitusGeoMatch"] == "O" and rows[10]["GeoTractID"] is None
+
+    # loader validates shape
+    bad = os.path.join(str(tdir), "bad.json")
+    with open(bad, "w") as f:
+        json.dump([[1, [[0, 0], [1, 1]]]], f)  # 2-vertex ring
+    import pytest
+
+    with pytest.raises(ValueError, match=">=3 vertices"):
+        load_tracts(bad)
+
+    # direct-call parity: the same rings through the public API
+    prop = spark.read.parquet(os.path.join(input_dir, "staging", "prop"))
+    geo = {
+        r["PropertyID"]: r
+        for r in standardize_geo(prop, tracts=load_tracts(tracts_path)).collect()
+    }
+    assert geo[5]["SitusGeoMatch"] == "V"  # (40.9, -74.2) inside the ring

@@ -325,3 +325,39 @@ def test_wds_overwrite_is_crash_safe(spark, tmp_path):
         .load()
     )
     assert back.count() == 7
+
+
+def test_extract_zips_rejects_duplicate_member_within_one_archive(tmp_path):
+    """The zip format permits repeated entry names inside ONE archive;
+    two such jobs race in the extraction thread pool exactly like a
+    cross-archive collision — both must be rejected loudly."""
+    import zipfile
+
+    import pytest
+
+    from firstamerican_etl_spark.sources.io import extract_zips
+
+    zp = tmp_path / "dupe.txt.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("Deed.txt", "a|1\n")
+        zf.writestr("Deed.txt", "b|2\n")  # second entry, same name
+    with pytest.raises(ValueError, match="twice in"):
+        extract_zips([str(zp)], str(tmp_path / "out"))
+
+    # cross-archive duplicate still rejected
+    z1, z2 = tmp_path / "c1.txt.zip", tmp_path / "c2.txt.zip"
+    for z in (z1, z2):
+        with zipfile.ZipFile(z, "w") as zf:
+            zf.writestr("Deed.txt", "x|9\n")
+    with pytest.raises(ValueError, match="in both"):
+        extract_zips([str(z1), str(z2)], str(tmp_path / "out2"))
+
+    # disjoint members extract fine, including in parallel
+    z3, z4 = tmp_path / "d1.txt.zip", tmp_path / "d2.txt.zip"
+    with zipfile.ZipFile(z3, "w") as zf:
+        zf.writestr("A.txt", "1\n")
+        zf.writestr("B.txt", "2\n")
+    with zipfile.ZipFile(z4, "w") as zf:
+        zf.writestr("C.txt", "3\n")
+    out = extract_zips([str(z3), str(z4)], str(tmp_path / "out3"))
+    assert sorted(p.rsplit("/", 1)[-1] for p in out) == ["A.txt", "B.txt", "C.txt"]
