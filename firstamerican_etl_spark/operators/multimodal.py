@@ -539,6 +539,13 @@ def image_dhash_bands(assets: DataFrame) -> DataFrame:
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # band packing weights: bit (r, gx) of band k is bits[2k+r, gx]
+        # shifted by r*8 + gx
+        pack_w = (
+            np.int64(1)
+            << (np.arange(2)[:, None] * 8 + np.arange(8)[None, :])
+        )  # (2, 8)
+
         for pdf in batches:
             ids, bands = [], [[], [], [], []]
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -547,26 +554,26 @@ def image_dhash_bands(assets: DataFrame) -> DataFrame:
                 if arr.size == 3 * w * h:  # color: sum channels per pixel
                     arr = arr.reshape(h * w, 3).sum(axis=1)
                 arr = arr.reshape(h, w)
-                xs = [(g * w) // 9 for g in range(10)]
-                ys = [(g * h) // 8 for g in range(9)]
-                s = np.empty((8, 9), dtype=np.int64)
-                n = np.empty((8, 9), dtype=np.int64)
-                for gy in range(8):
-                    for gx in range(9):
-                        block = arr[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]]
-                        s[gy, gx] = int(block.sum())
-                        n[gy, gx] = block.size
+                xs = np.array([(g * w) // 9 for g in range(10)])
+                ys = np.array([(g * h) // 8 for g in range(9)])
+                # integral image: every 9x8 box sum in three vector ops
+                # (the per-block double loop was 72 .sum() calls/image)
+                ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+                ii[1:, 1:] = arr.cumsum(axis=0).cumsum(axis=1)
+                s = (
+                    ii[np.ix_(ys[1:], xs[1:])]
+                    - ii[np.ix_(ys[1:], xs[:-1])]
+                    - ii[np.ix_(ys[:-1], xs[1:])]
+                    + ii[np.ix_(ys[:-1], xs[:-1])]
+                )  # (8, 9)
+                n = np.outer(np.diff(ys), np.diff(xs))  # (8, 9)
                 bits = (s[:, :-1] * n[:, 1:] < s[:, 1:] * n[:, :-1]).astype(
                     np.int64
                 )  # (8 rows, 8 cols)
+                vals = (bits.reshape(4, 2, 8) * pack_w).sum(axis=(1, 2))
                 ids.append(int(asset_id))
                 for k in range(4):
-                    v = 0
-                    for r in range(2):
-                        row = bits[2 * k + r]
-                        for gx in range(8):
-                            v |= int(row[gx]) << (r * 8 + gx)
-                    bands[k].append(v)
+                    bands[k].append(int(vals[k]))
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),

@@ -720,3 +720,186 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
+
+
+@register(
+    "dedup_image_dhash_distinct",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         ((doc_id // 2) * 7) % 11 + 1 AS ga,
+         ((doc_id // 2) * 3) % 13 + 1 AS gb,
+         ((doc_id // 2) * 31 + (doc_id % 2)) % 256 AS gc
+  FROM documents
+),
+cells AS (
+  SELECT p.doc_id, gx.gx, gy.gy,
+         SUM((p.ga * (2*gx.gx + dx.dx) * (2*gx.gx + dx.dx)
+              + p.gb * (2*gy.gy + dy.dy) * (2*gy.gy + dy.dy)
+              + (2*gx.gx + dx.dx) * (2*gy.gy + dy.dy)
+              + p.gc) % 256) AS s
+  FROM p,
+       (SELECT unnest(generate_series(0, 8)) AS gx) gx,
+       (SELECT unnest(generate_series(0, 7)) AS gy) gy,
+       (SELECT unnest(generate_series(0, 1)) AS dx) dx,
+       (SELECT unnest(generate_series(0, 1)) AS dy) dy
+  GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT l.doc_id, l.gx, l.gy,
+         CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r
+    ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+  WHERE l.gx < 8
+),
+bands AS (
+  SELECT doc_id, gy // 2 AS band_id,
+         SUM(CAST(bit AS BIGINT) << (((gy % 2) * 8) + gx)) AS bv
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         max(CASE WHEN band_id = 0 THEN bv END) AS b0,
+         max(CASE WHEN band_id = 1 THEN bv END) AS b1,
+         max(CASE WHEN band_id = 2 THEN bv END) AS b2,
+         max(CASE WHEN band_id = 3 THEN bv END) AS b3
+  FROM bands GROUP BY 1
+),
+reps AS (
+  SELECT b0, b1, b2, b3,
+         min(doc_id) AS rep_id,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM fp GROUP BY 1, 2, 3, 4
+),
+rbands AS (
+  SELECT rep_id, 0 AS band_id, b0 AS bv FROM reps
+  UNION ALL SELECT rep_id, 1, b1 FROM reps
+  UNION ALL SELECT rep_id, 2, b2 FROM reps
+  UNION ALL SELECT rep_id, 3, b3 FROM reps
+),
+cand AS (
+  SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b
+  FROM rbands a JOIN rbands b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.rep_id < b.rep_id
+)
+SELECT c.rep_a, c.rep_b,
+       bit_count(xor(ra.b0, rb.b0)) + bit_count(xor(ra.b1, rb.b1))
+     + bit_count(xor(ra.b2, rb.b2)) + bit_count(xor(ra.b3, rb.b3)) AS hamming,
+       ra.n_docs AS n_docs_a, rb.n_docs AS n_docs_b
+FROM cand c
+JOIN reps ra ON ra.rep_id = c.rep_a
+JOIN reps rb ON rb.rep_id = c.rep_b
+WHERE bit_count(xor(ra.b0, rb.b0)) + bit_count(xor(ra.b1, rb.b1))
+    + bit_count(xor(ra.b2, rb.b2)) + bit_count(xor(ra.b3, rb.b3)) <= 6
+""",
+    tags=("dedup", "multimodal", "image", "dhash", "perceptual", "scale"),
+)
+def dedup_image_dhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of ``dedup_image_dhash_pairs`` — near-dup search
+    over DISTINCT fingerprints, measured after the 100x probe caught
+    the all-pairs row at 11.1x per decade (SCALING.md incremental
+    table).
+
+    Why the twin exists: under mass duplication — the normal condition
+    in a web-scale image corpus, where one meme/logo/thumbnail recurs
+    millions of times — identical rasters produce identical 64-bit
+    dHashes, so (a) every LSH band bucket grows linearly with corpus
+    size and (b) the all-pairs OUTPUT of a duplicate cluster is
+    C(n,2), inherently quadratic no matter how the candidates are
+    generated. The production shape collapses exact-fingerprint
+    duplication FIRST (one map-side-partial hash aggregate keyed on
+    the four band values; min doc_id becomes the cluster
+    representative, count(*) the multiplicity) and runs the banded
+    Hamming search over the D distinct fingerprints only. Candidate
+    and output volume then scale with CONTENT DIVERSITY D, which
+    saturates, not with corpus size N, which doesn't; per-doc cluster
+    membership is recoverable by joining docs back on the fingerprint
+    columns — no pair explosion anywhere. Same integer-exact oracle
+    discipline as the all-pairs row; the multiplicities ride along so
+    the result still sizes every collapsed cluster."""
+    from firstamerican_etl_spark.operators.multimodal import (
+        documents_as_gradient_assets,
+        image_dhash_bands,
+    )
+
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    fp = image_dhash_bands(
+        documents_as_gradient_assets(load_table(spark, sf_dir, "documents"))
+    )
+    # reps feeds TWO join branches (band explode + multiplicity join);
+    # Catalyst does not CSE across branches, so unstaged the whole
+    # decode+dHash Python stage would run twice
+    reps = stage_once(
+        fp.groupBy("b0", "b1", "b2", "b3").agg(
+            F.min("asset_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        ),
+        "dhash_reps",
+        reuse_key=staging_tag(sf_dir, "documents"),
+    )
+    bands = reps.select(
+        "rep_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"), F.col(f"b{k}").alias("bv")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("rep_id", "b0", "b1", "b2", "b3", "band.band_id", "band.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .select(
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
+            F.col("a.b0").alias("a0"),
+            F.col("a.b1").alias("a1"),
+            F.col("a.b2").alias("a2"),
+            F.col("a.b3").alias("a3"),
+            F.col("b.b0").alias("c0"),
+            F.col("b.b1").alias("c1"),
+            F.col("b.b2").alias("c2"),
+            F.col("b.b3").alias("c3"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+    )
+    pairs = cand.select("rep_a", "rep_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+    counts = reps.select("rep_id", "n_docs")
+    return (
+        pairs.join(
+            counts.withColumnRenamed("rep_id", "rep_a").withColumnRenamed(
+                "n_docs", "n_docs_a"
+            ),
+            "rep_a",
+        )
+        .join(
+            counts.withColumnRenamed("rep_id", "rep_b").withColumnRenamed(
+                "n_docs", "n_docs_b"
+            ),
+            "rep_b",
+        )
+        .select("rep_a", "rep_b", "hamming", "n_docs_a", "n_docs_b")
+    )

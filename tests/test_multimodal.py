@@ -230,3 +230,58 @@ def test_dhash_bands_match_numpy_reference(spark):
             for k in range(4)
         )
         assert got[d] == want, f"doc {d}: {got[d]} != {want}"
+
+
+def test_dhash_distinct_twin_is_the_fingerprint_quotient(spark):
+    """The scale twin must be the all-pairs result QUOTIENTED by the
+    identical-fingerprint equivalence: hamming-0 pairs (the designed
+    siblings whose +1 brightness shift flips no gradient bit) collapse
+    into a single representative with multiplicity, every surviving
+    pair maps to the (min-doc) representatives with the SAME hamming,
+    and no twin pair sits at hamming 0 (identical prints share a rep
+    by construction)."""
+    from firstamerican_etl_spark.operators.multimodal import (
+        documents_as_gradient_assets,
+        image_dhash_bands,
+    )
+    from firstamerican_etl_spark.plans.registry import load_all
+    from firstamerican_etl_spark.sources.io import load_table
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    fp = {
+        r["asset_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_dhash_bands(
+            documents_as_gradient_assets(load_table(spark, sf, "documents"))
+        ).collect()
+    }
+    cls: dict[tuple, list[int]] = {}
+    for d, f in fp.items():
+        cls.setdefault(f, []).append(d)
+    rep = {d: min(cls[f]) for d, f in fp.items()}
+    size = {min(ds): len(ds) for ds in cls.values()}
+
+    allp = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in reg["dedup_image_dhash_pairs"].spark(spark, sf).collect()
+    }
+    expected: dict[tuple[int, int], int] = {}
+    for (a, b), h in allp.items():
+        ra, rb = rep[a], rep[b]
+        if ra == rb:
+            assert h == 0, (a, b, h)  # same print -> must be hamming 0
+            continue
+        key = (min(ra, rb), max(ra, rb))
+        assert expected.get(key, h) == h  # quotient is well-defined
+        expected[key] = h
+
+    twin = reg["dedup_image_dhash_distinct"].spark(spark, sf).collect()
+    got = {(r["rep_a"], r["rep_b"]): r["hamming"] for r in twin}
+    assert got == expected
+    assert all(r["hamming"] > 0 for r in twin)
+    assert all(
+        r["n_docs_a"] == size[r["rep_a"]] and r["n_docs_b"] == size[r["rep_b"]]
+        for r in twin
+    )
+    # the collapse actually collapsed something at this scale
+    assert any(n > 1 for n in size.values())

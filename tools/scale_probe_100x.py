@@ -112,6 +112,12 @@ PROBE = [
     "winsorized_robust_mean",
     "quantile_bins_scalable",
     "global_row_index_scalable",
+    # r9: the r8 additions queued by the 10× list (VERDICT r8 #4) +
+    # the new image perceptual near-dup
+    "geo_point_in_polygon_join",
+    "epoch_shuffle_shards",
+    "ndcg_at_k_eval",
+    "dedup_image_dhash_pairs",
 ]
 
 
@@ -184,13 +190,21 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    # --only a,b: measure just those names and append an incremental
+    # sub-table (keeps the hand-annotated full table intact; used when
+    # a round adds operators without re-running all ~56 rows)
+    only: list[str] | None = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        only = [s for s in sys.argv[2].split(",") if s]
+    probe = only if only else PROBE
+
     spark = get_spark(app_name="scale_probe_100x")
     registry = load_all()
     sf1 = build_sf1(spark)
     sf10 = build_sf10(spark)
     print(f"# derived sf1 at {sf1}, sf10 at {sf10}", file=sys.stderr)
 
-    for name in PROBE:  # warm codegen/classloading at the small SF
+    for name in probe:  # warm codegen/classloading at the small SF
         _force(registry[name].spark(spark, "/root/testdata/sf0.001"))
 
     def best_of(n, name, d):
@@ -203,25 +217,50 @@ def main() -> None:
         return best
 
     rows = []
-    for name in PROBE:
+    for name in probe:
         t1 = best_of(2, name, sf1)
         t10 = best_of(2, name, sf10)
         rows.append((name, t1, t10))
         print(f"# {name}: sf1 {t1:.2f}s sf10 {t10:.2f}s "
               f"x{t10 / max(t1, 1e-9):.1f}", file=sys.stderr)
 
-    import bench
+    if only is None:
+        import bench
 
-    for name, fn in (
-        ("corpus_build_e2e", bench._corpus_build_e2e),
-        ("corpus_build_delta", bench._corpus_build_delta),
-        ("ann_index_pipeline_e2e", bench._ann_pipeline_e2e),
-    ):
-        t1 = min(fn(spark, sf1) for _ in range(2))
-        t10 = min(fn(spark, sf10) for _ in range(2))
-        rows.append((name, t1, t10))
-        print(f"# {name}: sf1 {t1:.2f}s sf10 {t10:.2f}s "
-              f"x{t10 / max(t1, 1e-9):.1f}", file=sys.stderr)
+        for name, fn in (
+            ("corpus_build_e2e", bench._corpus_build_e2e),
+            ("corpus_build_delta", bench._corpus_build_delta),
+            ("ann_index_pipeline_e2e", bench._ann_pipeline_e2e),
+        ):
+            t1 = min(fn(spark, sf1) for _ in range(2))
+            t10 = min(fn(spark, sf10) for _ in range(2))
+            rows.append((name, t1, t10))
+            print(f"# {name}: sf1 {t1:.2f}s sf10 {t10:.2f}s "
+                  f"x{t10 / max(t1, 1e-9):.1f}", file=sys.stderr)
+
+    if only is not None:
+        lines = [
+            "",
+            "Incremental third-decade rows (same derivation, measured later",
+            "for operators added after the full sweep):",
+            "",
+            "| query | sf1 s | sf10 s | × per 10× data |",
+            "|---|---|---|---|",
+        ]
+        for name, a, b in rows:
+            lines.append(
+                f"| {name} | {a:.2f} | {b:.2f} | {b / max(a, 1e-9):.1f}× |"
+            )
+        lines.append("")
+        dest = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.md",
+        )
+        with open(dest, "a") as f:
+            f.write("\n".join(lines))
+        print(f"appended {len(rows)} incremental rows to {dest}")
+        spark.stop()
+        return
 
     lines = [
         "",
