@@ -227,6 +227,17 @@ def main() -> None:
         failures["ann_index_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# ann_index_pipeline_e2e: FAILED {failures['ann_index_pipeline_e2e']}", file=sys.stderr)
 
+    # Vector delta ingest: append the odd-id half into a pre-built
+    # even-id index (frozen centroids, FAISS add semantics) and serve —
+    # only append + serve are timed, the initial build is setup. The
+    # vector-side twin of corpus_build_delta.
+    try:
+        timings["ann_index_append_e2e"] = round(_ann_append_e2e(spark, sf_dir), 3)
+        print(f"# ann_index_append_e2e: {timings['ann_index_append_e2e']:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        failures["ann_index_append_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# ann_index_append_e2e: FAILED {failures['ann_index_append_e2e']}", file=sys.stderr)
+
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
     # per-query timings remain for diagnosis.
@@ -290,6 +301,32 @@ def _ann_pipeline_e2e(spark, sf_dir: str) -> float:
     try:
         t0 = _t.perf_counter()
         build_ann_index(spark, sf_dir, d, n_cells=16, lloyd_rounds=3)
+        query_ann_index(spark, d, sf_dir, n_probes=20, nprobe=4, k=10).collect()
+        return _t.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ann_append_e2e(spark, sf_dir: str) -> float:
+    """Time the IVF DELTA path: build on even vec_ids (setup, untimed),
+    then append the odd half with frozen centroids + 20-probe serve."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from firstamerican_etl_spark.pipeline.ann_build import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ann_append_bench_")
+    try:
+        build_ann_index(
+            spark, sf_dir, d, n_cells=16, lloyd_rounds=3, where="vec_id % 2 = 0"
+        )
+        t0 = _t.perf_counter()
+        append_ann_index(spark, d, sf_dir, where="vec_id % 2 = 1")
         query_ann_index(spark, d, sf_dir, n_probes=20, nprobe=4, k=10).collect()
         return _t.perf_counter() - t0
     finally:

@@ -106,12 +106,17 @@ def build_ann_index(
     out_dir: str,
     n_cells: int = 16,
     lloyd_rounds: int = 3,
+    where: str | None = None,
 ) -> AnnIndexStats:
     """Train an IVF-Flat index over the embeddings table and write it
-    to ``out_dir`` (centroids + cell-partitioned assignments)."""
+    to ``out_dir`` (centroids + cell-partitioned assignments).
+    ``where`` (a SQL condition string) restricts the indexed vectors —
+    the batch-1 half of an append test, or a production partition."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    if where:
+        emb = emb.filter(where)
     # Deterministic seeds: the n_cells hash-smallest vectors. A
     # TakeOrdered of k rows — no sort of the corpus.
     seed_rows = (
@@ -191,6 +196,100 @@ def build_ann_index(
         min_cell=min(ns) if ns else 0,
         max_cell=max(ns) if ns else 0,
         out_dir=out_dir,
+    )
+
+
+@dataclass
+class AnnAppendStats:
+    n_appended: int
+    n_cells_touched: int
+    max_cell: int
+    skew_ratio: float
+
+
+def append_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    sf_dir: str,
+    where: str | None = None,
+) -> AnnAppendStats:
+    """Delta-ingest new vectors into an EXISTING IVF index — the
+    vector-side analogue of the corpus pipeline's delta mode
+    (pipeline/corpus_build.py): at 100 TB the corpus arrives in
+    batches and a full k-means retrain per batch is the thing you
+    cannot afford, so the standard IVF contract applies — centroids
+    are FROZEN at append time (FAISS ``add`` semantics), new vectors
+    are assigned to their nearest existing cell, and the rows land in
+    the cell-partitioned layout with ``mode("append")`` so the
+    partition-pruned serve path sees them immediately. Retraining is a
+    rebuild, deliberately.
+
+    Guards, in the fail-loud style of the corpus delta:
+
+    - an append against a missing/uncommitted index raises (there is
+      nothing safe to assign against);
+    - vec_id collisions with the existing index raise — replaying a
+      batch would double-serve those vectors with no error, the exact
+      silent-corruption class the corpus delta's scheme stamp exists
+      to prevent. The check is a column-pruned (vec_id-only) semi-join
+      scan of the index, ~8 bytes/vector — index-metadata-sized, not
+      embedding-sized.
+
+    Returns append stats including ``skew_ratio`` (max cell size over
+    mean after the append): frozen centroids slowly go stale under
+    data drift, and a rising skew ratio is the rebuild signal — the
+    caller's cue, reported rather than auto-acted-on.
+
+    Concurrency contract: one writer at a time (same as any
+    FileOutputCommitter append); serving readers are safe throughout
+    because task files become visible atomically per partition."""
+    cent_path = os.path.join(out_dir, "centroids.parquet")
+    assign_path = os.path.join(out_dir, "assignments.parquet")
+    if not os.path.exists(cent_path) or not os.path.exists(assign_path):
+        raise ValueError(
+            f"no committed ANN index at {out_dir}; build_ann_index first"
+        )
+    new = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    if where:
+        new = new.filter(where)
+
+    existing_ids = spark.read.parquet(assign_path).select("vec_id")
+    n_dup = new.select("vec_id").join(existing_ids, "vec_id", "semi").count()
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} vec_ids in the append batch already exist in the "
+            f"index at {out_dir}; appending them would double-serve — "
+            "deduplicate the batch or rebuild the index"
+        )
+
+    cent_rows = spark.read.parquet(cent_path).collect()
+    centroids = [
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in cent_rows
+    ]
+    # one materialization of the batch (batch-sized, not index-sized):
+    # the write, the appended count and the touched-cells count all
+    # read it, and Catalyst would re-run the assignment join per action
+    assigned = _assign_cells(new, _cent_df(spark, centroids)).localCheckpoint(
+        eager=True
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(assign_path)
+
+    sizes = (
+        spark.read.parquet(assign_path)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = [int(r["n"]) for r in sizes]
+    appended = assigned.count()
+    touched = assigned.select("cell_id").distinct().count()
+    return AnnAppendStats(
+        n_appended=appended,
+        n_cells_touched=touched,
+        max_cell=max(ns),
+        skew_ratio=round(max(ns) / (sum(ns) / len(ns)), 3),
     )
 
 

@@ -85,3 +85,74 @@ def test_full_probe_is_perfect_recall(spark, sf_dir, index_dir):
         spark, index_dir, sf_dir, n_probes=8, nprobe=16, k=5
     ).collect()
     assert all(r["recall_at_k"] == 1.0 for r in rep), rep
+
+
+def test_append_ingests_and_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Delta ingest: build on even vec_ids, append the odds with the
+    frozen centroids, then (a) the index covers every vector exactly
+    once, (b) appended rows carry the assignment the frozen centroids
+    dictate, and (c) an exact-mode serve (nprobe = n_cells) reaches
+    recall 1.0 against the FULL corpus — the appended vectors are
+    genuinely served, not just stored."""
+    from firstamerican_etl_spark.pipeline.ann_build import (
+        _assign_cells,
+        _cent_df,
+        append_ann_index,
+    )
+    from firstamerican_etl_spark.sources.io import load_table
+
+    d = str(tmp_path / "idx_delta")
+    build_ann_index(
+        spark, sf_dir, d, n_cells=8, lloyd_rounds=2, where="vec_id % 2 = 0"
+    )
+    stats = append_ann_index(spark, d, sf_dir, where="vec_id % 2 = 1")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_all = emb.count()
+    n_odd = emb.filter("vec_id % 2 = 1").count()
+    assert stats.n_appended == n_odd
+    assert 1 <= stats.n_cells_touched <= 8
+    assert stats.skew_ratio >= 1.0
+
+    a = spark.read.parquet(os.path.join(d, "assignments.parquet"))
+    assert a.count() == n_all
+    assert a.select("vec_id").distinct().count() == n_all
+
+    # appended assignments match a fresh frozen-centroid assignment
+    cents = [
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(os.path.join(d, "centroids.parquet")).collect()
+    ]
+    want = {
+        r["vec_id"]: r["cell_id"]
+        for r in _assign_cells(
+            emb.filter("vec_id % 2 = 1").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            ),
+            _cent_df(spark, cents),
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in a.filter("vec_id % 2 = 1").select("vec_id", "cell_id").collect()
+    }
+    assert got == want
+
+    rep = query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=8, k=5)
+    assert all(r["recall_at_k"] == 1.0 for r in rep.collect())
+
+
+def test_append_guards_fail_loudly(spark, sf_dir, tmp_path):
+    """Replayed batches (vec_id collisions) and appends against a
+    missing index raise instead of silently corrupting the serve."""
+    from firstamerican_etl_spark.pipeline.ann_build import append_ann_index
+
+    with pytest.raises(ValueError, match="no committed ANN index"):
+        append_ann_index(spark, str(tmp_path / "nope"), sf_dir)
+
+    d = str(tmp_path / "idx_guard")
+    build_ann_index(
+        spark, sf_dir, d, n_cells=8, lloyd_rounds=1, where="vec_id % 2 = 0"
+    )
+    with pytest.raises(ValueError, match="already exist in the index"):
+        append_ann_index(spark, d, sf_dir, where="vec_id % 4 = 0")  # subset replay
