@@ -491,6 +491,7 @@ def load_all() -> dict[str, QuerySpec]:
         retrievalplans,
         geoplans,
         graphplans,
+        webplans,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
