@@ -160,6 +160,20 @@ postings machinery as ngram_jaccard_pairs, but posting lists longer than the df
 cap are filtered BEFORE the in-array pair expansion — the plan shows the size
 predicate on the aggregated postings, so the quadratic expansion is bounded at
 cap^2 per shingle and total candidate work at sum(min(df,cap)^2).""",
+    "dedup_image_dhash_distinct": """Image perceptual near-dup, the scale shape
+(the all-pairs row measured 11.1x/decade under mass duplication — SCALING.md).
+What to look for: ONE narrow mapInPandas stage (decode + dHash) feeding a hash
+aggregate on the four 16-bit band values (map-side partial: identical prints
+collapse in-task), staged once; everything after is relational over DISTINCT
+fingerprints — band explode, equi-join on (band_id, value), bit_count verify —
+so candidate and output volume scale with content diversity, not corpus size.
+The shuffle carries 4 ints per distinct print, never pixels.""",
+    "url_normalize_dedup": """URL canonicalization dedup: every normalization
+clause (case, www, default port, utm strip, param sort, fragment, trailing
+slash) is a scan-side regexp/split/sort expression inside one WholeStageCodegen
+span — no UDF, no join; the only exchange is the final hash aggregate on the
+canonical string, with a map-side partial so surface variants of one page
+collapse before the shuffle.""",
 }
 
 HEADER = [
