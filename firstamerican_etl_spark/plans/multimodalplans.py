@@ -636,7 +636,22 @@ JOIN fp fb ON fb.doc_id = c.doc_b
 WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
     + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 6
 """,
-    tags=("dedup", "multimodal", "image", "dhash", "hamming", "perceptual"),
+    tags=(
+        "dedup",
+        "multimodal",
+        "image",
+        "dhash",
+        "hamming",
+        "perceptual",
+        # retagged the same round it was born: the r9 100x probe
+        # measured 11.1x/decade under mass duplication (band buckets
+        # grow with N; all-pairs output of a duplicate cluster is
+        # C(n,2) regardless of candidate generation) — kept as the
+        # exact-semantics oracle anchor and SCALING.md anti-pattern
+        # row; the window/production representative is the
+        # distinct-fingerprint twin below
+        "contrast",
+    ),
 )
 def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE perceptual near-duplicate pairs — the dedup x multimodal

@@ -134,7 +134,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # perceptual near-dup operator (VERDICT r8 #2) and the two custom
     # DataSources that had pytest coverage but no registry row
     # (VERDICT r8 #8) —
-    "dedup_image_dhash_pairs",
+    # (dedup_image_dhash_pairs was slotted here when r9 opened; the
+    # same round's 100x probe measured it 11.1x/decade and it was
+    # retagged `contrast` — its distinct-fingerprint scale twin, same
+    # oracle discipline + a quotient-relation test tying the two,
+    # takes the slot)
+    "dedup_image_dhash_distinct",
     "fazip_source_roundtrip",
     "jsonlgz_sink_roundtrip",
 )

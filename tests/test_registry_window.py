@@ -56,6 +56,11 @@ def test_no_contrast_row_in_window():
 def test_contrast_rows_have_scale_safe_twins():
     reg = load_all()
     contrast = {n for n, s in reg.items() if "contrast" in s.tags}
-    assert contrast == {"rolling_7d_median_value", "semdedup_cluster_prune"}
+    assert contrast == {
+        "rolling_7d_median_value",
+        "semdedup_cluster_prune",
+        "dedup_image_dhash_pairs",  # r9 probe: 11.1x/decade (SCALING.md)
+    }
     assert "rolling_7d_median_bucketed" in reg
     assert "semdedup_cluster_prune_sqrtk" in reg
+    assert "dedup_image_dhash_distinct" in reg

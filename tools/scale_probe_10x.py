@@ -122,6 +122,13 @@ PROBE = [
     "semdedup_threshold_sweep",
     "epoch_shuffle_shards",
     "ndcg_at_k_eval",
+    # r9 additions (dedup_image_dhash_pairs is the contrast row —
+    # measured 11.1x at the third decade, kept for the anti-pattern
+    # table; the distinct twin is the production path)
+    "dedup_image_dhash_pairs",
+    "dedup_image_dhash_distinct",
+    "url_normalize_dedup",
+    "domain_registrable_profile",
 ]
 
 #: End-to-end pipelines (not registry entries): (label, callable(spark,
