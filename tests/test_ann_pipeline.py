@@ -156,3 +156,50 @@ def test_append_guards_fail_loudly(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="already exist in the index"):
         append_ann_index(spark, d, sf_dir, where="vec_id % 4 = 0")  # subset replay
+
+
+def test_append_then_compact_preserves_serving(spark, sf_dir, tmp_path):
+    """The maintenance composition a long-lived index actually runs:
+    delta appends leave small files inside every cell partition;
+    compact_parquet_dir must glue them per-partition with the
+    cell_id=N directory layout (the partition IS the index) and
+    content preserved verbatim — pinned by exact-mode serve recall 1.0
+    after the compaction swap."""
+    from firstamerican_etl_spark.pipeline.ann_build import append_ann_index
+    from firstamerican_etl_spark.sources.io import compact_parquet_dir
+
+    d = str(tmp_path / "idx_compact")
+    build_ann_index(
+        spark, sf_dir, d, n_cells=8, lloyd_rounds=1, where="vec_id % 3 = 0"
+    )
+    append_ann_index(spark, d, sf_dir, where="vec_id % 3 = 1")
+    append_ann_index(spark, d, sf_dir, where="vec_id % 3 = 2")
+    apath = os.path.join(d, "assignments.parquet")
+    before = spark.read.parquet(apath)
+    n_before = before.count()
+    h_before = before.select(
+        F.sum(F.xxhash64(F.col("vec_id").cast("string"),
+                         F.col("cell_id").cast("string"))).alias("h")
+    ).collect()[0]["h"]
+
+    # tiny target forces the trigger at test scale
+    report = compact_parquet_dir(spark, apath, target_bytes=1 << 30)
+    assert report["compacted"], report
+    assert report["files_after"] < report["files_before"]
+    assert report["partition_keys"] == ["cell_id"]
+    # cell_id=N dirs survive verbatim (partition values never re-typed)
+    dirs = sorted(
+        e.name for e in os.scandir(apath) if e.is_dir() and "=" in e.name
+    )
+    assert dirs and all(x.startswith("cell_id=") for x in dirs)
+
+    after = spark.read.parquet(apath)
+    assert after.count() == n_before
+    h_after = after.select(
+        F.sum(F.xxhash64(F.col("vec_id").cast("string"),
+                         F.col("cell_id").cast("string"))).alias("h")
+    ).collect()[0]["h"]
+    assert h_after == h_before
+
+    rep = query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=8, k=5)
+    assert all(r["recall_at_k"] == 1.0 for r in rep.collect())
