@@ -514,3 +514,28 @@ def test_gapfill_single_window_per_series(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Window") >= 1
     assert "No Partition Defined" not in plan
+
+
+def test_url_normalize_dedup_single_exchange_and_pruned_scan(spark, sf_dir):
+    """The URL family's scale contract: every canonicalization clause
+    is scan-side (no join, no UDF) and the ONLY exchange is the final
+    hash aggregate on the canonical string; the documents scan prunes
+    to doc_id alone."""
+    df = REGISTRY["url_normalize_dedup"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    fmt = _formatted(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in fmt, fmt
+
+
+def test_dhash_distinct_relational_after_staged_fingerprints(spark, sf_dir):
+    """The image-dedup scale twin's contract: the final plan reads the
+    STAGED distinct-fingerprint frame (no Python stage in the serve
+    plan — the one mapInPandas decode ran once into the staging dir)
+    and every downstream step is relational."""
+    df = REGISTRY["dedup_image_dhash_distinct"].spark(spark, sf_dir)
+    plan = _plan(df)
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
+    assert "Scan parquet" in plan  # the staged reps frame
