@@ -60,3 +60,82 @@ def test_four_variant_groups_collapse(spark):
         assert "#" not in u and "utm" not in u and ":443" not in u
         assert "www." not in u and not u.endswith("/")
         assert u.startswith("https://site")
+
+
+def test_normalize_url_properties(spark):
+    """Property-based contract (hypothesis): for URLs assembled from
+    arbitrary components, (1) normalization is IDEMPOTENT —
+    normalize(normalize(u)) == normalize(u) — and (2) invariant under
+    every class of injected junk (scheme/host case, www., explicit
+    default port, utm_* params, param order, fragment, trailing
+    slash). One batched Spark pass over all generated cases."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    label = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=6)
+    pathseg = st.text(
+        alphabet="abcdefGHIJ0123456789-_", min_size=1, max_size=5
+    )
+    param = st.tuples(
+        st.text(alphabet="abcXYZ", min_size=1, max_size=4),
+        st.text(alphabet="abc123", min_size=0, max_size=4),
+    )
+
+    cases: list[tuple[str, str]] = []  # (canonical_raw, junked_raw)
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        scheme=st.sampled_from(["http", "https"]),
+        host_labels=st.lists(label, min_size=1, max_size=3),
+        path=st.lists(pathseg, min_size=0, max_size=3),
+        params=st.lists(param, min_size=0, max_size=3, unique_by=lambda p: p[0]),
+        junk=st.tuples(
+            st.booleans(),  # upper-case scheme/host
+            st.booleans(),  # www. prefix
+            st.booleans(),  # explicit default port
+            st.booleans(),  # utm_ param
+            st.booleans(),  # reversed param order
+            st.booleans(),  # fragment
+            st.booleans(),  # trailing slash (only when path nonempty)
+        ),
+    )
+    def collect(scheme, host_labels, path, params, junk):
+        host = ".".join(host_labels) + ".example.com"
+        p = "/" + "/".join(path) if path else ""
+        q = "&".join(f"{k}={v}" for k, v in params)
+        base = f"{scheme}://{host}{p}" + (f"?{q}" if q else "")
+        up, www, port, utm, rev, frag, slash = junk
+        jh = ("WWW." if www else "") + (host.upper() if up else host)
+        jh += (":80" if scheme == "http" else ":443") if port else ""
+        jp = p + ("/" if (slash and p) else "")
+        qp = [f"{k}={v}" for k, v in (reversed(params) if rev else params)]
+        if utm:
+            qp.insert(0, "utm_source=junk")
+        jq = "&".join(qp)
+        junked = (
+            (scheme.upper() if up else scheme)
+            + f"://{jh}{jp}"
+            + (f"?{jq}" if jq else "")
+            + ("#frag" if frag else "")
+        )
+        cases.append((base, junked))
+
+    collect()
+    from firstamerican_etl_spark.plans.webplans import normalize_url
+
+    df = spark.createDataFrame(cases, "base string, junked string")
+    rows = df.select(
+        normalize_url(F.col("base")).alias("n_base"),
+        normalize_url(normalize_url(F.col("base"))).alias("n_base2"),
+        normalize_url(F.col("junked")).alias("n_junked"),
+        "base",
+        "junked",
+    ).collect()
+    for r in rows:
+        assert r["n_base"] == r["n_base2"], (r["base"], r["n_base"])
+        assert r["n_junked"] == r["n_base"], (r["junked"], r["n_junked"], r["n_base"])
