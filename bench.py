@@ -113,6 +113,13 @@ HEADLINE = [
     "timeseries_gapfill_ffill",
     "pmi_collocations",
     "rfm_user_segments",
+    # round 9: the image-perceptual-dedup scale twin (the all-pairs
+    # row is contrast-tagged; min-of-2 means the second run rides the
+    # staged fingerprints — the steady-state serve cost, same
+    # convention as the other staged rows) and the web URL family
+    "dedup_image_dhash_distinct",
+    "url_normalize_dedup",
+    "domain_registrable_profile",
 ]
 
 

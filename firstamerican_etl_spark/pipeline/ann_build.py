@@ -255,8 +255,21 @@ def append_ann_index(
     if where:
         new = new.filter(where)
 
+    # duplicates WITHIN the batch double-serve exactly like index
+    # collisions (the semi-join below can't see them) — one aggregate
+    # catches both counts in a single pass over the batch ids
+    ids = new.select("vec_id")
+    n_rows, n_distinct = ids.agg(
+        F.count(F.lit(1)), F.countDistinct("vec_id")
+    ).collect()[0]
+    if n_rows != n_distinct:
+        raise ValueError(
+            f"append batch carries {n_rows - n_distinct} duplicated "
+            "vec_ids within itself; appending would double-serve them — "
+            "deduplicate the batch first"
+        )
     existing_ids = spark.read.parquet(assign_path).select("vec_id")
-    n_dup = new.select("vec_id").join(existing_ids, "vec_id", "semi").count()
+    n_dup = ids.join(existing_ids, "vec_id", "semi").count()
     if n_dup:
         raise ValueError(
             f"{n_dup} vec_ids in the append batch already exist in the "

@@ -147,7 +147,16 @@ def standardize_geo(
     t_num = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
         F.col("px") - F.col("x1")
     ) * (F.col("y2") - F.col("y1"))
-    crossing = straddle & (t_num * (F.col("y2") - F.col("y1")) > 0)
+    # sign COMPARISON, not a third multiplication: t_num*(y2-y1) is a
+    # triple product of lattice-scaled int64s and a continent-sized
+    # ring loaded via load_tracts could push it past 2^63 (silent wrap
+    # under ANSI-off, throw under ANSI-on). t_num == 0 (point exactly
+    # on the edge line) stays a non-crossing, as before.
+    crossing = (
+        straddle
+        & (t_num != 0)
+        & ((t_num > 0) == (F.col("y2") > F.col("y1")))
+    )
     contained = (
         cand.join(F.broadcast(edges_df), "tract_id")
         .groupBy("PropertyID", "tract_id")

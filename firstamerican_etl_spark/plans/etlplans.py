@@ -500,9 +500,21 @@ def jsonlgz_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(4).write.format("jsonlgz").mode("overwrite").option(
             "path", path
         ).save()
-    back = spark.read.schema(
-        "doc_id long, lang string, n_chars long, src_web boolean"
-    ).json(f"{path}/part-*.jsonl.gz")
+    # read through the _SUCCESS manifest, not a directory glob: the
+    # writer's commit contract is that ONLY manifest-listed shards are
+    # committed — a task that wrote its shard and then died retries
+    # under a new uuid and its orphan file stays on disk (abort only
+    # runs on JOB abort), so a glob would double-count those rows
+    with open(os.path.join(path, "_SUCCESS")) as fh:
+        shards = [
+            os.path.join(path, line) for line in fh.read().splitlines() if line
+        ]
+    schema = "doc_id long, lang string, n_chars long, src_web boolean"
+    back = (
+        spark.read.schema(schema).json(shards)
+        if shards
+        else spark.createDataFrame([], schema)
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),

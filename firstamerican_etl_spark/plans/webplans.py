@@ -131,7 +131,9 @@ def normalize_url(url: Column) -> Column:
         .otherwise(host1)
     )
     path0 = F.regexp_extract(url, _URL_RE, 3)
-    path = F.regexp_replace(path0, r"/$", "")
+    # /+$ not /$: a single-slash strip is NOT idempotent ('x//' ->
+    # 'x/' -> 'x') and leaves multi-slash spellings uncollapsed
+    path = F.regexp_replace(path0, r"/+$", "")
     q0 = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?', or ''
     params = F.filter(
         F.split(F.regexp_replace(q0, r"^\?", ""), "&"),
@@ -161,7 +163,7 @@ _NORMALIZE_SQL = f"""
       ELSE regexp_replace(lower(regexp_extract(raw_url, '{_URL_RE}', 2)),
                           '^www\\.', '')
     END,
-    regexp_replace(regexp_extract(raw_url, '{_URL_RE}', 3), '/$', ''),
+    regexp_replace(regexp_extract(raw_url, '{_URL_RE}', 3), '/+$', ''),
     CASE
       WHEN len([p for p in
                 str_split(regexp_replace(regexp_extract(raw_url, '{_URL_RE}', 4),
@@ -266,10 +268,16 @@ def domain_registrable_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
     )
     hosts = raw.select("doc_id", "n_chars", host.alias("host"))
-    domain = F.when(
-        F.col("host").endswith(".co.uk"),
-        F.regexp_extract(F.col("host"), r"([^.]+\.co\.uk)$", 1),
-    ).otherwise(F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1))
+    # the when-chain is BUILT from the suffix list (swap in the full
+    # PSL snapshot there and this expression follows; the SQL oracle
+    # mirrors the fixture's one-suffix case by hand)
+    domain = F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+    for suffix in _TWO_LABEL_SUFFIXES:
+        pat = "([^.]+\\." + suffix.replace(".", "\\.") + ")$"
+        domain = F.when(
+            F.col("host").endswith("." + suffix),
+            F.regexp_extract(F.col("host"), pat, 1),
+        ).otherwise(domain)
     return (
         hosts.select("host", "n_chars", domain.alias("domain"))
         .groupBy("domain")

@@ -157,6 +157,19 @@ def test_append_guards_fail_loudly(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="already exist in the index"):
         append_ann_index(spark, d, sf_dir, where="vec_id % 4 = 0")  # subset replay
 
+    # duplicates WITHIN one batch double-serve exactly like replays —
+    # an upstream fold of two deliveries into one embeddings file
+    from firstamerican_etl_spark.sources.io import load_table
+
+    dup_dir = str(tmp_path / "dup_sf")
+    os.makedirs(dup_dir)
+    odd = load_table(spark, sf_dir, "embeddings").filter("vec_id % 2 = 1")
+    odd.union(odd.limit(3)).write.parquet(
+        os.path.join(dup_dir, "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match="within itself"):
+        append_ann_index(spark, d, dup_dir)
+
 
 def test_append_then_compact_preserves_serving(spark, sf_dir, tmp_path):
     """The maintenance composition a long-lived index actually runs:

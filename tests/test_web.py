@@ -29,6 +29,10 @@ def test_normalize_url_contract(spark):
         # root path and empty path unify
         ("https://a.net/", "https://a.net"),
         ("https://a.net", "https://a.net"),
+        # MULTI-slash tails strip fully (a /$-only strip is not
+        # idempotent: 'x//' -> 'x/' -> 'x')
+        ("https://a.net/x//", "https://a.net/x"),
+        ("https://a.net//", "https://a.net"),
         # params are sorted but case-preserved; path case preserved
         ("https://a.net/CaseD?Z=9&a=1", "https://a.net/CaseD?Z=9&a=1"),
     ]

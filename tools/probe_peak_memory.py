@@ -97,15 +97,32 @@ def _max_task_peak(spark, group: str) -> int:
     )
     peak = 0
     for sid in stage_ids:
+        # enumerate attempts (a retried stage keeps its metrics on the
+        # non-zero attempt) rather than assuming attempt 0
         try:
-            summ = _rest(
-                f"{ui}/api/v1/applications/{app}/stages/{sid}/0/"
-                "taskSummary?quantiles=1.0"
-            )
-        except Exception:
-            continue  # skipped stage: no task data
-        vals = summ.get("peakExecutionMemory") or [0]
-        peak = max(peak, int(max(vals)))
+            attempts = _rest(f"{ui}/api/v1/applications/{app}/stages/{sid}")
+        except Exception as exc:
+            # a SKIPPED stage (result reused) legitimately has no
+            # data; anything else must be visible, not a silent 0
+            print(f"# WARN stage {sid}: {exc}", file=sys.stderr)
+            continue
+        for att in attempts:
+            aid = att.get("attemptId", 0)
+            if att.get("status") == "SKIPPED":
+                continue
+            try:
+                summ = _rest(
+                    f"{ui}/api/v1/applications/{app}/stages/{sid}/{aid}/"
+                    "taskSummary?quantiles=1.0"
+                )
+            except Exception as exc:
+                print(
+                    f"# WARN stage {sid} attempt {aid}: {exc}",
+                    file=sys.stderr,
+                )
+                continue
+            vals = summ.get("peakExecutionMemory") or [0]
+            peak = max(peak, int(max(vals)))
     return peak
 
 
