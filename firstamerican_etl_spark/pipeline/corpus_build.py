@@ -89,11 +89,17 @@ def _check_scheme_stamp(spark: SparkSession, idx: str) -> None:
     try:
         rows = spark.read.parquet(path).collect()
         got = int(rows[0]["minhash_scheme_version"]) if rows else None
-    except (AnalysisException, FileNotFoundError):
-        # stamp genuinely absent -> a pre-versioning index; anything
-        # else (IO/permission/cluster failure, malformed stamp) is NOT
-        # evidence the index is unversioned — re-raise so a transient
-        # error can't masquerade as "needs full rebuild"
+    except FileNotFoundError:
+        got = None  # stamp genuinely absent -> pre-versioning index
+    except AnalysisException as e:
+        # ONLY path-missing means "unstamped"; any other analysis
+        # failure (UNABLE_TO_INFER_SCHEMA from a mid-write dir, access
+        # errors) is a transient/operational fault that must propagate
+        # rather than masquerade as "needs full rebuild"
+        if "PATH_NOT_FOUND" not in (
+            (e.getErrorClass() or "") + str(e)
+        ):
+            raise
         got = None
     if got != MINHASH_SCHEME_VERSION:
         raise ValueError(
@@ -118,11 +124,15 @@ class CorpusBuildStats:
     n_test: int
     seconds: float
     #: delta mode only: components where a NEW doc LSH-bridged >=2
-    #: previously-disconnected indexed survivors — the one case where
+    #: previously-disconnected indexed survivors — the case where
     #: append-only delta output diverges from a full rebuild (the
     #: rebuild would drop the larger-id old doc; the delta cannot
     #: remove already-written docs). Nonzero means a compaction pass
     #: is owed; the bridged labels are recorded in the index sidecar.
+    #: LOWER BOUND: bridges mediated purely by intra-index edges
+    #: through a build-time loser are invisible to the delta graph —
+    #: compact_corpus(force=True) resolves those from the full band
+    #: graph on a schedule.
     n_bridged_components: int = 0
 
 
@@ -177,12 +187,18 @@ def build_corpus(
     )
     keep_exact = normed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     obs_exact = Observation("corpus_exact")
-    exact = (
+    # _fp RIDES THE CHECKPOINT: the index sidecar needs (fp, keeper)
+    # rows, and deriving them from the un-checkpointed keep_exact
+    # would re-run normalize+md5+groupBy over the RAW corpus — one
+    # full extra scan just to persist a narrow table (the exact
+    # re-pass the delta path already avoids). Survivor rows are one
+    # per fingerprint, so exact.select(_fp, doc_id) IS keep_exact.
+    exact_fp = (
         normed.join(keep_exact, ["_fp", "doc_id"])
-        .drop("_fp")
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    exact = exact_fp.drop("_fp")
     n_after_exact = int(obs_exact.get["n"])
 
     # 3: near-dup clustering on the exact survivors; a doc whose
@@ -299,7 +315,11 @@ def build_corpus(
     writer = observed.write.mode("overwrite").partitionBy("split")
     if output_format == "jsonl":
         writer.option("compression", "gzip").json(out_dir)
-        out = spark.read.json(out_dir)
+        # explicit one-column schema: schema INFERENCE over gzipped
+        # json would decompress-scan the whole corpus once before the
+        # distinct count re-reads it (json has no column pruning, but
+        # skipping the inference pass halves the post-write cost)
+        out = spark.read.schema("bin_id BIGINT").json(out_dir)
     else:
         writer.parquet(out_dir)
         out = spark.read.parquet(out_dir)
@@ -314,7 +334,7 @@ def build_corpus(
     # would clobber it); both frames are narrow (2-3 int/str columns).
     if write_index:
         idx = _index_dir(out_dir)
-        keep_exact.select(
+        exact_fp.select(
             "_fp", "doc_id"
         ).write.mode("overwrite").parquet(os.path.join(idx, "fingerprints"))
         bands.write.mode("overwrite").parquet(os.path.join(idx, "bands"))
@@ -441,7 +461,11 @@ def build_corpus_delta(
         )
         max_indexed = f_idx.result()
         pre = f_pre.result()
-        bin_base = (f_bin.result() or -1) + 1
+        # None-check, not truthiness: an existing corpus whose packing
+        # fit everything into bin 0 has max(bin_id) == 0, which `or`
+        # would treat as "no bins" and collide the delta's bins with it
+        max_bin = f_bin.result()
+        bin_base = (max_bin if max_bin is not None else -1) + 1
     min_new, n_raw = pre["m"], int(pre["n"])
     if max_indexed is not None and min_new is not None and min_new <= max_indexed:
         raise ValueError(
@@ -489,19 +513,24 @@ def build_corpus_delta(
     # keepers were written to the corpus, a full rebuild would now
     # drop the larger-id one — but append-only delta can never remove
     # already-written docs: the one divergence from rebuild
-    # equivalence. Detection is exact: a component whose label set
-    # holds >=2 indexed ids that are PRESENT in the written corpus
-    # (indexed nodes are those <= max_indexed under the monotone-id
-    # contract; band-index nodes that were build-time losers don't
-    # count — their absence from the corpus means equivalence still
-    # holds). One aggregate over the already-computed labels joined
-    # against a column-pruned doc_id scan of the corpus. Surfaced in
-    # the stats and recorded in the index sidecar for compaction.
-    # Runs on its OWN DRIVER THREAD — nothing downstream consumes it
-    # (the result only feeds the returned stats and the sidecar
-    # append), so it overlaps the losers/quality/pack chain instead of
-    # serializing two more actions into the floor.
-    def _bridge_audit() -> int:
+    # equivalence. Detection covers every bridge visible through the
+    # delta graph (within-batch edges + DIRECT batch<->index
+    # collisions) — a LOWER BOUND: a chain that merges two written
+    # survivors only through intra-index edges via a build-time
+    # near-dup LOSER (new doc collides with the loser, the loser's
+    # old edge reaches the other survivor) is invisible here, because
+    # the delta graph deliberately carries no intra-index edges
+    # (re-mining those every batch would make delta cost track the
+    # CORPUS, not the batch). compact_corpus re-derives divergence
+    # from the FULL band graph, so a compaction pass (triggered by
+    # this record, or force=True on a schedule) restores rebuild
+    # equivalence including any unrecorded loser-mediated case.
+    # One aggregate over the already-computed labels joined against a
+    # column-pruned doc_id scan of the corpus. Runs on its OWN DRIVER
+    # THREAD so it overlaps the losers/quality/pack chain; the
+    # sidecar APPEND is deferred until the corpus write commits — an
+    # aborted batch must never record bridges it never shipped.
+    def _bridge_audit():
         written_ids = existing.select(F.col("doc_id").alias("node")).distinct()
         obs_bridge = Observation("delta_bridge")
         bridged = (
@@ -513,21 +542,38 @@ def build_corpus_delta(
             .observe(obs_bridge, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = int(obs_bridge.get["n"])
-        if n:
-            log.warning(
-                "delta batch bridged %d previously-disconnected indexed "
-                "component(s) — output diverges from a full rebuild until "
-                "a compaction pass; bridged labels recorded in %s",
-                n, os.path.join(idx, "bridged_components"),
-            )
-            bridged.write.mode("append").parquet(
-                os.path.join(idx, "bridged_components")
-            )
-        return n
+        return int(obs_bridge.get["n"]), bridged
 
     audit_pool = ThreadPoolExecutor(max_workers=1)
-    f_bridge = audit_pool.submit(_bridge_audit)
+    try:
+        f_bridge = audit_pool.submit(_bridge_audit)
+        return _delta_tail(
+            spark, exact, labels, existing, batch_bands, f_bridge,
+            out_dir, idx, fp_path, bands_path,
+            min_tokens, max_chars, min_alpha_frac, token_budget,
+            bin_base, n_raw, n_after_exact, t0,
+        )
+    finally:
+        # an exception anywhere above/inside the tail must not leave
+        # the audit thread running (nor delay the error until it
+        # finishes); the deferred record write happens only on the
+        # success path inside the tail
+        audit_pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _delta_tail(
+    spark, exact, labels, existing, batch_bands, f_bridge,
+    out_dir, idx, fp_path, bands_path,
+    min_tokens, max_chars, min_alpha_frac, token_budget,
+    bin_base, n_raw, n_after_exact, t0,
+) -> CorpusBuildStats:
+    """Loser drop → quality → redact → pack → commit for the delta
+    (split out of build_corpus_delta so the audit thread's lifecycle
+    wraps it in one try/finally)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
@@ -626,8 +672,19 @@ def build_corpus_delta(
         f_fp.result()
         f_bands.result()
     row = obs.get
-    n_bridged = f_bridge.result()
-    audit_pool.shutdown()
+    # the corpus + sidecar writes committed — NOW the bridge record
+    # may land (an aborted batch never records phantom bridges)
+    n_bridged, bridged_df = f_bridge.result()
+    if n_bridged:
+        log.warning(
+            "delta batch bridged %d previously-disconnected indexed "
+            "component(s) — output diverges from a full rebuild until "
+            "a compaction pass; bridged labels recorded in %s",
+            n_bridged, os.path.join(idx, "bridged_components"),
+        )
+        bridged_df.write.mode("append").parquet(
+            os.path.join(idx, "bridged_components")
+        )
 
     return CorpusBuildStats(
         n_raw=n_raw,
@@ -643,22 +700,31 @@ def build_corpus_delta(
     )
 
 
-def compact_corpus(spark: SparkSession, out_dir: str) -> int:
-    """Resolve the bridge divergences ``build_corpus_delta`` recorded —
-    the COMPACTION PASS that restores exact full-rebuild equivalence.
+def compact_corpus(
+    spark: SparkSession, out_dir: str, force: bool = False
+) -> int:
+    """Resolve bridge divergences — the COMPACTION PASS that restores
+    exact full-rebuild equivalence.
 
     A delta batch that LSH-bridges two previously-disconnected written
     survivors leaves the corpus holding a doc a rebuild would drop
-    (append-only output can't remove rows); the delta detects this and
-    records the merged components' labels under
-    ``_index/bridged_components``. Compaction finishes the job:
+    (append-only output can't remove rows); the delta detects the
+    directly-visible cases and records them under
+    ``_index/bridged_components`` as the TRIGGER. Compaction itself
+    does not trust that record's completeness (the delta graph carries
+    no intra-index edges, so a bridge mediated by a build-time
+    near-dup LOSER can go unrecorded — and the recorded label is a
+    delta-graph component min that need not equal the full-graph
+    label). Instead it re-derives divergence from first principles:
 
     1. Re-derive the corpus-wide near-dup components from the INDEX
        BANDS alone (they cover every exact survivor ever seen,
        near-dup losers included, so the graph equals the one a full
        rebuild would mine — no corpus text is re-read).
-    2. Every written member of a recorded bridged component except the
-       component-minimum keeper is dropped.
+    2. Drop EVERY written doc that is not its full-graph component
+       minimum. In rebuild semantics written docs are exactly the
+       component minima, so any written non-minimum IS a divergence —
+       recorded or not.
     3. The surviving corpus is rewritten through a temp directory and
        atomically swapped in (the ``_index`` sidecar is carried
        across); the bridged-components record is cleared.
@@ -666,9 +732,12 @@ def compact_corpus(spark: SparkSession, out_dir: str) -> int:
     Doc SETS after compaction equal a from-scratch rebuild's exactly
     (bin_ids/splits of surviving rows are untouched — packing is the
     one field a rebuild numbers differently, same caveat as delta
-    mode). Returns the number of docs removed; 0 means no recorded
-    bridges and NO rewrite (the corpus is untouched — the pass is
-    idempotent and cheap to call unconditionally).
+    mode). Returns the number of docs removed; with no recorded
+    bridges and ``force=False`` the corpus is untouched (the pass is
+    idempotent and cheap to call unconditionally). Production runs
+    that want a hard equivalence guarantee against unrecorded
+    loser-mediated bridges schedule ``force=True`` periodically — it
+    pays the full-graph derivation even when nothing was recorded.
 
     Scale shape: the component re-derivation is the rebuild's own
     banded candidate graph (one groupBy on (band_id, band_hash) over
@@ -683,16 +752,17 @@ def compact_corpus(spark: SparkSession, out_dir: str) -> int:
 
     idx = _index_dir(out_dir)
     bridged_path = os.path.join(idx, "bridged_components")
-    if not os.path.isdir(bridged_path):
+    if not os.path.isdir(bridged_path) and not force:
         return 0
-    bridged = spark.read.parquet(bridged_path).select("label").distinct()
     bands = spark.read.parquet(os.path.join(idx, "bands"))
     pairs = minhash_lsh_pairs_from_bands(bands).select("doc_a", "doc_b")
     labels = connected_components(pairs)
-    drop = (
-        labels.join(F.broadcast(bridged), "label")
-        .filter(F.col("node") != F.col("label"))
-        .select(F.col("node").alias("doc_id"))
+    # full-graph rule, independent of the recorded labels: any written
+    # doc that is not its component min would not exist after a
+    # rebuild (covers unrecorded loser-mediated bridges, and recorded
+    # labels that a delta-restricted graph numbered differently)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
     )
     existing = spark.read.parquet(out_dir)
     from pyspark.sql import Observation
@@ -717,7 +787,10 @@ def compact_corpus(spark: SparkSession, out_dir: str) -> int:
     os.rename(out_dir, old)
     os.rename(tmp, out_dir)
     shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(os.path.join(_index_dir(out_dir), "bridged_components"))
+    shutil.rmtree(
+        os.path.join(_index_dir(out_dir), "bridged_components"),
+        ignore_errors=True,  # force=True may run with nothing recorded
+    )
     log.info("compact_corpus removed %d bridged doc(s) from %s", n_removed, out_dir)
     return n_removed
 

@@ -253,7 +253,16 @@ def run_pipeline(
                     if c not in raw.columns:
                         raw = raw.withColumn(c, F.lit(None).cast("string"))
             else:
-                txts = _prepare_inputs(raw_dir, unzipped_dir, filenames)
+                # per-FAMILY unzip subdir: the four family chains run
+                # on concurrent threads, and a raw zip matching two
+                # family markers would otherwise be extracted by both
+                # threads into the SAME output path — a cross-call race
+                # the per-call duplicate-member guard in extract_zips
+                # cannot see. Disjoint directories make the extraction
+                # paths disjoint by construction.
+                txts = _prepare_inputs(
+                    raw_dir, os.path.join(unzipped_dir, fam), filenames
+                )
                 log.info("converting %s: %d file(s)", fam, len(txts))
                 # one multi-path scan = unionByName across county files on
                 # the common staging schema (resolves fa-etl.py:581 TODO)

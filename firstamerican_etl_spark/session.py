@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP(NANOS) parquet columns (driver testdata events.ts)
+        # read as long + explicit conversion (sources/io.load_table);
+        # a write-once process constant, never toggled mid-flight
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB

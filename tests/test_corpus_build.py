@@ -391,3 +391,54 @@ def test_compact_restores_rebuild_equivalence(spark, tmp_path):
     assert got == want
     assert not os.path.isdir(os.path.join(out, "_index", "bridged_components"))
     assert compact_corpus(spark, out) == 0
+
+
+def test_force_compact_resolves_loser_mediated_bridge(spark, tmp_path):
+    """The divergence class the delta audit CANNOT see (its graph has
+    no intra-index edges): the bridge runs through a build-time
+    near-dup LOSER. Build {A, A2, B} where A~A2 (A2 dropped as loser)
+    and B is separate; delta {C} collides with A2's and B's shingles.
+    Whatever the audit recorded (possibly nothing, possibly a label
+    the full graph numbers differently), compact_corpus(force=True)
+    must restore EXACT rebuild equivalence over {A, A2, B, C} — the
+    full-band-graph non-min rule does not depend on the record."""
+    import os
+
+    from firstamerican_etl_spark.pipeline.corpus_build import (
+        build_corpus_delta,
+        compact_corpus,
+    )
+
+    a = "was would into know not could use its no him way have"
+    a2 = "was would into know not could use its no him way had"
+    b = "make some your his more have than than up use been down"
+    c = a2 + " " + b
+    out = str(tmp_path / "loser_bridge")
+    build = spark.createDataFrame(
+        [(1, a, "en"), (2, a2, "en"), (5, b, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    build_corpus(spark, build, out, token_budget=BUDGET, min_tokens=5)
+    delta = spark.createDataFrame([(100, c, "en")], ["doc_id", "text", "lang"])
+    build_corpus_delta(spark, delta, out, token_budget=BUDGET, min_tokens=5)
+
+    compact_corpus(spark, out, force=True)
+
+    ref = str(tmp_path / "loser_rebuild")
+    everything = spark.createDataFrame(
+        [(1, a, "en"), (2, a2, "en"), (5, b, "en"), (100, c, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    build_corpus(spark, everything, ref, token_budget=BUDGET, min_tokens=5)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    want = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(ref).select("doc_id", "text").collect()
+    }
+    assert got == want
+    # sanity: the fixture really made A~A2 a near-dup pair at build
+    # time (A2 absent from both corpora)
+    assert all(d != 2 for d, _ in want)
