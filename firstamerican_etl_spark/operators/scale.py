@@ -167,17 +167,18 @@ def salted_groupby_agg(
     partials, which absorbs *moderate* skew; explicit salting is for
     the pathological key that overwhelms a single final-stage reducer.
     """
+    spec = _normalize_aggs(aggs)  # once: both phases read one dict
     salted = df.withColumn(_SALT, (F.rand(seed=7) * salt_n).cast("int"))
     phase1 = salted.groupBy(*keys, _SALT).agg(
         *[
             getattr(F, fn)(F.col(col) if fn != "count" else F.lit(1)).alias(out)
-            for out, (fn, _, col) in _normalize_aggs(aggs).items()
+            for out, (fn, _, col) in spec.items()
         ]
     )
     merged = phase1.groupBy(*keys).agg(
         *[
             getattr(F, merge)(out).alias(out)
-            for out, (_, merge, _) in _normalize_aggs(aggs).items()
+            for out, (_, merge, _) in spec.items()
         ]
     )
     return merged
@@ -213,6 +214,17 @@ def salted_join(
     OptimizeSkewedJoin usually fires first — this is the explicit
     fallback for when it can't, e.g. under a required distribution).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # the build side is REPLICATED salt_n times: any join that
+        # preserves unmatched BUILD rows (right/full outer) would emit
+        # each of them salt_n times — reject rather than silently
+        # multiply
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not "
+            f"{how!r}: the replicated build side would duplicate "
+            "unmatched right rows salt_n times"
+        )
     salted_l = skewed.withColumn(_SALT, (F.rand(seed=7) * salt_n).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias(_SALT)
     replicated_r = small.select("*", salts)
@@ -540,7 +552,11 @@ def values_at_global_ranks(
     wanted: list[tuple[int, int, int]] = []  # (pid, local_ordinal, rank)
     offset = 0
     sorted_pids = sorted(sizes)
-    targets = sorted(set(ranks))
+    # non-positive ranks are out of range (ranks are 1-based) and must
+    # be DROPPED here, not just never matched: a 0 in targets would
+    # stall the cursor (offset < 0 never holds) and silently swallow
+    # every valid rank after it
+    targets = sorted({r for r in ranks if r >= 1})
     ti = 0
     for pid in sorted_pids:
         size = sizes[pid]

@@ -35,7 +35,6 @@ plans/vectorplans.py throughout).
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 
@@ -193,7 +192,10 @@ def build_ann_index(
         n_vectors=sum(ns),
         n_cells=len(centroids),
         lloyd_rounds=lloyd_rounds,
-        min_cell=min(ns) if ns else 0,
+        # empty cells write no partition, so the size report only
+        # holds NON-empty cells: a missing row means min is 0 — the
+        # degenerate-cell signal a balance monitor must see
+        min_cell=min(ns) if ns and len(ns) == len(centroids) else 0,
         max_cell=max(ns) if ns else 0,
         out_dir=out_dir,
     )
@@ -245,9 +247,17 @@ def append_ann_index(
     because task files become visible atomically per partition."""
     cent_path = os.path.join(out_dir, "centroids.parquet")
     assign_path = os.path.join(out_dir, "assignments.parquet")
-    if not os.path.exists(cent_path) or not os.path.exists(assign_path):
+    # COMMIT check, not existence: an aborted build leaves both dirs
+    # present with partial part-files and no _SUCCESS — appending onto
+    # that (with a dup guard that can't see the missing rows) is the
+    # silent-corruption class this guard exists to stop
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (cent_path, assign_path)
+    ):
         raise ValueError(
-            f"no committed ANN index at {out_dir}; build_ann_index first"
+            f"no committed ANN index at {out_dir} (missing _SUCCESS); "
+            "build_ann_index first"
         )
     new = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -302,7 +312,10 @@ def append_ann_index(
         n_appended=appended,
         n_cells_touched=touched,
         max_cell=max(ns),
-        skew_ratio=round(max(ns) / (sum(ns) / len(ns)), 3),
+        # mean over ALL cells (empty ones write no partition and are
+        # absent from the counts) — dividing by the non-empty count
+        # would understate skew exactly when it's worst
+        skew_ratio=round(max(ns) / (sum(ns) / len(cent_rows)), 3),
     )
 
 

@@ -148,13 +148,24 @@ def shingle_hashes_col(wh_col, shingle_len: int = 5):
     ``wh_col`` MUST be a bound attribute (a real column), not an
     inline expression: interpreted lambdas get no subexpression
     elimination, so an inline word-hash transform would re-hash every
-    word once per shingle. Use ``exploded_word_hashes`` to bind it."""
+    word once per shingle. Use ``exploded_word_hashes`` to bind it.
+
+    TOTAL by construction: a doc with fewer than ``shingle_len`` words
+    yields an EMPTY array (no shingles exist), via a lazily-evaluated
+    branch — the old greatest(n, 1) floor emitted one pseudo-shingle
+    whose element_at lookups ran past the array end, which is an
+    INVALID_ARRAY_INDEX error under the driver's ANSI-on session for
+    any caller that forgot the pre-filter (minhash_signatures had no
+    such filter). CASE branches evaluate per-row only when taken, so
+    the out-of-bounds lookups never execute for short docs."""
     w = F.col(wh_col) if isinstance(wh_col, str) else wh_col
     n = F.size(w) - (shingle_len - 1)
-    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
-    return F.transform(
-        idx,
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
         lambda i: F.xxhash64(*[F.element_at(w, i + k) for k in range(shingle_len)]),
+    )
+    return F.when(n >= 1, shingles).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -562,11 +573,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ds") > 1)
     )
 
-    def _pair(a: Column, b: Column) -> Column:
+    def _pair(a: Column, b: Column, star: bool) -> Column:
         return F.struct(
             a["doc_id"].alias("doc_a"),
             b["doc_id"].alias("doc_b"),
             F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+            F.lit(star).alias("star"),
         )
 
     clique = F.flatten(
@@ -576,19 +588,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))
                 ),
-                lambda b: _pair(a, b),
+                lambda b: _pair(a, b, star=False),
             ),
         )
     )
     star = F.transform(
         F.slice(F.col("ds"), 2, F.size("ds") - 1),
-        lambda b: _pair(F.element_at(F.col("ds"), 1), b),
+        lambda b: _pair(F.element_at(F.col("ds"), 1), b, star=True),
     )
     pair_structs = F.when(F.size("ds") <= _CLIQUE_CAP, clique).otherwise(star)
+    # star rows are CONNECTIVITY edges, exempt from the hamming
+    # verification: filtering them at <= 3 would sever hub links and
+    # orphan near-dup pairs whose members are both far from the hub
+    # (X~Y at distance 2, both at distance 5 from the hub — the star
+    # emits only (hub,X),(hub,Y), and dropping those loses X~Y
+    # entirely). Downstream clustering regroups the bucket through the
+    # unfiltered hub links; hamming rides along for transparency.
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .filter(F.col("hamming") <= 3)
+        .select("p.doc_a", "p.doc_b", "p.hamming", "p.star")
+        .filter((F.col("hamming") <= 3) | F.col("star"))
         .distinct()
     )
 
@@ -808,6 +827,14 @@ def dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount distances all value-check against DuckDB. The xxhash64
     64-bit fast path stays the production default; this twin proves
     the algorithm, not just its determinism.
+
+    Completeness contract: with 4 bands the pigeonhole GUARANTEE
+    covers Hamming <= 3 only; the <= 6 filter reports the band-
+    colliding candidates in the 4..6 range as best-effort extra signal
+    (a distance-4..6 pair whose differing bits spread across all four
+    bands is legitimately absent). Both engines compute the identical
+    candidate set, so the value oracle is exact over exactly this
+    semantics.
 
     The per-bit majority here takes the relational route (explode
     32 bit positions per token — |tokens|·32 rows into a map-side
@@ -1241,10 +1268,16 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # p = n - ceil(t*n) + 1, in exact integer arithmetic:
-    # ceil(n*t_num/t_den) = (n*t_num + t_den - 1) div t_den
+    # ceil(n*t_num/t_den) = (n*t_num + t_den - 1) div t_den.
+    # n_sh is LONG-cast before the multiply: int32 n_sh * 4999 wraps
+    # past 2^31 for docs with >= ~430k distinct shingles (silent
+    # garbage prefix under ANSI-off, ARITHMETIC_OVERFLOW under the
+    # driver's ANSI-on session — graphplans.py:216's bug class)
     plen = (
-        F.col("n_sh")
-        - F.floor((F.col("n_sh") * t_num + (t_den - 1)) / t_den).cast("long")
+        F.col("n_sh").cast("long")
+        - F.floor(
+            (F.col("n_sh").cast("long") * t_num + (t_den - 1)) / t_den
+        ).cast("long")
         + 1
     )
     prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")

@@ -664,7 +664,9 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking the SimHash text family uses (plans/dedupplans.py):
     candidates must agree EXACTLY on at least one 16-bit band
     (pigeonhole: any pair at distance <= 3 is guaranteed a clean
-    band), then the full 64-bit distance is verified with
+    band; the 4..6 range reports band-colliding candidates only —
+    best-effort, identical on both engines so the oracle stays exact),
+    then the full 64-bit distance is verified with
     ``bit_count(xor)``.
 
     Everything after the one narrow mapInPandas fingerprint stage is

@@ -63,3 +63,25 @@ def test_perm_consts_stay_in_safe_range():
         a, b = _perm_consts(i)
         assert 1 <= a < _P31 and 0 <= b < _P31
         assert (_P31 - 1) * a + b < 2**62
+
+
+def test_short_docs_survive_minhash_under_ansi(ansi_on):
+    """Docs with fewer than shingle_len words have NO shingles — they
+    must yield zero signature/band rows, not an INVALID_ARRAY_INDEX
+    error under the driver's ANSI-on session (the old pseudo-shingle
+    floor ran element_at past the array end; minhash_signatures had no
+    pre-filter)."""
+    spark = ansi_on
+    from firstamerican_etl_spark.plans.dedupplans import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs).collect()
+    assert sorted(r["doc_id"] for r in sigs) == [3]  # only the long doc
+    bands = minhash_bands(docs).collect()
+    assert {r["doc_id"] for r in bands} == {3}

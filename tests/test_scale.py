@@ -298,7 +298,11 @@ def test_simhash_pairs_consistent_with_fingerprints(spark, sf_dir):
         a, b = fps[p["doc_a"]], fps[p["doc_b"]]
         xor = (a ^ b) & ((1 << 64) - 1)
         assert bin(xor).count("1") == p["hamming"]
-        assert p["hamming"] <= 3
+        # star rows are mega-bucket CONNECTIVITY edges (hub links kept
+        # regardless of hamming so downstream clustering can regroup
+        # the bucket); verified near-dup claims are the non-star rows
+        if not p["star"]:
+            assert p["hamming"] <= 3
         bands_equal = any(
             ((a >> (16 * i)) & 0xFFFF) == ((b >> (16 * i)) & 0xFFFF)
             for i in range(4)
