@@ -49,16 +49,11 @@ def _stage_events(
 
 
 def _drain(stream_df: DataFrame, name: str, ckpt: str, mode: str) -> DataFrame:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    # thin alias over the package's one drain recipe (argument order
+    # here predates it; keep callers stable)
+    from firstamerican_etl_spark.streaming.windows import run_available_now
+
+    return run_available_now(stream_df, ckpt, name, output_mode=mode)
 
 
 @register(
@@ -155,8 +150,10 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     handler (functions/stable.py discipline), so the emitted sums are
     bit-identical to the oracle's quantized sums — a FULL value oracle
     for a custom stateful streaming operator."""
-    base_landing, ckpt = _stage_events(spark, sf_dir, "sess")
-    # landing + closers in a separate dir so the shared staged copy stays pure
+    # this query writes its OWN landing (events + closer rows) — only
+    # a fresh checkpoint dir is needed; staging the shared events copy
+    # here would be a full table write nothing reads
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_sess_")
     landing = tempfile.mkdtemp(prefix="fa_stream_sess_land_")
     ev = load_table(spark, sf_dir, "events")
     ev.coalesce(2).write.mode("overwrite").parquet(landing)
@@ -487,11 +484,19 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 120
+        done = None
         while time.time() < deadline:
             done = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
             if done == n_total:
                 break
             time.sleep(0.3)
+        else:
+            # a partial memory table would surface downstream as a
+            # baffling oracle value mismatch; fail diagnosably instead
+            raise TimeoutError(
+                f"custom-source stream aggregated {done} of {n_total} "
+                "events within 120s — source wedged or host overloaded"
+            )
     finally:
         q.stop()
     return spark.table(name)
@@ -687,8 +692,8 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     is bounded by the 1-hour interval (evicted as the opposite
     watermark passes), so executor state is O(events/hour) forever;
     the join shuffles both sides by user_id once."""
-    base_landing, ckpt = _stage_events(spark, sf_dir, "ssoj", n_files=1)
-    # landing + closers in a separate dir so the shared staged copy stays pure
+    # own landing (events + sentinel closers); no shared staging needed
+    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_ssoj_")
     landing = tempfile.mkdtemp(prefix="fa_stream_ssoj_land_")
     ev = load_table(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(landing)

@@ -230,7 +230,12 @@ def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataF
         # canonical (smaller id, larger id) orientation, like the join
         ia, ib = ids[iu], ids[ju]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        cos = np.round(sims[iu, ju], 4)
+        # HALF-AWAY-FROM-ZERO to match DuckDB's round() (np.round is
+        # half-to-even: an exact m+0.5 tie at the 1e-4 grid would
+        # round to even m here but m+1 in the oracle — and at the 0.5
+        # keep threshold that flips membership, not just a digit)
+        s = sims[iu, ju]
+        cos = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
         keep = cos >= 0.5
         return pd.DataFrame(
             {"vec_id_a": lo[keep], "vec_id_b": hi[keep], "cosine": cos[keep]}
@@ -1393,9 +1398,19 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_cell = assigned.groupBy("cell").applyInPandas(cell_sweep, schema=out_schema)
-    return per_cell.groupBy("tau_ppm").agg(
-        F.sum("n_pairs").alias("n_candidate_pairs"),
-        F.sum("n_dup").alias("n_dup_pairs"),
+    return (
+        per_cell.groupBy("tau_ppm")
+        .agg(
+            F.sum("n_pairs").alias("n_candidate_pairs"),
+            F.sum("n_dup").alias("n_dup_pairs"),
+        )
+        # the oracle's pairs-CTE cross join emits tau rows only when at
+        # least ONE candidate pair exists corpus-wide; the kernel's
+        # per-cell rows exist for singleton cells too (n_pairs = 0), so
+        # an all-singleton corpus would otherwise emit four zero rows
+        # the oracle doesn't have. n_candidate_pairs is tau-independent,
+        # so this drops either all four rows or none.
+        .filter(F.col("n_candidate_pairs") > 0)
     )
 
 

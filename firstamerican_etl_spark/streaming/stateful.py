@@ -75,8 +75,23 @@ def _session_fn(gap_seconds: int):
                 closed.append((user_id, start_us, end_us, n_events, sum_units))
             state.remove()
         else:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values("ts")
+            # CONCATENATE the group's Arrow chunks before the ONE sort:
+            # a key whose micro-batch rows exceed arrow.maxRecordsPerBatch
+            # arrives as several pdfs in arbitrary relative order, and
+            # sorting each chunk independently would walk the gap state
+            # machine time-misordered (chunk 2 can hold earlier
+            # timestamps than chunk 1), splitting/merging sessions at
+            # wrong boundaries. Memory stays bounded by one key's
+            # micro-batch volume — the same bound the chunked walk had
+            # to buffer in `closed` anyway.
+            pdfs = [p for p in pdf_iter if len(p)]
+            merged = (
+                pd.concat(pdfs, ignore_index=True).sort_values("ts")
+                if pdfs
+                else None
+            )
+            if merged is not None:
+                pdf = merged
                 for ts, value in zip(
                     pdf["ts"].astype("int64"), pdf["value"].fillna(0.0)
                 ):
@@ -167,10 +182,17 @@ def _throttle_fn(ttl_seconds: int):
         last = state.get[0] if state.exists else None
         kept_ids: list[int] = []
         kept_ts: list[int] = []
-        for pdf in pdf_iter:
-            # deterministic sequential order within the batch: the
-            # throttle is a per-key state machine over (ts, event_id)
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # deterministic sequential order over the WHOLE micro-batch:
+        # concat the group's Arrow chunks first (a key spanning
+        # multiple chunks arrives in arbitrary relative order —
+        # per-chunk sorting would let an earlier-timestamp chunk walk
+        # the gate after a later one and emit events a correctly
+        # ordered walk suppresses), then one sort on (ts, event_id)
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ts_ns, eid in zip(pdf["ts"].astype("int64"), pdf["event_id"]):
                 ts_us = int(ts_ns) // 1000
                 if last is None or ts_us - last >= ttl_us:
@@ -265,7 +287,10 @@ def make_running_total_processor():
             pdf = pd.concat(list(rows), ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             units = (
-                (pdf["value"].astype("float64") * 1_000_000.0 + 0.5)
+                # fillna BEFORE the floor: a NULL purchase arrives as
+                # NaN and math.floor(nan) raises, killing the query —
+                # same null contract the sessionizer already defends
+                (pdf["value"].fillna(0.0).astype("float64") * 1_000_000.0 + 0.5)
                 .map(math.floor)
                 .astype("int64")
             )

@@ -336,3 +336,68 @@ def test_transform_with_state_running_total_parity(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_fns_merge_arrow_chunks_before_walking():
+    """A key whose micro-batch spans multiple Arrow chunks arrives as
+    several pdfs in ARBITRARY relative order; the sessionizer and the
+    TTL throttle must concat-then-sort ONCE, not walk per-chunk (a
+    later-timestamp chunk walked first mis-sets session boundaries /
+    emits events a correctly ordered walk suppresses). Pure-Python
+    drive of the state functions with a fake GroupState."""
+    import pandas as pd
+
+    from firstamerican_etl_spark.streaming.stateful import (
+        _session_fn,
+        _throttle_fn,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    def mk(ts_list):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(ts_list),
+                "event_id": list(range(100, 100 + len(ts_list))),
+                "ts": pd.to_datetime(ts_list),
+                "value": [1.0] * len(ts_list),
+            }
+        )
+
+    # chunk A holds the LATER events, delivered first
+    late = mk(["2024-01-01 10:00:00", "2024-01-01 10:00:30"])
+    early = mk(["2024-01-01 08:00:00", "2024-01-01 08:00:20"])
+
+    st = FakeState()
+    list(_session_fn(gap_seconds=600)((1,), iter([late, early]), st))
+    start_us, end_us, n_events, _ = st.get
+    # the OPEN session must be the 10:00 pair; the 08:00 pair is a
+    # CLOSED earlier session — per-chunk walking would instead fold
+    # all four into one session starting at 10:00
+    assert start_us == int(pd.Timestamp("2024-01-01 10:00:00").value) // 1000
+    assert n_events == 2
+
+    st2 = FakeState()
+    out = list(_throttle_fn(ttl_seconds=3600)((1,), iter([late, early]), st2))
+    kept = sorted(pd.concat(out)["ts"]) if out else []
+    # ordered walk: 08:00 emits, 08:00:20 suppressed, 10:00 emits
+    # (>=1h later), 10:00:30 suppressed. Chunk-order walk would emit
+    # 10:00 first and then suppress BOTH 08:00 events.
+    assert [str(t) for t in kept] == [
+        "2024-01-01 08:00:00", "2024-01-01 10:00:00"
+    ]
