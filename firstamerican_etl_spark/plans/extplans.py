@@ -177,9 +177,9 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_percentiles",
     oracle="""
 SELECT l_returnflag,
-       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
-       round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
-       round(CAST(quantile_cont(l_discount, 0.5) AS DOUBLE), 4) AS p50_discount
+       floor(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) * 10000 + 0.5) / 10000 AS p50_price,
+       floor(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) * 10000 + 0.5) / 10000 AS p90_price,
+       floor(CAST(quantile_cont(l_discount, 0.5) AS DOUBLE) * 10000 + 0.5) / 10000 AS p50_discount
 FROM lineitem
 GROUP BY 1
 """,
@@ -191,10 +191,13 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; at 100 TB switch callers to approx_percentile (t-digest,
     mergeable, one pass) — kept exact here because the oracle is exact."""
     li = load_table(spark, sf_dir, "lineitem")
+    # stable_round, not engine ROUND-on-double: interpolated
+    # percentiles can land anywhere, and Spark's shortest-string
+    # HALF_UP vs DuckDB's binary rounding diverge near 1e-4 ties
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.percentile("l_discount", F.lit(0.5)), 4).alias("p50_discount"),
+        stable_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        stable_round(F.percentile("l_discount", F.lit(0.5)), 4).alias("p50_discount"),
     )
 
 
@@ -404,10 +407,10 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+       floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.5
+WHERE floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
 """,
     tags=("dedup", "embedding", "cosine", "blocked"),
 )
@@ -419,24 +422,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine on the survivors. The cosine is pure JVM array
     math (zip_with + aggregate fold — element order is deterministic,
     so both engines agree bit-for-bit after the round)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # norms are computed ONCE PER VECTOR before the join: folding
+    # sqrt(sum(x^2)) on the post-join pair rows would re-evaluate each
+    # vector's fold k-1 times inside a k-sized label block (pairs ~
+    # k^2/2) — on dense blocks the dominant cost of the operator
+    nrm_of = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", nrm_of(F.col("v")))
     a = e.select(
-        F.col("vec_id").alias("vec_id_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_id_a"), "label",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_id_b"), "label", F.col("v").alias("vb")
+        F.col("vec_id").alias("vec_id_b"), "label",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    # stable_round, never engine round-on-double: Spark's ROUND goes
+    # through the shortest decimal string (HALF_UP on the printed
+    # digits) while DuckDB rounds the binary value — a cosine printing
+    # as '0.49995' would be KEPT by Spark and dropped by the oracle at
+    # the 0.5 threshold (functions/stable.py header class)
     pairs = (
         a.join(b, on="label")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn(
-            "cosine", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4)
+            "cosine",
+            stable_round(dot / (F.col("na") * F.col("nb")), 4),
         )
         .filter(F.col("cosine") >= 0.5)
     )
@@ -600,7 +619,22 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = staging_tag(sf_dir, "orders", "lineitem")
     base = os.path.join(tempfile.gettempdir(), f"fa_spark_bucketed_{tag}")
     ob, lb = f"orders_bk_{tag}", f"lineitem_bk_{tag}"
-    if not spark.catalog.tableExists(ob):
+    # restage unless BOTH tables are catalogued AND their data dirs
+    # are still on disk: a crash between the two writes (or OS tmp
+    # cleanup under the persistent derby metastore) used to leave a
+    # half-staged state the old single-table existence check treated
+    # as complete — every later run then failed at spark.table(lb)
+    # with no code path that could ever heal it
+    complete = all(
+        spark.catalog.tableExists(t) and os.path.isdir(d)
+        for t, d in (
+            (ob, os.path.join(base, "orders")),
+            (lb, os.path.join(base, "lineitem")),
+        )
+    )
+    if not complete:
+        for t in (ob, lb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         write_bucketed(
             load_table(spark, sf_dir, "orders"),
             ob, ["o_orderkey"], 8, path=os.path.join(base, "orders"),
@@ -942,7 +976,7 @@ def quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "histogram_width_bucket",
     oracle="""
-SELECT CAST(floor(o_totalprice / 25000) + 1 AS BIGINT) AS bin,
+SELECT CAST(least(floor(o_totalprice / 25000) + 1, 21) AS BIGINT) AS bin,
        count(*) AS n_orders,
        floor(CAST(min(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS bin_min,
        floor(CAST(max(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100 AS bin_max
@@ -957,8 +991,11 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition planning. A single aggregate on the bucket id; the
     per-bin min/max bounds come along free in the same pass. The
     oracle spells the equivalent floor-arithmetic (DuckDB has no
-    width_bucket); all data lies inside [0, 500000) so the two
-    formulations agree exactly."""
+    width_bucket) INCLUDING width_bucket's overflow clamp — values at
+    or above the upper bound land in bin num_buckets+1 = 21 on both
+    engines, so the formulations agree for ANY price range (TPC-H
+    o_totalprice exceeds 500k at larger SFs; nothing enforces the
+    histogram's nominal range)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(

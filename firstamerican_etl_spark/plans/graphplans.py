@@ -284,9 +284,11 @@ def _coshipment_backbone(
     )
 
 
-@register(
-    "graph_triangle_count",
-    oracle=f"""
+def _triangle_oracle(m: int) -> str:
+    """The id-oriented triangle SQL at backbone size ``m`` — shared by
+    the id-oriented plan and the degree-oriented twin (the triangle
+    SET is orientation-independent, so one oracle checks both)."""
+    return f"""
 WITH w AS (
   SELECT least(a.l_suppkey, b.l_suppkey) AS u,
          greatest(a.l_suppkey, b.l_suppkey) AS v,
@@ -298,7 +300,7 @@ WITH w AS (
 e AS (
   SELECT u, v FROM w
   ORDER BY weight DESC, u, v
-  LIMIT {_BACKBONE_M}
+  LIMIT {m}
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -317,7 +319,15 @@ SELECT CAST(node AS BIGINT) AS node,
 FROM per_node
 ORDER BY n_triangles DESC, node
 LIMIT 20
-""",
+"""
+
+
+@register(
+    "graph_triangle_count",
+    # ONE oracle for all three triangle plans (the triangle set is
+    # orientation-independent) — a literal copy here could silently
+    # drift from the twins' shared SQL
+    oracle=_triangle_oracle(_BACKBONE_M),
     tags=("graph", "triangle", "extension"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,44 +394,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").cast("long").alias("node"), "n_triangles")
     )
-
-
-def _triangle_oracle(m: int) -> str:
-    """The id-oriented triangle SQL at backbone size ``m`` — shared by
-    the id-oriented plan and the degree-oriented twin (the triangle
-    SET is orientation-independent, so one oracle checks both)."""
-    return f"""
-WITH w AS (
-  SELECT least(a.l_suppkey, b.l_suppkey) AS u,
-         greatest(a.l_suppkey, b.l_suppkey) AS v,
-         count(*) AS weight
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-e AS (
-  SELECT u, v FROM w
-  ORDER BY weight DESC, u, v
-  LIMIT {m}
-),
-tri AS (
-  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM e e1 JOIN e e2 ON e1.v = e2.u
-            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-),
-per_node AS (
-  SELECT node, count(*) AS n_triangles FROM (
-    SELECT a AS node FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri
-  ) GROUP BY 1
-)
-SELECT CAST(node AS BIGINT) AS node,
-       CAST(n_triangles AS BIGINT) AS n_triangles
-FROM per_node
-ORDER BY n_triangles DESC, node
-LIMIT 20
-"""
 
 
 def _degree_oriented_triangles(edges: DataFrame) -> DataFrame:

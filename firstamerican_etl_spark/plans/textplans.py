@@ -696,6 +696,29 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_V = 1000  # "tokenizer vocabulary" size (top-V corpus terms)
 
 
+def _staged_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE corpus tokenize pass collapsed to staged (lang, term, n)
+    counts — shared by ``vocab_oov_rate`` and ``zipf_rank_frequency``
+    (both audits derive from it; unstaged, Catalyst re-exploded the
+    corpus once per consumer branch). Defined EXACTLY ONCE: the two
+    queries share the stage_once (prefix, reuse_key) cache, so a
+    second inline copy that drifted (different split pattern, an added
+    filter) would silently serve whichever generation staged first."""
+    from firstamerican_etl_spark.operators.scale import stage_once
+    from firstamerican_etl_spark.sources.io import staging_tag
+
+    d = load_table(spark, sf_dir, "documents")
+    return stage_once(
+        d.select(
+            "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "vocab_oov_termcounts",
+        reuse_key=staging_tag(sf_dir, "documents"),
+    )
+
+
 @register(
     "vocab_oov_rate",
     oracle=f"""
@@ -739,23 +762,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream; the only other shuffle is the |langs|-row report
     aggregate. The corpus is never joined by anything bigger than the
     broadcast vocabulary."""
-    from firstamerican_etl_spark.operators.scale import stage_once
-    from firstamerican_etl_spark.sources.io import staging_tag
-
-    d = load_table(spark, sf_dir, "documents")
-    # ONE corpus pass: collapse to (lang, term) counts and stage that —
-    # both the vocab top-V aggregate and the OOV flag derive from the
-    # staged frame (unstaged, Catalyst re-exploded the corpus once per
-    # branch; same discipline as DSIR's staged bucket counts)
-    tc = stage_once(
-        d.select(
-            "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
-        )
-        .groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("n")),
-        "vocab_oov_termcounts",
-        reuse_key=staging_tag(sf_dir, "documents"),
-    )
+    tc = _staged_term_counts(spark, sf_dir)
     vocab = (
         tc.groupBy("term")
         .agg(F.sum("n").alias("nt"))
@@ -828,19 +835,7 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode + prefix aggregate) — no global-ORDER-BY window, so no
     single-partition WindowExec at any corpus size. The corpus never
     shuffles by anything wider than (lang, term) partial counts."""
-    from firstamerican_etl_spark.operators.scale import stage_once
-    from firstamerican_etl_spark.sources.io import staging_tag
-
-    d = load_table(spark, sf_dir, "documents")
-    tc = stage_once(
-        d.select(
-            "lang", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
-        )
-        .groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("n")),
-        "vocab_oov_termcounts",
-        reuse_key=staging_tag(sf_dir, "documents"),
-    )
+    tc = _staged_term_counts(spark, sf_dir)
     counts = tc.groupBy("term").agg(F.sum("n").alias("n"))
     total = tc.agg(F.sum("n").alias("tot"))
     top = counts.orderBy(F.col("n").desc(), "term").limit(_ZIPF_K)

@@ -188,10 +188,10 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine_vectorized",
     oracle="""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+       floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.5
+WHERE floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
 """,
     tags=("dedup", "embedding", "cosine", "pandas-udf", "vectorized"),
 )
@@ -230,12 +230,13 @@ def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataF
         # canonical (smaller id, larger id) orientation, like the join
         ia, ib = ids[iu], ids[ju]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        # HALF-AWAY-FROM-ZERO to match DuckDB's round() (np.round is
-        # half-to-even: an exact m+0.5 tie at the 1e-4 grid would
-        # round to even m here but m+1 in the oracle — and at the 0.5
-        # keep threshold that flips membership, not just a digit)
+        # the repo's stable_round form, floor(x*1e4+0.5)/1e4 — the
+        # IDENTICAL expression the JVM twin and both oracles now use
+        # (np.round is half-to-even and engine round-on-double is the
+        # shortest-string divergence class; either could flip keep at
+        # the 0.5 threshold against the other engine)
         s = sims[iu, ju]
-        cos = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+        cos = np.floor(s * 1e4 + 0.5) / 1e4
         keep = cos >= 0.5
         return pd.DataFrame(
             {"vec_id_a": lo[keep], "vec_id_b": hi[keep], "cosine": cos[keep]}
