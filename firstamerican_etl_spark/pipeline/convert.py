@@ -85,13 +85,19 @@ def clean_deed(raw: DataFrame) -> DataFrame:
     """Staged deed (fa-etl.py:61-84): key/amount filters, compact-date
     parses, domain whitelist, year extracts, arms-length SaleFlag."""
     return (
-        raw.filter(F.col("PropertyID").isNotNull())
+        # null-reject AFTER the long cast: a non-numeric id string
+        # passes a raw isNotNull but nulls under the cast (ANSI off) —
+        # the reference nulls it at parse time (ignore_errors=True)
+        # and its is_not_null filter then drops the row, so a
+        # pre-cast filter would leak NULL-key rows the reference
+        # never stages
+        raw.withColumn("PropertyID", F.col("PropertyID").cast("long"))
+        .filter(F.col("PropertyID").isNotNull())
         .withColumn("SaleAmt", F.col("SaleAmt").cast("long"))
         .filter((F.col("SaleAmt") > 0) & F.col("SaleAmt").isNotNull())
         .withColumn("RecordingYearSlice", year_slice("RecordingDate"))
         .withColumns(
             {
-                "PropertyID": F.col("PropertyID").cast("long"),
                 "FIPS": lpad_code("FIPS", 5),
                 "RecordingDate": compact_date("RecordingDate"),
                 "SaleDate": compact_date("SaleDate"),
@@ -126,7 +132,16 @@ def rank_deed(staged: DataFrame) -> DataFrame:
     idiom; plain rank() would keep all tied rows and break the grain.
     """
     return dedup_top1_per_group(
-        staged.filter(F.col("SaleFlag") == 1),
+        # RecordingDate null-reject, faithful to the reference: Polars
+        # rank() over a null RecordingDate yields a null rank, so
+        # 'rank == 1' is false and all-null-date groups emit NOTHING —
+        # row_number would happily crown an rn=1 row in the
+        # (RecordingYear=NULL, PropertyID) partition instead. (A NULL
+        # Year never joins downstream, but the staged ranked_deed
+        # parquet must match the reference's.)
+        staged.filter(
+            (F.col("SaleFlag") == 1) & F.col("RecordingDate").isNotNull()
+        ),
         partition_by=["RecordingYear", "PropertyID"],
         order_by=[F.col("RecordingDate").desc()],
         tiebreak=["SaleAmt", "FATransactionID"],
@@ -144,10 +159,12 @@ def clean_prop(raw: DataFrame) -> DataFrame:
     lpad restoration, zero-island lat/long nulling, tract fallback key."""
     return (
         raw.filter(F.col("PropertyClassID") == "R")
+        # cast-then-filter, same rationale as clean_deed: non-numeric
+        # id strings must not survive as NULL-key rows
+        .withColumn("PropertyID", F.col("PropertyID").cast("long"))
         .filter(F.col("PropertyID").isNotNull())
         .withColumns(
             {
-                "PropertyID": F.col("PropertyID").cast("long"),
                 "FATimeStamp": compact_date("FATimeStamp"),
                 "SitusLatitude": nullif_zero(F.col("SitusLatitude").cast("double")),
                 "SitusLongitude": nullif_zero(F.col("SitusLongitude").cast("double")),
@@ -237,7 +254,13 @@ def valhist_long(staged: DataFrame, validate: bool = False) -> DataFrame:
     )
 
     if validate:
-        for name, side in (("market", market), ("appr", appr)):
+        # the ASSD slice is checked too — it is the LEFT side that
+        # sets the output grain, so a duplicate (PropertyID, Year)
+        # there multiplies rows through both left joins while the
+        # right-side-only check (and unify's m:1 assertion) passes;
+        # the reference's TODO at fa-etl.py:348-349 ("make sure there
+        # are no duplicates in the above") covers all three slices
+        for name, side in (("assd", assd), ("market", market), ("appr", appr)):
             dupes = (
                 side.groupBy("PropertyID", "Year").count().filter(F.col("count") > 1)
             )

@@ -537,3 +537,53 @@ def test_standardize_geo_custom_tracts_file(spark, tmp_path_factory):
         for r in standardize_geo(prop, tracts=load_tracts(tracts_path)).collect()
     }
     assert geo[5]["SitusGeoMatch"] == "V"  # (40.9, -74.2) inside the ring
+
+
+def test_reference_parity_edge_rows(spark):
+    """Three reference-parity edges (r9 review): (a) a NON-NUMERIC
+    PropertyID nulls under the cast and must be DROPPED, not staged as
+    a NULL-key row; (b) a flagged sale whose RecordingDate is
+    malformed (NULL after compact_date) must emit NO ranked row — the
+    reference's null rank drops the whole all-null-date group; (c)
+    validate=True must reject duplicate (PropertyID, Year) keys on the
+    ASSD slice, the left side that sets the output grain."""
+    import pytest
+
+    from firstamerican_etl_spark.pipeline.convert import (
+        clean_deed,
+        rank_deed,
+        valhist_long,
+        clean_valhist,
+    )
+
+    deed_rows = [
+        # PropertyID, SaleAmt, RecordingDate, SaleDate, FATimeStamp,
+        # FATransactionID, TransactionType, FIPS
+        ("ABC12", "70000", "20200101", "20200101", "20200102", "1J11", "2", "6037"),
+        ("7", "50000", "2020-13-45", "20200101", "20200102", "1J11", "2", "6037"),
+        ("8", "60000", "20200301", "20200301", "20200302", "1J11", "2", "6037"),
+    ]
+    raw = spark.createDataFrame(
+        deed_rows,
+        "PropertyID string, SaleAmt string, RecordingDate string, "
+        "SaleDate string, FATimeStamp string, FATransactionID string, "
+        "TransactionType string, FIPS string",
+    )
+    staged = clean_deed(raw)
+    ids = [r["PropertyID"] for r in staged.select("PropertyID").collect()]
+    assert None not in ids and len(ids) == 2  # 'ABC12' dropped
+    ranked = rank_deed(staged).collect()
+    assert [r["PropertyID"] for r in ranked] == [8]  # null-date group gone
+
+    vh_rows = [
+        ("1", "100", "2020", "110", "2020", "120", "2020", "2020"),
+        ("1", "105", "2020", None, None, None, None, "2020"),  # dup assd key
+    ]
+    vraw = spark.createDataFrame(
+        vh_rows,
+        "PropertyID string, AssdTotalValue string, AssdYear string, "
+        "MarketTotalValue string, MarketValueYear string, "
+        "ApprTotalValue string, ApprYear string, TaxableYear string",
+    )
+    with pytest.raises(ValueError, match="assd slice"):
+        valhist_long(clean_valhist(vraw), validate=True)
