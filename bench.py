@@ -250,18 +250,14 @@ def main() -> None:
     # per-query timings remain for diagnosis.
     total = round(sum(timings.values()), 3) if not failures else None
     load_after = round(os.getloadavg()[0], 2)
-    # Key order is deliberate: the driver's log capture keeps the TAIL
-    # of output, and r7's record lost the headline because it led the
-    # (long) line — the per-query map goes FIRST and the headline
-    # scalars LAST so any prefix truncation eats query detail, never
-    # the totals (VERDICT r7 #9). The headline also echoes to stderr.
-    # r9 (VERDICT r8 #5): per-query walls are emitted at 2 decimals to
-    # shrink the stdout line below the capture window, and the COMPLETE
-    # record (3-decimal walls) is also written to BENCH_FULL.json next
-    # to this script so round-over-round per-query diffs never depend
-    # on the driver's tail capture at all.
+    # stdout carries ONLY a compact headline object (VERDICT r9 #2):
+    # the driver's log capture keeps a bounded tail of output, and both
+    # r8 and r9 lost the per-query map to front-truncation when the
+    # full 70-entry map rode the final stdout line. The complete record
+    # (3-decimal per-query walls) lives exclusively in BENCH_FULL.json,
+    # written next to this script on every run; stdout stays a few
+    # hundred bytes so the driver's BENCH_r{N}.json always parses.
     out = {
-        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "load_before": load_before,
         "load_after": load_after,
@@ -272,14 +268,19 @@ def main() -> None:
         "contended": load_before > 0.5 * n_cpus,
         "metric": "headline_query_wall_seconds",
         "unit": "sec",
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "per_query_map": "BENCH_FULL.json",
         "complete": not failures,
         "value": total,
     }
     if failures:
-        out["failures"] = failures
+        out["failures"] = {k: v[:120] for k, v in failures.items()}
     print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
     full = dict(out)
     full["queries"] = timings  # full 3-decimal walls, never truncated
+    if failures:
+        full["failures"] = failures
     try:
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

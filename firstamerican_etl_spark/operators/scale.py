@@ -36,7 +36,11 @@ def process_stage_dir(prefix: str) -> str:
     from multiple join branches: an expensive intermediate referenced
     N times is recomputed N times unless it is materialized. Writing it
     once to parquet and re-scanning is the lineage-free alternative to
-    persist() — no executor memory pinned, deterministic re-reads."""
+    persist() — no executor memory pinned, deterministic re-reads.
+
+    Per-process by construction (mkdtemp) — concurrent processes never
+    see each other's dirs, so no locking is needed here. Stages shared
+    ACROSS processes go through ``shared_stage`` below instead."""
     if prefix not in _STAGE_DIRS:
         import atexit
         import shutil
@@ -46,6 +50,73 @@ def process_stage_dir(prefix: str) -> str:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _STAGE_DIRS[prefix] = d
     return _STAGE_DIRS[prefix]
+
+
+def shared_stage(
+    prefix: str,
+    key: str,
+    write_fn,
+    markers: Sequence[str] = ("_SUCCESS",),
+) -> str:
+    """Cross-PROCESS content-keyed staging with an atomic
+    tmp-then-rename commit (VERDICT r9 #7). ``process_stage_dir`` above
+    is per-process by construction (mkdtemp) and needs no lock; this is
+    the protocol for stages that are deliberately SHARED across
+    concurrent processes (pytest + bench + driver_sim reusing one
+    expensive fixture). The old idiom — unsynchronized
+    ``if not exists(_SUCCESS): write(final)`` straight into the shared
+    path — let two processes overwrite each other's half-written stage,
+    and a third could scan the torn result.
+
+    Protocol:
+
+    1. ``final = $TMPDIR/fa_shared_{prefix}_{key}``. If every ``markers``
+       entry exists under it, reuse. A committed stage is IMMUTABLE:
+       ``key`` encodes source content (``staging_tag``), so changed
+       inputs land in a NEW final dir, never an in-place overwrite.
+    2. Otherwise ``write_fn(tmp)`` builds the stage in a PID+random
+       sibling dir other processes never look at; any marker the writer
+       didn't emit itself (non-Spark writers) is stamped after
+       ``write_fn`` returns.
+    3. ``os.rename(tmp, final)`` commits — atomic on POSIX, so a reader
+       observes either no ``final`` or a complete one. If the rename
+       loses (another process committed first → EEXIST/ENOTEMPTY), our
+       tmp is discarded and the winner — complete by the same protocol
+       — is used.
+
+    A ``final`` that exists WITHOUT its markers can only be debris from
+    the pre-protocol idiom (a rename is all-or-nothing); it is retired
+    before committing."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    final = os.path.join(tempfile.gettempdir(), f"fa_shared_{prefix}_{key}")
+
+    def _complete(d: str) -> bool:
+        return all(os.path.exists(os.path.join(d, m)) for m in markers)
+
+    if _complete(final):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        write_fn(tmp)
+        for m in markers:
+            mp = os.path.join(tmp, m)
+            if not os.path.exists(mp):
+                os.makedirs(os.path.dirname(mp), exist_ok=True)
+                open(mp, "w").close()
+        if os.path.isdir(final) and not _complete(final):
+            shutil.rmtree(final, ignore_errors=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            if not _complete(final):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
 
 
 def reset_staging() -> None:

@@ -832,18 +832,19 @@ def events_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     full extra pass at scale — never at 100 TB) in PERMISSIVE mode.
     Round-trips must preserve values exactly — which is what the
     oracle (reading the original parquet) checks."""
-    import os
-    import tempfile
-
     from pyspark.sql import types as T
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_jsonl_{staging_tag(sf_dir, 'events')}"
+    from firstamerican_etl_spark.operators.scale import shared_stage
+
+    base = shared_stage(
+        "jsonl",
+        staging_tag(sf_dir, "events"),
+        lambda p: load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(p),
     )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.mode("overwrite").json(base)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -877,20 +878,22 @@ def events_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE nulls on malformed rows, and an exact value round-trip
     (Double.toString/parseDouble are inverses), which the oracle
     (reading the original parquet) checks."""
-    import os
-    import tempfile
-
     from pyspark.sql import types as T
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_xml_{staging_tag(sf_dir, 'events')}"
+    from firstamerican_etl_spark.operators.scale import shared_stage
+
+    base = shared_stage(
+        "xml",
+        staging_tag(sf_dir, "events"),
+        lambda p: load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(p),
     )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        ).coalesce(2).write.mode("overwrite").format("xml").option(
-            "rootTag", "events"
-        ).option("rowTag", "event").save(base)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1009,16 +1012,17 @@ def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stride statistics for predicate pushdown like parquet, and
     Spark's reader is native + vectorized — the oracle (reading the
     original parquet) checks the round-trip is value-exact."""
-    import os
-    import tempfile
+    from firstamerican_etl_spark.operators.scale import shared_stage
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_orc_{staging_tag(sf_dir, 'events')}"
+    base = shared_stage(
+        "orc",
+        staging_tag(sf_dir, "events"),
+        lambda p: load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .orc(p),
     )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        ).coalesce(2).write.mode("overwrite").orc(base)
     ev = spark.read.orc(base)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1058,24 +1062,29 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, pin the merged schema in a metastore instead; the READ
     path (per-file projection with null fill) is identical."""
     import os
-    import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fa_spark_evolve_{staging_tag(sf_dir, 'orders')}"
-    )
+    from firstamerican_etl_spark.operators.scale import shared_stage
+
     o = load_table(spark, sf_dir, "orders")
-    gen_old = os.path.join(base, "gen=old")
-    gen_new = os.path.join(base, "gen=new")
-    if not os.path.exists(os.path.join(gen_old, "_SUCCESS")):
+
+    def _write_generations(p: str) -> None:
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_orderstatus"
-        ).coalesce(1).write.mode("overwrite").parquet(gen_old)
-    if not os.path.exists(os.path.join(gen_new, "_SUCCESS")):
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "gen=old"))
         o.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey",
             "o_orderstatus",
             (F.col("o_orderkey") % 100).alias("o_clerk_id"),
-        ).coalesce(1).write.mode("overwrite").parquet(gen_new)
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(p, "gen=new"))
+
+    base = shared_stage(
+        "evolve",
+        staging_tag(sf_dir, "orders"),
+        _write_generations,
+        markers=("gen=old/_SUCCESS", "gen=new/_SUCCESS"),
+    )
+    gen_old = os.path.join(base, "gen=old")
+    gen_new = os.path.join(base, "gen=new")
     merged = spark.read.option("mergeSchema", "true").parquet(gen_old, gen_new)
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -604,11 +604,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emits only (hub,X),(hub,Y), and dropping those loses X~Y
     # entirely). Downstream clustering regroups the bucket through the
     # unfiltered hub links; hamming rides along for transparency.
+    # collapse to ONE row per (doc_a, doc_b): the same pair can surface
+    # both as a clique edge (star=false) in a small bucket and as a hub
+    # edge (star=true) in a mega-bucket, and a plain distinct() would
+    # keep both rows — double-counting for any consumer tallying unique
+    # pairs (r9 ADVICE). min(hamming) is the true distance either way;
+    # bool_or(star) records that at least one sighting was a
+    # connectivity-only hub edge.
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming", "p.star")
         .filter((F.col("hamming") <= 3) | F.col("star"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"), F.max("star").alias("star"))
     )
 
 

@@ -393,7 +393,15 @@ def _stage_fazip_fixture(spark: SparkSession, sf_dir: str) -> str:
         members: dict[int, list[str]] = {m: [] for m in range(6)}
         for r in rows:
             i = int(r["doc_id"])
-            lang = "" if i % 7 == 0 else r["lang"]
+            # a NULL source lang would interpolate as the literal
+            # string 'None' below while the oracle echoes the raw
+            # value — fail loudly instead of silently diverging
+            # (r9 ADVICE); testdata carries no null lang today.
+            if i % 7 == 0:
+                lang = ""
+            else:
+                assert r["lang"] is not None, f"null lang for doc_id={i}"
+                lang = r["lang"]
             if i % 13 == 0:
                 line = f"{i}|{lang}"
             elif i % 11 == 0:

@@ -339,17 +339,12 @@ def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:
     written by executors (foreachPartition), not the driver — the same
     path a distributed fixture build would take."""
     import os
-    import tempfile
 
+    from firstamerican_etl_spark.operators.scale import shared_stage
     from firstamerican_etl_spark.sources.io import staging_tag
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"fa_ppm_assets_{staging_tag(sf_dir, 'documents')}",
-    )
-    done = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
+    def _write_assets(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
         ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
             F.col("doc_id") % 10 == 0
         )
@@ -360,12 +355,14 @@ def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:
             for r in rows:
                 i = int(r["doc_id"])
                 w, h, g = i % 13 + 2, i % 7 + 2, i % 256
-                with open(os.path.join(base, f"asset_{i}.ppm"), "wb") as f:
+                with open(os.path.join(p, f"asset_{i}.ppm"), "wb") as f:
                     f.write(encode_ppm(w, h, g))
 
         ids.foreachPartition(write_files)
-        open(done, "w").close()
-    return base
+
+    return shared_stage(
+        "ppm_assets", staging_tag(sf_dir, "documents"), _write_assets
+    )
 
 
 @register(
@@ -427,20 +424,14 @@ def _stage_wds_shards(spark: SparkSession, sf_dir: str) -> str:
     into WebDataset tar shards (sources/wds.py) in a reuse-cached dir
     — executors build the shards, the driver only commits the
     manifest."""
-    import os
-    import tempfile
-
     from firstamerican_etl_spark.operators.multimodal import (
         documents_as_ppm_assets,
     )
+    from firstamerican_etl_spark.operators.scale import shared_stage
     from firstamerican_etl_spark.sources.io import staging_tag
     from firstamerican_etl_spark.sources.wds import WdsDataSource
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"fa_wds_shards_{staging_tag(sf_dir, 'documents')}",
-    )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+    def _write_shards(p: str) -> None:
         spark.dataSource.register(WdsDataSource)
         assets = documents_as_ppm_assets(
             load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
@@ -459,10 +450,13 @@ def _stage_wds_shards(spark: SparkSession, sf_dir: str) -> str:
             sample.repartition(4)  # 4 shards — the shard is the I/O unit
             .write.format("wds")
             .mode("overwrite")
-            .option("path", base)
+            .option("path", p)
             .save()
         )
-    return base
+
+    return shared_stage(
+        "wds_shards", staging_tag(sf_dir, "documents"), _write_shards
+    )
 
 
 @register(

@@ -63,22 +63,88 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r9 MASS ROTATION (VERDICT r8 #1). Through r8 the window rotated a
-    # handful of slots per round; 132 of 253 registry entries had still
-    # never received an independent driver CORRECTNESS row. This round
-    # the window keeps only SEVEN pinned veterans — the three FA anchors
-    # (the reference's own pipeline, re-proven every round) plus one
-    # flagship per always-on family (agg, near-dup, corpus e2e,
-    # streaming) — and fills the other FORTY-THREE slots with
-    # first-timers: the r8 additions that missed their own round's
-    # window, the entire never-proven stateful-streaming family, all 18
-    # remaining TPC-H shapes, and one representative per never-proven
-    # operator family. Every rotated-out veteran keeps its full local
-    # oracle in tests/test_oracle.py; the per-slot retirement rationale
-    # that used to live here is preserved in git history (r8 tag).
-    # No entry tagged `contrast` is eligible (test_registry_window).
+    # r10 MASS ROTATION, second of the three planned sweeps (VERDICT r9
+    # #1). After r9's 43-first-timer sweep, 99 of 259 registry entries
+    # had never received an independent driver CORRECTNESS row. This
+    # round pins only FIVE veterans — the three FA anchors (the
+    # reference's own pipeline, re-proven every round), the TPC-H
+    # aggregation flagship, and the corpus e2e — and fills FORTY-FIVE
+    # slots with first-timers in the verdict's priority order: the
+    # §2-mapped extension proofs (union_by_name resolves the
+    # fa-etl.py:581-582 TODO), the source formats (ORC, mergeSchema),
+    # then the multimodal / graph / join / scale / analytics / dedup
+    # tails. Every rotated-out veteran keeps its full local oracle in
+    # tests/test_oracle.py; per-slot retirement rationale lives in git
+    # history (r9 tag). No `contrast` row is eligible, and every window
+    # row carries a full value oracle (test_registry_window pins both).
     # ------------------------------------------------------------------
-    # — pinned veterans (7) —
+    # — pinned veterans (5) —
+    "fa_ranked_deed",
+    "fa_valhist_cascade",
+    "fa_flagship_merged",
+    "q1_pricing_summary",
+    "corpus_clean_pipeline",
+    # — §2-mapped extension proofs (11) —
+    "union_by_name",
+    "grouping_sets_agg",
+    "exact_percentiles",
+    "pivot_status_by_year",
+    "unpivot_part_attrs",
+    "posexplode_tokens",
+    "window_range_frame",
+    "dedup_exact",
+    "text_normalize",
+    "asof_join_events_orders",
+    "range_join_quantity_bands",
+    # — source formats (3) —
+    "events_from_orc",
+    "orc_source_roundtrip",
+    "scan_merge_schema",
+    # — r9 web-corpus additions, driver-pending (2) —
+    "url_normalize_dedup",
+    "domain_registrable_profile",
+    # — never-proven streaming (2) —
+    "streaming_sliding_window",
+    "streaming_static_enrich",
+    # — multimodal tail (5) —
+    "multimodal_ppm_pixel_decode",
+    "multimodal_binaryfile_ingest",
+    "multimodal_resize_chain",
+    "multimodal_frame_sample",
+    "multimodal_featurize_knn",
+    # — graph / geo tail (4) —
+    "graph_triangle_count",
+    "graph_triangle_degree_50k",
+    "geo_haversine_knn",
+    "geo_morton_bucket",
+    # — join-family tail (5) —
+    "asof_join_forward",
+    "full_outer_reconcile",
+    "join_null_safe",
+    "merge_upsert_snapshot",
+    "scd2_value_intervals",
+    # — scale-operator tail (5) —
+    "global_row_index_scalable",
+    "global_running_sum_scalable",
+    "bucketed_join_colocated",
+    "salted_skew_agg",
+    "key_skew_report",
+    # — window / analytics tail (5) —
+    "histogram_width_bucket",
+    "ntile_price_quartiles",
+    "window_percent_rank",
+    "yoy_revenue_change",
+    "share_of_total_window",
+    # — dedup tail (3) —
+    "dedup_embedding_cosine",
+    "dedup_incremental_ingest",
+    "jaccard_prefix_filter_pairs",
+)
+
+# The r9 window, kept importable for the rotation-history tests and as
+# the documented prior generation (every name below is driver-proven
+# green in CORRECTNESS_r09.json).
+_R9_WINDOW: tuple[str, ...] = (
     "fa_ranked_deed",
     "fa_valhist_cascade",
     "fa_flagship_merged",
@@ -86,18 +152,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh_oracled",
     "corpus_clean_pipeline",
     "streaming_tumbling_window",
-    # — r8 additions that missed the r8 window (5) —
     "epoch_shuffle_shards",
     "ndcg_at_k_eval",
     "semdedup_threshold_sweep",
     "jaccard_df_capped_pairs",
     "multimodal_knn_bucketed",
-    # — stateful / exactly-once streaming, never driver-proven (4) —
     "streaming_sessionize_stateful",
     "streaming_dedup_within_watermark",
     "streaming_dedup_exactly_once",
     "streaming_custom_source_agg",
-    # — TPC-H, the 18 shapes outside q1/q3/q5/q21's prior rows —
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_revenue_forecast",
@@ -116,7 +179,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q20_promotion_suppliers",
     "q22_dormant_customers",
-    # — one first-timer per never-proven operator family (16) —
     "quality_gopher_rules",
     "text_redact_pii",
     "bpe_train_unrolled",
@@ -130,15 +192,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_skew_join",
     "count_distinct_two_phase",
     "hybrid_rrf_fusion",
-    # — new in r9, never driver-proven by construction (3): the image
-    # perceptual near-dup operator (VERDICT r8 #2) and the two custom
-    # DataSources that had pytest coverage but no registry row
-    # (VERDICT r8 #8) —
-    # (dedup_image_dhash_pairs was slotted here when r9 opened; the
-    # same round's 100x probe measured it 11.1x/decade and it was
-    # retagged `contrast` — its distinct-fingerprint scale twin, same
-    # oracle discipline + a quotient-relation test tying the two,
-    # takes the slot)
     "dedup_image_dhash_distinct",
     "fazip_source_roundtrip",
     "jsonlgz_sink_roundtrip",

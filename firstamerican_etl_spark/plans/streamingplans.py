@@ -35,15 +35,18 @@ def _stage_events(
     ``n_files=1`` guarantees a single micro-batch under availableNow —
     required when intra-run watermark advancement between batches
     could drop rows (stream-stream joins)."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"fa_spark_stream_{tag}_{staging_tag(sf_dir, 'events')}",
+    from firstamerican_etl_spark.operators.scale import shared_stage
+
+    base = shared_stage(
+        f"stream_{tag}",
+        staging_tag(sf_dir, "events"),
+        lambda p: load_table(spark, sf_dir, "events")
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(os.path.join(p, "landing")),
+        markers=("landing/_SUCCESS",),
     )
     landing = os.path.join(base, "landing")
-    if not os.path.exists(os.path.join(landing, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(n_files).write.mode(
-            "overwrite"
-        ).parquet(landing)
     ckpt = tempfile.mkdtemp(prefix=f"fa_stream_ckpt_{tag}_")
     return landing, ckpt
 

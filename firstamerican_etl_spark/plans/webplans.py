@@ -60,7 +60,12 @@ def _synth_url(doc_id: Column) -> Column:
     doc_id // 4 (groups of four doc_ids are the SAME page), junk
     variant = doc_id % 4. Integer arithmetic + concat only — the SQL
     oracle rebuilds it verbatim."""
-    page = (doc_id / 4).cast("long")
+    # exact integer floor-div (doc_id is non-negative): shiftright(x,2)
+    # == x // 4 in pure int64 math. `(doc_id / 4).cast("long")` went
+    # through a double — exact only below 2^53 and truncating rather
+    # than flooring — while the DuckDB oracle computes doc_id // 4
+    # exactly (r9 ADVICE).
+    page = F.shiftright(doc_id, 2)
     variant = doc_id % 4
     scheme = F.when(variant == 1, F.lit("HTTPS")).otherwise(F.lit("https"))
     host = F.concat(

@@ -1,0 +1,144 @@
+"""Cross-process staging protocol (operators/scale.shared_stage,
+VERDICT r9 #7): two concurrent PROCESSES staging the same content key
+must never expose a half-written stage — the pre-r10 idiom
+(unsynchronized ``if not exists(_SUCCESS): write(final)`` straight into
+the shared path) let a second process overwrite a first one's
+in-flight write and a third scan the torn result. The protocol under
+test: build in a PID+random sibling tmp dir, stamp markers, atomic
+``os.rename`` commit, loser discards its tmp and adopts the winner.
+
+These tests drive the helper with plain-python writers — the protocol
+is filesystem-level and Spark-agnostic, and subprocesses must not pay
+a JVM launch. The Spark call sites (events_from_jsonl/xml/orc,
+scan_merge_schema, PPM/wds fixtures, streaming landing) are covered by
+their own oracle rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+import uuid
+
+from firstamerican_etl_spark.operators.scale import shared_stage
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _final(prefix: str, key: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"fa_shared_{prefix}_{key}")
+
+
+def test_shared_stage_writes_then_reuses():
+    key = uuid.uuid4().hex[:12]
+    calls = []
+
+    def write(p):
+        calls.append(p)
+        os.makedirs(p)
+        open(os.path.join(p, "data.txt"), "w").write("v1")
+
+    d1 = shared_stage("sstest", key, write)
+    assert d1 == _final("sstest", key)
+    assert open(os.path.join(d1, "data.txt")).read() == "v1"
+    assert os.path.exists(os.path.join(d1, "_SUCCESS"))  # stamped for us
+    d2 = shared_stage("sstest", key, write)
+    assert d2 == d1 and len(calls) == 1  # second call reused, no rewrite
+    # the tmp build dir never leaks
+    assert glob.glob(d1 + ".tmp-*") == []
+
+
+def test_shared_stage_failed_writer_leaves_nothing():
+    key = uuid.uuid4().hex[:12]
+
+    def boom(p):
+        os.makedirs(p)
+        open(os.path.join(p, "partial.txt"), "w").write("torn")
+        raise RuntimeError("writer died")
+
+    try:
+        shared_stage("sstest", key, boom)
+        raise AssertionError("expected writer failure to propagate")
+    except RuntimeError:
+        pass
+    final = _final("sstest", key)
+    assert not os.path.exists(final)  # no torn commit
+    assert glob.glob(final + ".tmp-*") == []  # tmp cleaned up
+
+
+def test_shared_stage_heals_legacy_half_written_final():
+    """A final dir WITHOUT its markers can only be debris from the
+    pre-protocol idiom (the rename commit is all-or-nothing); it must
+    be retired and replaced, not trusted and not fatal."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest", key)
+    os.makedirs(final)
+    open(os.path.join(final, "stale.txt"), "w").write("pre-protocol debris")
+
+    def write(p):
+        os.makedirs(p)
+        open(os.path.join(p, "data.txt"), "w").write("fresh")
+
+    d = shared_stage("sstest", key, write)
+    assert d == final
+    assert open(os.path.join(d, "data.txt")).read() == "fresh"
+    assert not os.path.exists(os.path.join(d, "stale.txt"))
+
+
+_RACER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from firstamerican_etl_spark.operators.scale import shared_stage
+
+def write(p):
+    os.makedirs(p)
+    pid = os.getpid()
+    # a deliberately SLOW multi-file write so the two processes overlap
+    for i in range(20):
+        with open(os.path.join(p, f"part-{{i:02d}}.txt"), "w") as f:
+            f.write(f"{{pid}}")
+        time.sleep(0.02)
+    with open(os.path.join(p, "writer_pid.txt"), "w") as f:
+        f.write(str(pid))
+
+d = shared_stage("sstest_race", {key!r}, write)
+print(d)
+"""
+
+
+def test_two_process_race_single_consistent_winner():
+    """THE race the verdict called out: two concurrent processes stage
+    the same key while both writes are in flight. Exactly one
+    generation may win; the committed stage must be internally
+    consistent (every file from ONE writer), both processes must agree
+    on the path, and no tmp debris may survive."""
+    key = uuid.uuid4().hex[:12]
+    script = _RACER.format(repo=_REPO, key=key)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        outs.append(out.strip())
+
+    final = _final("sstest_race", key)
+    assert outs == [final, final]  # both adopted the same committed dir
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    winner = open(os.path.join(final, "writer_pid.txt")).read()
+    # internal consistency: every part file is the winner's — a torn
+    # merge of two writers' files is exactly the pre-protocol failure
+    parts = sorted(glob.glob(os.path.join(final, "part-*.txt")))
+    assert len(parts) == 20
+    assert {open(f).read() for f in parts} == {winner}
+    assert glob.glob(final + ".tmp-*") == []
