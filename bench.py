@@ -43,7 +43,10 @@ HEADLINE = [
     "events_tumbling_window",
     "asof_join_events_orders",
     "q10_returned_items",
-    "dedup_embedding_cosine_vectorized",
+    # (dedup_embedding_cosine_vectorized retagged `contrast` in r10 —
+    # fixed-cardinality label blocking, 17x/decade; hard-negative
+    # mining takes the vector-family Arrow slot, newly probed 0.9x)
+    "hard_negative_mining",
     "multimodal_decode_stats",
     "q21_waiting_orders",
     "scd2_value_intervals",

@@ -412,16 +412,30 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
 """,
-    tags=("dedup", "embedding", "cosine", "blocked"),
+    tags=("dedup", "embedding", "cosine", "blocked", "contrast"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked.
 
-    Scale shape: never all-pairs — block first (here the label column;
-    in production an LSH/IVF bucket id), self-join within blocks only,
-    then exact cosine on the survivors. The cosine is pure JVM array
-    math (zip_with + aggregate fold — element order is deterministic,
-    so both engines agree bit-for-bit after the round)."""
+    **CONTRAST ROW (r10)** — the 10x probe measured this at
+    17.0x/decade, the probe's third real super-linear catch. The
+    blocking key (`label`) has FIXED cardinality (10 distinct values in
+    the corpus), so 10x vectors means 10x members per block and ~100x
+    within-block pair evaluations: Sigma k^2 with k ~ N/|labels| is
+    quadratic no matter how cheap the kernel is. Kept registered as the
+    exact-semantics oracle anchor at window scale and for the
+    anti-pattern table (SCALING.md); excluded from the driver window
+    and the headline bench. The production paths are the measured
+    scale-safe twins whose candidate volume grows with CONTENT, not
+    corpus size: ``semdedup_cluster_prune_sqrtk`` (sqrt(N) kmeans
+    cells, 1.2x/decade) for embedding near-dup pruning and
+    ``multimodal_knn_bucketed``/``knn_lsh_bucketed`` for bucketed
+    candidate generation.
+
+    The original scale note claimed "block first, never all-pairs" —
+    true, but insufficient: blocking only helps if the block-key
+    cardinality GROWS with N (sqrt(N) cells, LSH buckets sized to the
+    corpus). A fixed-cardinality key merely delays the quadratic."""
     # norms are computed ONCE PER VECTOR before the join: folding
     # sqrt(sum(x^2)) on the post-join pair rows would re-evaluate each
     # vector's fold k-1 times inside a k-sized label block (pairs ~

@@ -135,8 +135,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_percent_rank",
     "yoy_revenue_change",
     "share_of_total_window",
-    # — dedup tail (3) —
-    "dedup_embedding_cosine",
+    # — dedup / similarity tail (3) —
+    # (dedup_embedding_cosine held this slot when r10 opened; the same
+    # round's probe-coverage closure measured it at 17.0x/decade —
+    # fixed-cardinality label blocking — and it was retagged
+    # `contrast`; the exact n-gram Jaccard pair anchor, never
+    # driver-seen and the lossless oracle the capped/prefix-filter
+    # variants verify against, takes the slot)
+    "ngram_jaccard_pairs",
     "dedup_incremental_ingest",
     "jaccard_prefix_filter_pairs",
 )

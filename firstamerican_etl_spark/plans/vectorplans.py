@@ -193,7 +193,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
 """,
-    tags=("dedup", "embedding", "cosine", "pandas-udf", "vectorized"),
+    tags=("dedup", "embedding", "cosine", "pandas-udf", "vectorized", "contrast"),
 )
 def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, BLAS path: same semantics (and the
@@ -202,12 +202,17 @@ def dedup_embedding_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataF
     applyInPandas instead of a self-join with interpreted per-element
     array folds.
 
-    Scale shape: groupBy(label) shuffles each block to one task where
-    G @ G.T scores all intra-block pairs at BLAS speed — the right
-    physical plan when blocks fit in a task (bucket blocks further via
-    LSH when they don't). The JVM zip_with variant keeps everything in
-    Catalyst but pays interpreted-lambda cost per element; this is the
-    documented trade between the two."""
+    **CONTRAST ROW (r10)**, same verdict as its zip_with sibling: the
+    `label` blocking key has FIXED cardinality, so the per-block
+    G @ G.T is (N/|labels|)^2 — a faster kernel on a quadratic plan is
+    still quadratic (the 10x probe measured the sibling at
+    17.0x/decade; BLAS only moves the constant). Worse here, each label
+    block must FIT IN ONE TASK, so at 100 TB a block is an OOM, not
+    just slow. Kept as the documented Arrow-kernel trade anchor;
+    excluded from the driver window and headline bench. Production
+    paths: ``semdedup_cluster_prune_sqrtk`` (sqrt(N) cells keep blocks
+    task-sized by construction), ``multimodal_knn_bucketed`` /
+    ``knn_lsh_bucketed`` for bucketed candidates."""
     import numpy as np
     import pandas as pd
 

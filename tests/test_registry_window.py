@@ -60,7 +60,31 @@ def test_contrast_rows_have_scale_safe_twins():
         "rolling_7d_median_value",
         "semdedup_cluster_prune",
         "dedup_image_dhash_pairs",  # r9 probe: 11.1x/decade (SCALING.md)
+        # r10 probe-coverage closure: label-blocked all-pairs cosine,
+        # 17.0x/decade — `label` has FIXED cardinality, so blocks grow
+        # with N and Sigma k^2 is quadratic; both the zip_with and the
+        # BLAS-kernel variant share the plan shape (SCALING.md)
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_vectorized",
     }
     assert "rolling_7d_median_bucketed" in reg
     assert "semdedup_cluster_prune_sqrtk" in reg
     assert "dedup_image_dhash_distinct" in reg
+    # the embedding near-dup production paths: sqrt(N) cells keep the
+    # block-key cardinality growing with the corpus; bucketed kNN keeps
+    # candidate volume content-bound
+    assert "semdedup_cluster_prune_sqrtk" in reg
+    assert "multimodal_knn_bucketed" in reg
+
+
+def test_no_contrast_row_in_headline_bench():
+    """The headline bench total must never include a deliberate
+    scale-killer: a contrast row regressing (or improving) would move
+    the round-over-round headline for anti-pattern reasons."""
+    import bench
+
+    reg = load_all()
+    offenders = [
+        n for n in bench.HEADLINE if n in reg and "contrast" in reg[n].tags
+    ]
+    assert offenders == [], f"contrast rows in bench HEADLINE: {offenders}"

@@ -113,12 +113,11 @@ PROBE = [
     "quantile_bins_scalable",
     "global_row_index_scalable",
     # r9: the r8 additions queued by the 10× list (VERDICT r8 #4) +
-    # the new image perceptual near-dup. CAVEAT (SCALING.md note): the
-    # PIP join's point side is `customer`, which the derivation does
-    # NOT scale — its ratio row is construction-limited, kept only so
-    # a super-linear regression in the broadcast/candidate machinery
-    # would still surface as absolute wall growth.
-    "geo_point_in_polygon_join",
+    # the new image perceptual near-dup. (geo_point_in_polygon_join
+    # was dropped in r10: its point side is `customer`, which this
+    # derivation does NOT scale, so its row was construction-limited —
+    # the geo family now gets real slopes from the point-scaled
+    # 10×/100× sub-table in tools/scale_probe_10x.py --points.)
     "epoch_shuffle_shards",
     "ndcg_at_k_eval",
     "dedup_image_dhash_pairs",
