@@ -116,6 +116,22 @@ def build_ann_index(
     )
     if where:
         emb = emb.filter(where)
+    return _train_index(spark, emb, out_dir, n_cells, lloyd_rounds)
+
+
+def _train_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int,
+    lloyd_rounds: int,
+) -> AnnIndexStats:
+    """Lloyd-train + write an index from a (vec_id, v) frame — shared
+    by the fresh build (source table) and the drift refresh (re-train
+    from the index's own assignments). Also stamps
+    ``train_meta.parquet`` (one row: n_trained, n_cells, lloyd_rounds)
+    so the maintenance policy can compute appended-mass fractions
+    without re-deriving history."""
     # Deterministic seeds: the n_cells hash-smallest vectors. A
     # TakeOrdered of k rows — no sort of the corpus.
     seed_rows = (
@@ -188,6 +204,25 @@ def build_ann_index(
         f1.result()
         f2.result()
     ns = [r["n"] for r in sizes]
+    # training provenance for the maintenance policy
+    # (ann_refresh_decision): appended mass is measured against
+    # n_trained, which only a stamp written AT TRAIN TIME can know.
+    # sum(ns) re-reads the just-written index, so the stamp records
+    # what is ON DISK — no extra corpus scan.
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_trained": [int(sum(ns))],
+                "n_cells": [int(n_cells)],
+                "lloyd_rounds": [int(lloyd_rounds)],
+            }
+        ),
+        "n_trained bigint, n_cells int, lloyd_rounds int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "train_meta.parquet")
+    )
     return AnnIndexStats(
         n_vectors=sum(ns),
         n_cells=len(centroids),
@@ -212,8 +247,9 @@ class AnnAppendStats:
 def append_ann_index(
     spark: SparkSession,
     out_dir: str,
-    sf_dir: str,
+    sf_dir: str | None = None,
     where: str | None = None,
+    batch: DataFrame | None = None,
 ) -> AnnAppendStats:
     """Delta-ingest new vectors into an EXISTING IVF index — the
     vector-side analogue of the corpus pipeline's delta mode
@@ -259,11 +295,25 @@ def append_ann_index(
             f"no committed ANN index at {out_dir} (missing _SUCCESS); "
             "build_ann_index first"
         )
-    new = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    if where:
-        new = new.filter(where)
+    if batch is not None:
+        # production appends arrive as a DataFrame, not as a filter on
+        # the training table; accept (vec_id, embedding) or (vec_id, v)
+        new = (
+            batch.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+            if "embedding" in batch.columns
+            else batch.select("vec_id", "v")
+        )
+    else:
+        if sf_dir is None:
+            raise ValueError("append_ann_index needs sf_dir or batch")
+        new = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        if where:
+            new = new.filter(where)
 
     # duplicates WITHIN the batch double-serve exactly like index
     # collisions (the semi-join below can't see them) — one aggregate
@@ -319,6 +369,130 @@ def append_ann_index(
     )
 
 
+@dataclass
+class AnnRefreshDecision:
+    n_trained: int
+    n_total: int
+    appended_frac: float
+    skew_ratio: float
+    refresh: bool
+    reasons: list[str]
+
+
+def ann_refresh_decision(
+    spark: SparkSession,
+    out_dir: str,
+    appended_frac_threshold: float = 0.5,
+    skew_threshold: float = 4.0,
+) -> AnnRefreshDecision:
+    """The centroid-refresh POLICY HOOK (VERDICT r9 #6): frozen-centroid
+    appends (``append_ann_index``) slowly go stale under data drift —
+    drifted vectors pile into the few cells nearest the new mass, which
+    degrades the serve path's partition pruning (probing nprobe cells
+    stops meaning nprobe/k of the corpus) long before recall visibly
+    moves. This reads two metadata-sized signals and recommends a
+    retrain when either crosses its threshold:
+
+    - ``appended_frac`` = (rows on disk − rows at train time) / rows at
+      train time, from the ``train_meta.parquet`` stamp. The FAISS-folk
+      rule of thumb: retrain when appends exceed ~half the trained
+      mass, regardless of drift — quantization error grows with mass
+      the centroids never saw.
+    - ``skew_ratio`` = max cell size / mean cell size over ALL trained
+      cells. Balanced kmeans cells sit near 1–2; drift shows up here
+      mechanically because appended vectors assign to their nearest
+      FROZEN centroid.
+
+    Cost: one column-pruned count-by-cell over assignment metadata and
+    a one-row stamp read — safe to run after every append. The
+    decision is returned, not auto-acted: the caller schedules
+    ``refresh_ann_index`` (serving pauses during the generation swap)."""
+    meta_path = os.path.join(out_dir, "train_meta.parquet")
+    if not os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+        raise ValueError(
+            f"no train_meta stamp at {out_dir} — index predates the "
+            "maintenance policy; rebuild_ann_index/refresh once to stamp it"
+        )
+    meta = spark.read.parquet(meta_path).collect()[0]
+    n_trained, n_cells = int(meta["n_trained"]), int(meta["n_cells"])
+    sizes = (
+        spark.read.parquet(os.path.join(out_dir, "assignments.parquet"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = [int(r["n"]) for r in sizes]
+    n_total = sum(ns)
+    appended_frac = (n_total - n_trained) / n_trained if n_trained else 0.0
+    skew_ratio = max(ns) / (n_total / n_cells) if ns and n_total else 0.0
+    reasons = []
+    if appended_frac > appended_frac_threshold:
+        reasons.append(
+            f"appended_frac {appended_frac:.2f} > {appended_frac_threshold}"
+        )
+    if skew_ratio > skew_threshold:
+        reasons.append(f"skew_ratio {skew_ratio:.2f} > {skew_threshold}")
+    return AnnRefreshDecision(
+        n_trained=n_trained,
+        n_total=n_total,
+        appended_frac=round(appended_frac, 4),
+        skew_ratio=round(skew_ratio, 3),
+        refresh=bool(reasons),
+        reasons=reasons,
+    )
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    n_cells: int | None = None,
+    lloyd_rounds: int = 3,
+) -> AnnIndexStats:
+    """Retrain the index over EVERYTHING it currently serves (original
+    + appended vectors, read straight from the cell-partitioned
+    assignments — no join back to any source table) and swap the new
+    generation in. This is the action ``ann_refresh_decision``
+    recommends; after it, appended_frac is 0 by construction and cell
+    sizes re-balance around the drifted mass.
+
+    Generation protocol: train into a sibling ``.gen-*`` dir, then
+    swap via two renames (old index parked at ``.old`` until the new
+    one is in place, then removed). The swap window is two directory
+    renames; this is a MAINTENANCE operation — pause serving for it,
+    same as any FAISS retrain. Writing the new generation never reads
+    and overwrites the same files (the read-own-input hazard), because
+    training reads the OLD dir and writes the sibling."""
+    import shutil
+    import uuid
+
+    assign_path = os.path.join(out_dir, "assignments.parquet")
+    meta_path = os.path.join(out_dir, "train_meta.parquet")
+    if not os.path.exists(os.path.join(assign_path, "_SUCCESS")):
+        raise ValueError(f"no committed ANN index at {out_dir}")
+    if n_cells is None:
+        if os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+            n_cells = int(spark.read.parquet(meta_path).collect()[0]["n_cells"])
+        else:  # pre-policy index: fall back to the centroid count
+            n_cells = spark.read.parquet(
+                os.path.join(out_dir, "centroids.parquet")
+            ).count()
+    emb = spark.read.parquet(assign_path).select("vec_id", "v")
+    gen = f"{out_dir}.gen-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    stats = _train_index(spark, emb, gen, n_cells, lloyd_rounds)
+    old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(out_dir, old)
+    os.rename(gen, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return AnnIndexStats(
+        n_vectors=stats.n_vectors,
+        n_cells=stats.n_cells,
+        lloyd_rounds=stats.lloyd_rounds,
+        min_cell=stats.min_cell,
+        max_cell=stats.max_cell,
+        out_dir=out_dir,
+    )
+
+
 def query_ann_index(
     spark: SparkSession,
     out_dir: str,
@@ -326,22 +500,42 @@ def query_ann_index(
     n_probes: int = 20,
     nprobe: int = 4,
     k: int = 10,
+    probes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ``n_probes`` hash-chosen probe vectors against the index
     and return the recall report: one row per probe with its IVF
     top-k hit count vs the exact brute-force top-k (cosine, vec_id
     tiebreak; the probe itself is excluded from both sides).
 
-    Returns columns (probe_id, n_hits, recall_at_k)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    probes = (
-        emb.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
-        .limit(n_probes)
-        .collect()
-    )
+    Returns columns (probe_id, n_hits, recall_at_k).
+
+    ``probes_df`` overrides the default table-sampled probes with an
+    explicit (vec_id, v) frame — how the maintenance tests grade the
+    index against drifted-batch probes; the exact ground truth is then
+    brute-forced over the INDEX contents (what serving can actually
+    return), not the source table."""
+    if probes_df is not None:
+        emb = spark.read.parquet(
+            os.path.join(out_dir, "assignments.parquet")
+        ).select("vec_id", "v")
+        probes = (
+            probes_df.select(
+                "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+            )
+            .orderBy(F.col("h").desc(), "vec_id")
+            .limit(n_probes)
+            .collect()
+        )
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        probes = (
+            emb.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
+            .limit(n_probes)
+            .collect()
+        )
     cents = {
         r["cell_id"]: [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(os.path.join(out_dir, "centroids.parquet")).collect()

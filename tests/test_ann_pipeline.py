@@ -216,3 +216,115 @@ def test_append_then_compact_preserves_serving(spark, sf_dir, tmp_path):
 
     rep = query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=8, k=5)
     assert all(r["recall_at_k"] == 1.0 for r in rep.collect())
+
+
+def test_refresh_policy_fires_and_rebalances(spark, sf_dir, tmp_path):
+    """Centroid maintenance policy (VERDICT r9 #6), the full
+    composition: build → drifted append → the decision FIRES on both
+    signals → refresh → the decision CLEARS and the index re-balances.
+
+    The drift construction is deliberate: appended vectors are
+    |x| + 0.25 of the originals (all-positive orthant — a genuinely
+    shifted distribution), so under FROZEN centroids the whole batch
+    piles into the 2 cells nearest the new mass. The measured
+    consequence is NOT a recall drop — concentrated mass means the
+    probes that matter scan those mega-cells and recall stays perfect —
+    it is the DEATH OF PRUNING: serving pays a ~84%-of-index candidate
+    scan per probe. The refresh restores task-sized cells; recall then
+    recovers through nprobe at a fraction of the scan cost
+    (nprobe=6/16 → 1.0 here, vs the pre-refresh 2 mega-cells holding
+    84% of all rows). Values are deterministic (md5 seeds, fixed Lloyd
+    rounds, arithmetic drift)."""
+    from firstamerican_etl_spark.operators.relational import is_empty
+    from firstamerican_etl_spark.pipeline.ann_build import (
+        ann_refresh_decision,
+        append_ann_index,
+        refresh_ann_index,
+    )
+    from firstamerican_etl_spark.sources.io import load_table
+
+    d = str(tmp_path / "idx")
+    build_ann_index(spark, sf_dir, d, n_cells=16, lloyd_rounds=2)
+    dec0 = ann_refresh_decision(spark, d)
+    assert not dec0.refresh and dec0.appended_frac == 0.0
+    assert dec0.skew_ratio < 2.0  # freshly-trained cells are balanced
+
+    drift = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: F.abs(x.cast("double")) + F.lit(0.25)
+        ).alias("v"),
+    )
+    ap = append_ann_index(spark, d, batch=drift)
+    assert ap.n_appended == dec0.n_trained  # equal-mass drifted batch
+    assert ap.n_cells_touched <= 3  # the drift concentration itself
+
+    dec1 = ann_refresh_decision(spark, d)
+    assert dec1.refresh
+    assert any("appended_frac" in r for r in dec1.reasons)
+    assert any("skew_ratio" in r for r in dec1.reasons)
+    assert dec1.appended_frac == 1.0
+    assert dec1.skew_ratio > 4.0
+    pre_max_cell = ap.max_cell
+
+    # recall on the drifted probes BEFORE refresh: perfect, but only
+    # because pruning is dead (mega-cells)
+    pre = (
+        query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=4, probes_df=drift)
+        .agg(F.avg("recall_at_k").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert pre == 1.0
+
+    rst = refresh_ann_index(spark, d)
+    assert rst.n_vectors == dec1.n_total  # nothing lost in the swap
+    dec2 = ann_refresh_decision(spark, d)
+    assert not dec2.refresh and dec2.appended_frac == 0.0
+    assert dec2.skew_ratio < dec1.skew_ratio / 2  # re-balanced
+    assert rst.max_cell < pre_max_cell / 2  # pruning restored
+
+    # recall recovers through nprobe at a fraction of the scan cost:
+    # 6 of 16 balanced cells beat 2 mega-cells holding 84% of rows
+    post = (
+        query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=6, probes_df=drift)
+        .agg(F.avg("recall_at_k").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert post == 1.0
+    # even the cheap nprobe=4 stays within 15% of truth post-refresh
+    post4 = (
+        query_ann_index(spark, d, sf_dir, n_probes=10, nprobe=4, probes_df=drift)
+        .agg(F.avg("recall_at_k").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert post4 >= 0.85
+    # the index still serves its original probes end-to-end
+    assert not is_empty(query_ann_index(spark, d, sf_dir, n_probes=5, nprobe=8))
+
+
+def test_refresh_policy_guards(spark, sf_dir, tmp_path):
+    """Fail-loud edges: deciding against an unstamped (pre-policy)
+    index raises with the rebuild hint; refreshing a missing index
+    raises; a stamped index straight after build needs no refresh."""
+    import shutil
+
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.pipeline.ann_build import (
+        ann_refresh_decision,
+        refresh_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    build_ann_index(spark, sf_dir, d, n_cells=8, lloyd_rounds=1)
+    # simulate a pre-policy index: drop the stamp
+    shutil.rmtree(os.path.join(d, "train_meta.parquet"))
+    with _pytest.raises(ValueError, match="train_meta"):
+        ann_refresh_decision(spark, d)
+    # refresh falls back to the centroid count for n_cells and stamps
+    rst = refresh_ann_index(spark, d)
+    assert rst.n_cells == 8
+    dec = ann_refresh_decision(spark, d)  # stamped now
+    assert not dec.refresh
+    with _pytest.raises(ValueError, match="no committed ANN index"):
+        refresh_ann_index(spark, str(tmp_path / "nope"))
