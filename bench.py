@@ -1,9 +1,12 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON headline line (r10+; the driver's tail capture
+truncated the old per-query map twice):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+   "n_queries": N, "complete": true, "sf": 0.1, ...}
+The full 3-decimal per-query map is written to BENCH_FULL.json next to
+this script on every run.
 
 Each query is timed as a full plan execution materialized via a
 count-style action that still computes every output column (we hash a

@@ -86,13 +86,21 @@ def shared_stage(
 
     A ``final`` that exists WITHOUT its markers can only be debris from
     the pre-protocol idiom (a rename is all-or-nothing); it is retired
-    before committing."""
+    before committing. Retirement + commit run under a short mkdir
+    lease (``final.lock``): without it, two writers racing over debris
+    could interleave check→rmtree→rename so that one deletes the
+    other's JUST-committed stage while a reader scans it. The lease is
+    held only around the two directory ops (microseconds — the
+    expensive ``write_fn`` happens before acquisition); a lease older
+    than 60 s is presumed orphaned by a dead process and stolen."""
     import os
     import shutil
     import tempfile
+    import time
     import uuid
 
     final = os.path.join(tempfile.gettempdir(), f"fa_shared_{prefix}_{key}")
+    lock = final + ".lock"
 
     def _complete(d: str) -> bool:
         return all(os.path.exists(os.path.join(d, m)) for m in markers)
@@ -107,13 +115,30 @@ def shared_stage(
             if not os.path.exists(mp):
                 os.makedirs(os.path.dirname(mp), exist_ok=True)
                 open(mp, "w").close()
-        if os.path.isdir(final) and not _complete(final):
-            shutil.rmtree(final, ignore_errors=True)
+        while True:
+            try:
+                os.mkdir(lock)  # atomic lease acquisition
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock).st_mtime > 60:
+                        os.rmdir(lock)  # steal an orphaned lease
+                        continue
+                except OSError:
+                    continue  # holder released between stat and rmdir
+                time.sleep(0.02)
         try:
-            os.rename(tmp, final)
-        except OSError:
             if not _complete(final):
-                raise
+                if os.path.isdir(final):  # pre-protocol debris
+                    shutil.rmtree(final)
+                os.rename(tmp, final)
+            # else: another writer committed while we built — adopt it;
+            # same key means same content by contract
+        finally:
+            try:
+                os.rmdir(lock)
+            except OSError:
+                pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final

@@ -411,7 +411,8 @@ def ann_refresh_decision(
     if not os.path.exists(os.path.join(meta_path, "_SUCCESS")):
         raise ValueError(
             f"no train_meta stamp at {out_dir} — index predates the "
-            "maintenance policy; rebuild_ann_index/refresh once to stamp it"
+            "maintenance policy; run refresh_ann_index (or rebuild with "
+            "build_ann_index) once to stamp it"
         )
     meta = spark.read.parquet(meta_path).collect()[0]
     n_trained, n_cells = int(meta["n_trained"]), int(meta["n_cells"])
@@ -478,11 +479,16 @@ def refresh_ann_index(
             ).count()
     emb = spark.read.parquet(assign_path).select("vec_id", "v")
     gen = f"{out_dir}.gen-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    stats = _train_index(spark, emb, gen, n_cells, lloyd_rounds)
-    old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(out_dir, old)
-    os.rename(gen, out_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    try:
+        stats = _train_index(spark, emb, gen, n_cells, lloyd_rounds)
+        old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(out_dir, old)
+        os.rename(gen, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        # a failed retrain (OOM, disk full, interrupt) must not leak an
+        # index-sized partial generation next to the live index
+        shutil.rmtree(gen, ignore_errors=True)
     return AnnIndexStats(
         n_vectors=stats.n_vectors,
         n_cells=stats.n_cells,
@@ -515,27 +521,24 @@ def query_ann_index(
     brute-forced over the INDEX contents (what serving can actually
     return), not the source table."""
     if probes_df is not None:
+        # ground truth = what serving can actually return
         emb = spark.read.parquet(
             os.path.join(out_dir, "assignments.parquet")
         ).select("vec_id", "v")
-        probes = (
-            probes_df.select(
-                "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
-            )
-            .orderBy(F.col("h").desc(), "vec_id")
-            .limit(n_probes)
-            .collect()
-        )
+        probe_src = probes_df.select("vec_id", "v")
     else:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
-        probes = (
-            emb.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
-            .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
-            .limit(n_probes)
-            .collect()
+        probe_src = emb
+    probes = (
+        probe_src.select(
+            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
+        .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
+        .limit(n_probes)
+        .collect()
+    )
     cents = {
         r["cell_id"]: [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(os.path.join(out_dir, "centroids.parquet")).collect()

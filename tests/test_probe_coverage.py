@@ -81,3 +81,25 @@ def test_ledger_section_in_scaling_md_matches_generator():
     extra = sorted(set(bullets) - set(LEDGER))
     assert extra == [], f"SCALING.md ledger bullets not in the generator: {extra}"
     assert render()  # generator renders without error
+
+
+def test_point_shift_yields_distinct_offsets_for_100_copies():
+    """The point-scaled derivation must actually scale DISTINCT point
+    layouts: with the fact-table shift (10,000,000) the per-copy
+    coordinate offsets cycle with period 9, silently capping
+    distinct-coordinate work at 9x (caught in the r10 review pass).
+    _PT_SHIFT is chosen so all 100 copies land on distinct offsets for
+    BOTH coordinate multipliers used by the geo family."""
+    from tools.scale_probe_10x import _PT_SHIFT
+
+    offs = {
+        ((k * _PT_SHIFT * 104729) % 36000, (k * _PT_SHIFT * 7919) % 18000)
+        for k in range(100)
+    }
+    assert len(offs) == 100
+    # and the regression the guard exists for: the fact shift cycles
+    bad = {
+        ((k * 10_000_000 * 104729) % 36000, (k * 10_000_000 * 7919) % 18000)
+        for k in range(100)
+    }
+    assert len(bad) == 9

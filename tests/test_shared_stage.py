@@ -142,3 +142,41 @@ def test_two_process_race_single_consistent_winner():
     assert len(parts) == 20
     assert {open(f).read() for f in parts} == {winner}
     assert glob.glob(final + ".tmp-*") == []
+
+
+def test_two_process_race_over_legacy_debris():
+    """The retirement race from the r10 review: pre-protocol debris at
+    final, two writers racing. Without the mkdir lease, one writer's
+    check-then-rmtree could delete the other's JUST-committed complete
+    stage. With it, retirement + commit are serialized: the survivor
+    must be one writer's complete generation and no lease or tmp may
+    leak."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    os.makedirs(final)
+    open(os.path.join(final, "stale.txt"), "w").write("debris")
+
+    script = _RACER.format(repo=_REPO, key=key)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        outs.append(out.strip())
+    assert outs == [final, final]
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(final, "stale.txt"))
+    winner = open(os.path.join(final, "writer_pid.txt")).read()
+    parts = sorted(glob.glob(os.path.join(final, "part-*.txt")))
+    assert len(parts) == 20
+    assert {open(f).read() for f in parts} == {winner}
+    assert glob.glob(final + ".tmp-*") == []
+    assert not os.path.exists(final + ".lock")

@@ -250,19 +250,34 @@ def build_sf1(spark) -> str:
     return out
 
 
+#: Per-copy key shift for the POINT derivation. NOT the fact-table
+#: _SHIFT: the geo family derives coordinates as
+#: (c_custkey*104729 % 36000, c_custkey*7919 % 18000), and a shift of
+#: 10,000,000 makes the per-copy coordinate offsets cycle with period
+#: NINE (k*10M*104729 % 36000 repeats every 9 copies — verified
+#: numerically), so copies 9..99 would duplicate earlier point layouts
+#: and distinct-coordinate work would saturate at 9x: exactly the
+#: construction artifact this probe exists to avoid. 10,000,001 is
+#: coprime to 2/3/5 (the moduli's only prime factors) and both
+#: multipliers are primes > the moduli, so all 100 copies land on
+#: distinct, well-distributed offsets (also verified numerically in
+#: tests/test_probe_coverage.py).
+_PT_SHIFT = 10_000_001
+
+
 def build_points_scaled(spark, sf1: str, copies: int) -> str:
     """Point-scaling variant of the derivation: CUSTOMER is replicated
     ``copies``x with key shifts (every derived c_custkey yields a
     distinct, well-distributed synthetic point — the geo family's
-    coordinates are pure arithmetic on the key); every other table is
-    shared with the main sf1 derivation via symlink. Used only for
-    POINT_PROBE — the TPC-H join probes keep the main derivation's
-    deliberate choice of NOT scaling dimensions. customer is tiny
-    (~15k rows at sf0.1), so 10x points stays under the per-query
-    floor; the 100x variant is what actually exposes the per-point
-    data term."""
+    coordinates are pure arithmetic on the key; see _PT_SHIFT); every
+    other table is shared with the main sf1 derivation via symlink.
+    Used only for POINT_PROBE — the TPC-H join probes keep the main
+    derivation's deliberate choice of NOT scaling dimensions. customer
+    is tiny (~15k rows at sf0.1), so 10x points stays under the
+    per-query floor; the 100x variant is what actually exposes the
+    per-point data term."""
     out = os.path.join(
-        "/tmp", f"fa_pts{copies}_derived_v1_{staging_tag(SRC, 'customer')}"
+        "/tmp", f"fa_pts{copies}_derived_v2_{staging_tag(SRC, 'customer')}"
     )
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -272,7 +287,7 @@ def build_points_scaled(spark, sf1: str, copies: int) -> str:
     writer_mode = "overwrite"
     for base in range(0, copies, 10):  # batches of 10 bound plan size
         parts = [
-            src.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * _SHIFT))
+            src.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * _PT_SHIFT))
             for k in range(base, min(base + 10, copies))
         ]
         big = parts[0]
@@ -307,6 +322,16 @@ def main() -> None:
     points_only = "--points" in sys.argv
     if len(sys.argv) >= 3 and sys.argv[1] == "--only":
         only = [s for s in sys.argv[2].split(",") if s]
+        # the main derivation does not scale the point side — measuring
+        # a geo/PIP query against it silently re-creates the vacuous
+        # rows r10 removed (VERDICT r9 #4)
+        bad = [n for n in only if n in POINT_PROBE]
+        if bad:
+            sys.exit(
+                f"--only {','.join(bad)}: point-side queries must be "
+                "measured with --points (customer-scaling derivation), "
+                "not the main sf1 derivation"
+            )
 
     spark = get_spark(app_name="scale_probe_10x")
     registry = load_all()
