@@ -17,7 +17,7 @@ These are the 100 TB levers (SURVEY.md §7.2 step 8):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -198,6 +198,72 @@ def stage_once(
                 shutil.rmtree(e.path, ignore_errors=True)
     scan = df.sparkSession.read.parquet(path)
     return (scan, path) if return_path else scan
+
+
+def stage_bucketed_tables(
+    spark: SparkSession,
+    prefix: str,
+    reuse_key: str,
+    tables: Sequence[tuple[str, Callable[[str], None]]],
+    meta_fn=None,
+) -> str:
+    """Per-process, content-keyed staging for catalog-registered
+    BUCKETED tables (the ``write_bucketed`` consumers — pagerank's edge
+    list, the co-located join fixtures). Factors the protocol that
+    previously lived inline at each call site:
+
+    - completeness = tag matches ``reuse_key`` AND every table is in
+      the catalog AND its data dir is on disk (a crash between two
+      writes, or OS tmp cleanup under a persistent metastore, leaves a
+      half-staged state a single-table check would trust);
+    - restage = DROP every table, clear the stage root, run each
+      ``write(path)`` into ``stage_root/<table>``;
+    - the tag is published atomically (tmp + os.replace) AFTER the
+      writes, together with ``meta_fn()``'s output — a content-derived
+      scalar (pagerank caches |nodes| this way) that the reuse path
+      returns without recomputing. A torn/absent tag reads as "not
+      staged".
+
+    Returns the meta string ("" when no ``meta_fn``). Per-process by
+    construction (process_stage_dir), so concurrent processes never
+    fight over one catalog+dir pair — the cross-process variant of
+    that race is exactly why ``shared_stage`` exists for path-scanned
+    stages; catalog tables can't share safely across per-process
+    metastores, so they don't."""
+    import os
+    import shutil
+
+    stage_root = process_stage_dir(prefix)
+    tag_file = os.path.join(stage_root, "_TAG")
+    staged_tag, meta = None, ""
+    if os.path.exists(tag_file):
+        try:
+            parts = open(tag_file).read().split(" ", 1)
+            if parts and parts[0]:
+                staged_tag = parts[0]
+                meta = parts[1] if len(parts) > 1 else ""
+        except OSError:
+            staged_tag, meta = None, ""
+    complete = staged_tag == reuse_key and all(
+        spark.catalog.tableExists(t)
+        and os.path.isdir(os.path.join(stage_root, t))
+        for t, _ in tables
+    )
+    if not complete:
+        for t, _ in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(stage_root, ignore_errors=True)
+        os.makedirs(stage_root)
+        for t, write in tables:
+            write(os.path.join(stage_root, t))
+        meta = str(meta_fn()) if meta_fn else ""
+        tmp = tag_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{reuse_key} {meta}")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, tag_file)
+    return meta
 
 
 def write_bucketed(
@@ -587,6 +653,31 @@ def global_running_sum(
             yield out[cols]
 
     return parts.mapInPandas(cumsum_batches, schema=out_schema)
+
+
+def quartile_cutpoints(df: DataFrame, keys: Sequence[str]) -> list | None:
+    """Exact global quartile cutpoint VALUES (q1/q2/q3) of ``df``
+    ordered by ``keys``, via one ``values_at_global_ranks`` pass — the
+    boundary-rank arithmetic (⌊i·n/4⌋ clamped to ≥1, deduped for tiny
+    n, mapped back per quarter) that the quantile consumers
+    (quantile_bins_scalable, rfm_user_segments' three dimensions)
+    previously each re-derived inline. Returns the first key column's
+    value at each boundary, or None on empty input. Ties at a cutpoint
+    fall to the lower bin by VALUE on both engines, so callers compare
+    (never re-derive ranks) downstream."""
+    seen = {"n": 0}
+
+    def qranks(n: int) -> list[int]:
+        seen["n"] = n
+        return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+
+    vals = values_at_global_ranks(df, keys, ranks_of_n=qranks)
+    if not vals:
+        return None
+    n = seen["n"]
+    ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
+    by_rank = dict(zip(ranks, (v[0] for v in vals)))
+    return [by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3)]
 
 
 def values_at_global_ranks(

@@ -605,7 +605,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure broadcast-literal comparison and one |segments|-row
     aggregate. Ties at a cutpoint fall to the lower code by value on
     both engines."""
-    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
+    from firstamerican_etl_spark.operators.scale import quartile_cutpoints
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     e = ev.select(
@@ -627,20 +627,9 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def cuts(col: str) -> tuple[float, float, float]:
-        seen = {"n": 0}
-
-        def qranks(n: int) -> list[int]:
-            seen["n"] = n
-            return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
-
-        vals = values_at_global_ranks(u, [col, "user_id"], ranks_of_n=qranks)
-        if not vals:  # empty input: no cutpoints to take
-            return None
-        n = seen["n"]
-        ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
-        by_rank = dict(zip(ranks, (int(v[0]) for v in vals)))
-        return tuple(by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3))
+    def cuts(col: str) -> tuple[int, int, int] | None:
+        vals = quartile_cutpoints(u, [col, "user_id"])
+        return None if vals is None else tuple(int(v) for v in vals)
 
     rcuts = cuts("recency_d")
     if rcuts is None:  # zero users: empty report, stable schema

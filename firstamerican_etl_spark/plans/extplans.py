@@ -53,6 +53,32 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (custkey, date) so the winner is unique; orders sort before
     events at equal timestamps, making the match inclusive (<=) like
     the oracle's ASOF."""
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _asof_tagged_union(spark, sf_dir)
+        .withColumn("mk", F.last("okr", ignorenulls=True).over(w))
+        .withColumn("md", F.last("odr", ignorenulls=True).over(w))
+        .filter(F.col("is_ev") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("mk").alias("matched_orderkey"),
+            F.col("md").alias("matched_orderdate"),
+        )
+    )
+
+
+def _asof_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared construction for the as-of family (backward / forward /
+    nearest): orders deduped to one row per (custkey, orderdate) so the
+    as-of winner is unique, then both sides projected onto ONE tagged
+    layout (k, t, is_ev, event payload, order payload) and unioned.
+    The directional operators differ only in window frame direction,
+    fill function (last-preceding vs first-following), and the equal-ts
+    tie order of is_ev."""
     ev = load_table(spark, sf_dir, "events")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -71,22 +97,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l("long").alias("user_id"), null_l("timestamp_ntz").alias("ts"),
         F.col("o_orderkey").alias("okr"), F.col("o_orderdate").alias("odr"),
     )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_ev")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        left.unionByName(right)
-        .withColumn("mk", F.last("okr", ignorenulls=True).over(w))
-        .withColumn("md", F.last("odr", ignorenulls=True).over(w))
-        .filter(F.col("is_ev") == 1)
-        .select(
-            "event_id", "user_id", "ts",
-            F.col("mk").alias("matched_orderkey"),
-            F.col("md").alias("matched_orderdate"),
-        )
-    )
+    return left.unionByName(right)
 
 
 # ---------------------------------------------------------- range join
@@ -622,43 +633,46 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the staging layout the 100 TB join cascade assumes: staged tables
     bucketed by PropertyID, every downstream (PropertyID, Year) join
     exchange-free."""
-    import os
-    import tempfile
-
     from firstamerican_etl_spark.operators.scale import (
         join_is_colocated,
+        stage_bucketed_tables,
         write_bucketed,
     )
 
+    # shared bucketed-staging protocol (operators/scale.
+    # stage_bucketed_tables): both tables restage together unless the
+    # tag matches AND both are catalogued AND both data dirs are on
+    # disk — a crash between the two writes (or OS tmp cleanup under
+    # the persistent derby metastore) used to leave a half-staged
+    # state the old single-table existence check treated as complete.
+    # Per-process stage dirs also end the cross-process hazard the old
+    # shared-/tmp layout had (one process's restage deleting the dir
+    # another process's catalog still points at).
     tag = staging_tag(sf_dir, "orders", "lineitem")
-    base = os.path.join(tempfile.gettempdir(), f"fa_spark_bucketed_{tag}")
     ob, lb = f"orders_bk_{tag}", f"lineitem_bk_{tag}"
-    # restage unless BOTH tables are catalogued AND their data dirs
-    # are still on disk: a crash between the two writes (or OS tmp
-    # cleanup under the persistent derby metastore) used to leave a
-    # half-staged state the old single-table existence check treated
-    # as complete — every later run then failed at spark.table(lb)
-    # with no code path that could ever heal it
-    complete = all(
-        spark.catalog.tableExists(t) and os.path.isdir(d)
-        for t, d in (
-            (ob, os.path.join(base, "orders")),
-            (lb, os.path.join(base, "lineitem")),
-        )
+    stage_bucketed_tables(
+        spark,
+        "bucketed_join",
+        tag,
+        [
+            (
+                ob,
+                lambda path: write_bucketed(
+                    load_table(spark, sf_dir, "orders"),
+                    ob, ["o_orderkey"], 8, path=path,
+                    sort_by=["o_orderkey"],
+                ),
+            ),
+            (
+                lb,
+                lambda path: write_bucketed(
+                    load_table(spark, sf_dir, "lineitem"),
+                    lb, ["l_orderkey"], 8, path=path,
+                    sort_by=["l_orderkey"],
+                ),
+            ),
+        ],
     )
-    if not complete:
-        for t in (ob, lb):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"),
-            ob, ["o_orderkey"], 8, path=os.path.join(base, "orders"),
-            sort_by=["o_orderkey"],
-        )
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem"),
-            lb, ["l_orderkey"], 8, path=os.path.join(base, "lineitem"),
-            sort_by=["l_orderkey"],
-        )
     o = spark.table(ob)
     li = spark.table(lb)
     # MERGE hint, not a session-conf flip: at test scale the planner
@@ -891,37 +905,25 @@ def quantile_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the oracle matches bit-exactly (comparisons only, no
     arithmetic on the cutpoints). At sketch-tolerant scale, step 1
     swaps for a one-pass ``approx_percentile``; step 2 is unchanged."""
-    from firstamerican_etl_spark.operators.scale import values_at_global_ranks
+    from firstamerican_etl_spark.operators.scale import quartile_cutpoints
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
     )
-    # exact boundary values via the rank-targeted pass (shard counts +
-    # a PARTITIONED window filtered to 3 ordinals) — the input is a
-    # deterministic parquet scan, so no staging pin is needed and a
-    # full global_row_index materialization would be pure overhead.
-    # ranks_of_n reads n off the pass's own shard counts: no separate
-    # count() action.
-    seen = {"n": 0}
-
-    def quartile_ranks(n: int) -> list[int]:
-        seen["n"] = n
-        return sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
-
-    vals = values_at_global_ranks(
-        o, ["v", "o_orderkey"], ranks_of_n=quartile_ranks
-    )
-    if not vals:  # empty input: no cutpoints to take — empty report
+    # exact boundary values via the shared rank-targeted quartile
+    # helper (shard counts + a PARTITIONED window filtered to the 3
+    # boundary ordinals) — the input is a deterministic parquet scan,
+    # so no staging pin is needed, and the row count is read off the
+    # pass's own shard sizes (no separate count() action).
+    vals = quartile_cutpoints(o, ["v", "o_orderkey"])
+    if vals is None:  # empty input: no cutpoints to take — empty report
         return o.select(
             F.lit(1).alias("quartile"),
             F.lit(0).cast("long").alias("n_orders"),
             F.lit(0.0).alias("lo"),
             F.lit(0.0).alias("hi"),
         ).limit(0)
-    n = seen["n"]
-    ranks = sorted({max(1, (i * n) // 4) for i in (1, 2, 3)})
-    by_rank = dict(zip(ranks, (float(v[0]) for v in vals)))
-    c1, c2, c3 = (by_rank[max(1, (i * n) // 4)] for i in (1, 2, 3))
+    c1, c2, c3 = (float(v) for v in vals)
     quartile = (
         F.when(F.col("v") <= F.lit(c1), 1)
         .when(F.col("v") <= F.lit(c2), 2)
@@ -1098,31 +1100,13 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     first(ignorenulls); at equal timestamps events sort BEFORE orders
     (is_ev descending) so the match is inclusive (>=) exactly like
     the oracle's ASOF e.ts <= o.date."""
-    ev = load_table(spark, sf_dir, "events")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
-    null_l = lambda t: F.lit(None).cast(t)  # noqa: E731
-    left = ev.select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t"),
-        F.lit(1).alias("is_ev"), "event_id", "user_id", "ts",
-        null_l("long").alias("okr"), null_l("timestamp_ntz").alias("odr"),
-    )
-    right = o.select(
-        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_ev"), null_l("long").alias("event_id"),
-        null_l("long").alias("user_id"), null_l("timestamp_ntz").alias("ts"),
-        F.col("o_orderkey").alias("okr"), F.col("o_orderdate").alias("odr"),
-    )
     w = (
         Window.partitionBy("k")
         .orderBy(F.col("t").asc(), F.col("is_ev").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
-        left.unionByName(right)
+        _asof_tagged_union(spark, sf_dir)
         .withColumn("mk", F.first("okr", ignorenulls=True).over(w))
         .withColumn("md", F.first("odr", ignorenulls=True).over(w))
         .filter(F.col("is_ev") == 1)
