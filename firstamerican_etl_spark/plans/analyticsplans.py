@@ -538,7 +538,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT user_id,
-         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT) AS d,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS d,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE user_id IS NOT NULL
 ),
@@ -671,7 +671,7 @@ _FUNNEL_GAP_S = 172_800  # 48h per-step conversion window
     "funnel_time_bounded",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS s
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
   FROM events WHERE user_id IS NOT NULL
 ),
 v AS (

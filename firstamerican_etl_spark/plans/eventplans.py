@@ -242,7 +242,7 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -250,8 +250,13 @@ WITH flagged AS (
   FROM events
 ),
 sessions AS (
+  -- cumsum ordered by (ts, event_id), matching the lag window above:
+  -- ordering by ts alone would visit same-ts peers in arbitrary order,
+  -- so a tied row enumerated before its session-opening peer could
+  -- read the OLD sid (r10 review; the fixture has no per-user ts ties
+  -- today, so the bare order was only accidentally deterministic)
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )
@@ -351,7 +356,7 @@ def events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT user_id, event_type,
-         CAST(epoch(ts) AS BIGINT) AS epoch_s, event_id
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, event_id
   FROM events WHERE user_id IS NOT NULL
 ),
 seq AS (

@@ -1140,8 +1140,8 @@ SELECT b.event_id, b.user_id, b.ts,
        CASE
          WHEN b.bk IS NULL THEN f.fk
          WHEN f.fk IS NULL THEN b.bk
-         WHEN CAST(epoch(b.ts) AS BIGINT) - CAST(epoch(b.bd) AS BIGINT)
-              <= CAST(epoch(f.fd) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)
+         WHEN CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(b.bd)) AS BIGINT)
+              <= CAST(floor(epoch(f.fd)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)
          THEN b.bk ELSE f.fk
        END AS nearest_orderkey
 FROM back b JOIN fwd f USING (event_id)

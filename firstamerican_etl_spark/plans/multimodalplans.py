@@ -63,7 +63,11 @@ FROM documents
 SELECT asset_id,
        CAST(GREATEST(1, FLOOR(w * scale)) AS INTEGER) AS width,
        CAST(GREATEST(1, FLOOR(h * scale)) AS INTEGER) AS height,
-       CAST(GREATEST(1, FLOOR(nb * scale * scale)) AS BIGINT) AS n_bytes
+       -- LEAST(nb, ...) mirrors the operator's payload[:keep] slice:
+       -- keep = max(1, floor(nb*s*s)) but slicing an EMPTY payload
+       -- still yields 0 bytes (r10 review; latent until an empty doc
+       -- enters the fixture — scale <= 1 makes LEAST a no-op for nb>0)
+       CAST(LEAST(nb, GREATEST(1, FLOOR(nb * scale * scale))) AS BIGINT) AS n_bytes
 FROM s
 """,
     tags=("multimodal", "mapInPandas", "resize", "chain"),
@@ -151,15 +155,13 @@ def multimodal_featurize_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = feats.filter(F.col("asset_id") < 10).select(
         F.col("asset_id").alias("probe_id"), F.col("features").alias("probe_vec")
     )
-    dot = F.aggregate(
-        F.zip_with("probe_vec", "features", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos_raw = dot / (norm(F.col("probe_vec")) * norm(F.col("features")))
+    # shared left-fold kernel (vectorplans.cosine): zip_with+aggregate
+    # in the same association order, so the oracle contract is defined
+    # in exactly one place (r10 review — this file carried two inline
+    # copies that had to stay bit-identical by hand)
+    from firstamerican_etl_spark.plans.vectorplans import cosine
+
+    cos_raw = cosine(F.col("probe_vec"), F.col("features"))
     # PIN the broadcast: probes are bounded (10 rows) by construction,
     # so the crossJoin must plan as BroadcastNestedLoopJoin with the
     # probe side shipped — never a shuffled CartesianProduct, whose
@@ -265,15 +267,13 @@ def multimodal_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     cands = b.filter(F.col("asset_id") >= 10)
-    dot = F.aggregate(
-        F.zip_with("probe_vec", "features", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos_raw = dot / (norm(F.col("probe_vec")) * norm(F.col("features")))
+    # shared left-fold kernel (vectorplans.cosine): zip_with+aggregate
+    # in the same association order, so the oracle contract is defined
+    # in exactly one place (r10 review — this file carried two inline
+    # copies that had to stay bit-identical by hand)
+    from firstamerican_etl_spark.plans.vectorplans import cosine
+
+    cos_raw = cosine(F.col("probe_vec"), F.col("features"))
     scored = (
         probes.join(cands, on="bucket")
         .withColumn(
@@ -573,9 +573,76 @@ def corpus_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_image_dhash_pairs",
-    oracle="""
+
+def _dhash_band_rows(fp: DataFrame, id_col: str) -> DataFrame:
+    """Explode a (id, b0..b3) fingerprint frame to one row per 16-bit
+    band: (id, b0..b3, band_id, bv) — the banded-LSH blocking layout
+    both image near-dup plans join on."""
+    return fp.select(
+        id_col,
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"), F.col(f"b{k}").alias("bv")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "b0", "b1", "b2", "b3", "band.band_id", "band.bv")
+
+
+def _dhash_banded_pairs(
+    bands: DataFrame, id_col: str, out_a: str, out_b: str, max_hamming: int = 6
+) -> DataFrame:
+    """Band-equality candidate generation + exact 4-band Hamming
+    verification — the (out_a, out_b, hamming) pair core shared by the
+    all-pairs contrast anchor and the distinct-fingerprint scale twin
+    (r10 review: two inline copies had to stay bit-identical by
+    hand)."""
+    import functools
+    import operator
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"b.b{k}").alias(f"c{k}") for k in range(4)],
+        )
+        .distinct()
+    )
+    hamming = functools.reduce(
+        operator.add,
+        [
+            F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+            for k in range(4)
+        ],
+    )
+    return cand.select(out_a, out_b, hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# Shared dHash fingerprint oracle core: raster params -> 2x2-box cell
+# sums -> horizontal-gradient bits -> four 16-bit bands -> pivoted
+# fingerprint. BOTH image near-dup oracles (all-pairs contrast anchor
+# and the distinct-fingerprint scale twin) build on this one string so
+# the raster/cell math can never drift between them (r10 review; the
+# retrievalplans._BM25_SCORES_SQL precedent).
+_DHASH_FP_SQL = """\
 WITH p AS (
   SELECT doc_id,
          ((doc_id // 2) * 7) % 11 + 1 AS ga,
@@ -615,7 +682,13 @@ fp AS (
          max(CASE WHEN band_id = 2 THEN bv END) AS b2,
          max(CASE WHEN band_id = 3 THEN bv END) AS b3
   FROM bands GROUP BY 1
-),
+)"""
+
+
+@register(
+    "dedup_image_dhash_pairs",
+    oracle=f"""
+{_DHASH_FP_SQL},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -682,100 +755,14 @@ def dedup_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     fp = image_dhash_bands(assets)
-    bands = fp.select(
-        "asset_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band_id"), F.col(f"b{k}").alias("bv")
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("asset_id", "b0", "b1", "b2", "b3", "band.band_id", "band.bv")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
-        )
-        .select(
-            F.col("a.asset_id").alias("doc_a"),
-            F.col("b.asset_id").alias("doc_b"),
-            F.col("a.b0").alias("a0"),
-            F.col("a.b1").alias("a1"),
-            F.col("a.b2").alias("a2"),
-            F.col("a.b3").alias("a3"),
-            F.col("b.b0").alias("c0"),
-            F.col("b.b1").alias("c1"),
-            F.col("b.b2").alias("c2"),
-            F.col("b.b3").alias("c3"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
-        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
-        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
-        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
-    )
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
-    )
+    bands = _dhash_band_rows(fp, "asset_id")
+    return _dhash_banded_pairs(bands, "asset_id", "doc_a", "doc_b")
 
 
 @register(
     "dedup_image_dhash_distinct",
-    oracle="""
-WITH p AS (
-  SELECT doc_id,
-         ((doc_id // 2) * 7) % 11 + 1 AS ga,
-         ((doc_id // 2) * 3) % 13 + 1 AS gb,
-         ((doc_id // 2) * 31 + (doc_id % 2)) % 256 AS gc
-  FROM documents
-),
-cells AS (
-  SELECT p.doc_id, gx.gx, gy.gy,
-         SUM((p.ga * (2*gx.gx + dx.dx) * (2*gx.gx + dx.dx)
-              + p.gb * (2*gy.gy + dy.dy) * (2*gy.gy + dy.dy)
-              + (2*gx.gx + dx.dx) * (2*gy.gy + dy.dy)
-              + p.gc) % 256) AS s
-  FROM p,
-       (SELECT unnest(generate_series(0, 8)) AS gx) gx,
-       (SELECT unnest(generate_series(0, 7)) AS gy) gy,
-       (SELECT unnest(generate_series(0, 1)) AS dx) dx,
-       (SELECT unnest(generate_series(0, 1)) AS dy) dy
-  GROUP BY 1, 2, 3
-),
-bits AS (
-  SELECT l.doc_id, l.gx, l.gy,
-         CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
-  FROM cells l JOIN cells r
-    ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
-  WHERE l.gx < 8
-),
-bands AS (
-  SELECT doc_id, gy // 2 AS band_id,
-         SUM(CAST(bit AS BIGINT) << (((gy % 2) * 8) + gx)) AS bv
-  FROM bits GROUP BY 1, 2
-),
-fp AS (
-  SELECT doc_id,
-         max(CASE WHEN band_id = 0 THEN bv END) AS b0,
-         max(CASE WHEN band_id = 1 THEN bv END) AS b1,
-         max(CASE WHEN band_id = 2 THEN bv END) AS b2,
-         max(CASE WHEN band_id = 3 THEN bv END) AS b3
-  FROM bands GROUP BY 1
-),
+    oracle=f"""
+{_DHASH_FP_SQL},
 reps AS (
   SELECT b0, b1, b2, b3,
          min(doc_id) AS rep_id,
@@ -850,54 +837,8 @@ def dedup_image_dhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dhash_reps",
         reuse_key=staging_tag(sf_dir, "documents"),
     )
-    bands = reps.select(
-        "rep_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band_id"), F.col(f"b{k}").alias("bv")
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("rep_id", "b0", "b1", "b2", "b3", "band.band_id", "band.bv")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
-        )
-        .select(
-            F.col("a.rep_id").alias("rep_a"),
-            F.col("b.rep_id").alias("rep_b"),
-            F.col("a.b0").alias("a0"),
-            F.col("a.b1").alias("a1"),
-            F.col("a.b2").alias("a2"),
-            F.col("a.b3").alias("a3"),
-            F.col("b.b0").alias("c0"),
-            F.col("b.b1").alias("c1"),
-            F.col("b.b2").alias("c2"),
-            F.col("b.b3").alias("c3"),
-        )
-        .distinct()
-    )
-    hamming = (
-        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
-        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
-        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
-        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
-    )
-    pairs = cand.select("rep_a", "rep_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
-    )
+    bands = _dhash_band_rows(reps, "rep_id")
+    pairs = _dhash_banded_pairs(bands, "rep_id", "rep_a", "rep_b")
     counts = reps.select("rep_id", "n_docs")
     return (
         pairs.join(

@@ -112,18 +112,57 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 scores for the fixed query terms — the Spark twin
     of ``_BM25_SCORES_SQL`` (kept side-by-side so plan and oracle share
-    one definition of the score)."""
+    one definition of the score).
+
+    ONE corpus pass (r10 review): the old formulation hung doclen, tf
+    and dfreq off the same exploded-words subtree, and Catalyst does
+    not CSE across join branches — the corpus was re-tokenized and
+    re-exploded 3-4 times per invocation. Because the query-term set is
+    a fixed literal, per-doc length AND per-term counts fold into one
+    conditional aggregate over a single explode; everything after it
+    (stats, df, the unpivot back to (doc, term, tf) rows) runs on the
+    one-row-per-doc frame, which is localCheckpointed once for its
+    three consumers."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
     )
-    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = doclen.agg(
+    per_doc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qwords = words.filter(F.col("term").isin(*_BM25_TERMS))
-    tf = qwords.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qwords.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency per term: one |terms|-column aggregate over
+    # the per-doc frame, unpivoted to (term, df) — metadata-sized
+    df_row = per_doc.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    stack_df = ", ".join(
+        f"'{t}', df_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    dfreq = df_row.select(
+        F.expr(f"stack({len(_BM25_TERMS)}, {stack_df}) AS (term, df)")
+    )
+    stack_tf = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(_BM25_TERMS)}, {stack_tf}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
     idf = stable_round(
         F.log(
             1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -141,7 +180,6 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(fast_sum(score, round_to=4).alias("bm25"))

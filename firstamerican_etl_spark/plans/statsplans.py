@@ -950,7 +950,7 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_type,
-         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT)
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)
            - 18262 AS xd,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events

@@ -305,7 +305,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_id, user_id,
-         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE user_id IS NOT NULL
 )
@@ -370,7 +370,7 @@ _WEEK_S = 604_800
     oracle="""
 WITH e AS (
   SELECT event_id, user_id,
-         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE user_id IS NOT NULL
 )
@@ -524,7 +524,7 @@ def rolling_7d_median_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_id, user_id,
-         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE user_id IS NOT NULL
 ),
@@ -677,7 +677,7 @@ def mad_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_type, user_id % 50 AS series,
-         CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT) AS d,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS d,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE user_id IS NOT NULL
 ),
@@ -773,7 +773,7 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_type,
-         CAST((CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400.0) AS BIGINT)
+         CAST((CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)
                + 4) % 7 AS INT) AS dow,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events

@@ -133,12 +133,15 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_components",
-    oracle=f"""
-WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
-),
+# Shared connected-components oracle core: symmetrized edges from a
+# `pairs` CTE, recursive min-label reachability, per-node cluster
+# label. All three cluster-consuming oracles (dedup_cluster_components,
+# leakage_safe_split_assign, dedup_survivorship_report) interpolate
+# this ONE string after their own `pairs` definition, so the labeling
+# semantics can never drift between them (r10 review — the exact-pair
+# star-edge change that only leakage_safe_split_assign received showed
+# how a triplicated block invites a missed site).
+_CC_LABELS_SQL = """\
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -151,7 +154,16 @@ reach(node, root) AS (
 ),
 labels AS (
   SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
-)
+)"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
+),
+{_CC_LABELS_SQL}
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM labels
@@ -663,19 +675,7 @@ pairs AS (
   UNION
   SELECT doc_a, doc_b FROM exact_pairs
 ),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, root) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-labels AS (
-  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
-),
+{_CC_LABELS_SQL},
 assigned AS (
   SELECT d.doc_id,
          coalesce(l.cluster_id, d.doc_id) AS cluster_id
@@ -741,19 +741,7 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})
 ),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(node, root) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-labels AS (
-  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
-),
+{_CC_LABELS_SQL},
 members AS (
   SELECT l.cluster_id, d.doc_id,
          len(string_split(d.text, ' ')) AS n_words
@@ -1056,7 +1044,7 @@ _EPOCHS = 2
 @register(
     "epoch_shuffle_shards",
     oracle=f"""
-WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+WITH e AS (SELECT unnest(generate_series(0, {_EPOCHS - 1})) AS epoch),
 k AS (
   SELECT doc_id, epoch,
          md5('ep' || CAST(epoch AS VARCHAR) || ':'
@@ -1066,7 +1054,7 @@ k AS (
 s AS (
   SELECT doc_id, epoch, key,
          CAST(floor((instr('0123456789abcdef', substring(key, 1, 1)) - 1)
-                    / 2) AS BIGINT) AS shard
+                    / {16 // _EPOCH_SHARDS}) AS BIGINT) AS shard
   FROM k
 )
 SELECT epoch, shard, doc_id,
@@ -1115,7 +1103,8 @@ def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     shard = F.floor(
-        (F.instr(F.lit("0123456789abcdef"), F.substring("key", 1, 1)) - 1) / 2
+        (F.instr(F.lit("0123456789abcdef"), F.substring("key", 1, 1)) - 1)
+        / F.lit(16 // _EPOCH_SHARDS)
     ).cast("long")
     w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
     return (

@@ -326,14 +326,15 @@ def test_pagerank_staging_does_not_accumulate(spark, sf_dir):
     staged = [t.name for t in spark.catalog.listTables() if "pagerank" in t.name]
     assert staged == ["fa_pagerank_edges"], staged
     stage_root = scale._STAGE_DIRS["pagerank_edges"]
-    # exactly one staged edge copy + its content tag (no *_1, *_2 dirs)
+    # exactly one staged edge copy + its content tag (no *_1, *_2 dirs;
+    # r10: stage_bucketed_tables lays data under the TABLE name)
     entries = sorted(os.listdir(stage_root))
-    assert entries == ["_TAG", "edges"], entries
+    assert entries == ["_TAG", "fa_pagerank_edges"], entries
     # and the content-keyed reuse actually engaged: the staged files'
     # mtimes predate the second invocation (no silent rebuild)
     import time
 
-    edges_dir = os.path.join(stage_root, "edges")
+    edges_dir = os.path.join(stage_root, "fa_pagerank_edges")
     before = max(
         os.path.getmtime(os.path.join(edges_dir, f)) for f in os.listdir(edges_dir)
     )
