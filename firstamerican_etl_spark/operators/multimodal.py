@@ -204,10 +204,25 @@ def _decode_netpbm(payload: bytes) -> tuple[int, int, int, list[int]]:
     n = w * h * channels
     if magic in ("P5", "P6"):
         pos += 1  # exactly one whitespace byte after maxval
-        raster = payload[pos : pos + n]
-        if len(raster) != n:
-            raise ValueError(f"raster holds {len(raster)} bytes, need {n}")
-        pixels = list(raster)
+        # maxval > 255 means TWO big-endian bytes per sample (the
+        # Netpbm spec's 16-bit variant). The pre-r10 decoder read one
+        # byte regardless: the length check passed on half the raster
+        # and 'exceeds maxval' could never fire (bytes <= 255 <
+        # maxval), so 16-bit images decoded to garbage silently —
+        # exactly the "loud, never wrong data" violation (r10 review).
+        width_bytes = 2 if maxval > 255 else 1
+        raster = payload[pos : pos + n * width_bytes]
+        if len(raster) != n * width_bytes:
+            raise ValueError(
+                f"raster holds {len(raster)} bytes, need {n * width_bytes}"
+            )
+        if width_bytes == 1:
+            pixels = list(raster)
+        else:
+            pixels = [
+                (raster[i] << 8) | raster[i + 1]
+                for i in range(0, len(raster), 2)
+            ]
     else:  # ascii variants
         vals = payload[pos:].split()
         if len(vals) != n:

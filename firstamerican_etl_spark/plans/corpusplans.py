@@ -422,26 +422,42 @@ def ngram_diversity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all counts are integers over exact string grams; the
     ratio is one ppm-quantized division.
 
-    Scale shape: one tokenize pass fanned into three gram streams
-    (arrays sliced in-plan, no join); each stream is a map-side-
-    combined (n, gram) distinct + count — the same two-phase
-    distinct-count recipe as count_distinct_two_phase, so no Expand
-    and the shuffle carries distinct grams, not gram instances."""
+    Scale shape: ONE tokenize pass fanned into three gram streams. The
+    split lands in its own projection and the gram arrays reference it
+    as an ATTRIBUTE — CollapseProject keeps non-cheap expressions with
+    multiple references un-inlined, so the text is split once per row
+    (the pre-r10 form unioned three separate scans, each re-splitting
+    up to 4x per row — r10 review). The struct-array explode emits the
+    three (n, grams) rows per doc in the same pass; each stream is
+    then a map-side-combined (n, gram) distinct + count — the same
+    two-phase distinct-count recipe as count_distinct_two_phase, so no
+    Expand and the shuffle carries distinct grams, not gram
+    instances."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    toks = d.select(F.split("text", " ").alias("ws"))
 
-    def gram_stream(n: int) -> DataFrame:
+    def grams_of(n: int) -> F.Column:
         if n == 1:
-            grams = ws
-        else:
-            m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
-            cols = [F.slice(ws, i + 1, m) for i in range(n)]
-            grams = cols[0]
-            for c in cols[1:]:
-                grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
-        return d.select(F.lit(n).alias("n"), F.explode(grams).alias("gram"))
+            return F.col("ws")
+        m = F.greatest(F.size("ws") - (n - 1), F.lit(0))
+        cols = [F.slice("ws", i + 1, m) for i in range(n)]
+        grams = cols[0]
+        for c in cols[1:]:
+            grams = F.zip_with(grams, c, lambda a, b: F.concat_ws(" ", a, b))
+        return grams
 
-    streams = gram_stream(1).unionAll(gram_stream(2)).unionAll(gram_stream(3))
+    streams = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), grams_of(n).alias("grams")
+                    )
+                    for n in (1, 2, 3)
+                ]
+            )
+        ).alias("s")
+    ).select("s.n", F.explode("s.grams").alias("gram"))
     per_gram = streams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy("n").agg(
         F.sum("c").alias("n_total"),

@@ -104,7 +104,12 @@ def regexp_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size(nums).alias("n_numbers"),
-        F.element_at(nums, 1).alias("first_number"),
+        # try_element_at, not element_at: a digit-free props row yields
+        # an EMPTY array, and under the driver's ANSI-on session
+        # element_at(empty, 1) is INVALID_ARRAY_INDEX while the oracle's
+        # [1] returns NULL (r10 review; latent — every fixture props
+        # carries a digit today)
+        F.try_element_at(nums, F.lit(1)).alias("first_number"),
     )
 
 

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from firstamerican_etl_spark.functions.stable import (
     fast_sum,
     stable_round,
-    stable_sum,
 )
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table

@@ -55,6 +55,8 @@ class FaZipReader(DataSourceReader):
         return parts
 
     def read(self, partition: _ZipMember):
+        if partition is None:  # empty partitions() → PySpark passes [None]
+            return
         n = len(self.schema.fields)
         with zipfile.ZipFile(partition.zip_path) as zf:
             with zf.open(partition.member) as raw:

@@ -65,9 +65,28 @@ class JsonlGzWriter(DataSourceWriter):
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
         self.path = options["path"]
         self.fields = [f.name for f in schema.fields]
+        # Crash-safe overwrite, same protocol as sources/wds.py (r10
+        # review — the old eager delete-everything-up-front (a) crashed
+        # with IsADirectoryError on any subdirectory entry and (b) left
+        # NO readable generation if the job then failed): nothing is
+        # deleted here; old shards are retired in commit() AFTER the new
+        # manifest is durable. uuid shard names cannot collide with the
+        # old generation. Only *.jsonl.gz files are ever touched.
+        self.overwrite = overwrite
+        self._old_shards: list[str] = []
+        # a crash between writing _SUCCESS.tmp and the atomic replace
+        # strands the tmp; clear any stale one — a new generation is
+        # starting, so no in-flight commit can own it
+        try:
+            os.remove(os.path.join(self.path, "_SUCCESS.tmp"))
+        except OSError:
+            pass
         if overwrite and os.path.isdir(self.path):
-            for f in os.listdir(self.path):
-                os.remove(os.path.join(self.path, f))
+            self._old_shards = [
+                e.name
+                for e in os.scandir(self.path)
+                if e.is_file() and e.name.endswith(".jsonl.gz")
+            ]
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _ShardCommit:
@@ -85,11 +104,40 @@ class JsonlGzWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         manifest = sorted(m.filename for m in messages)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        if not self.overwrite:
+            # append: committed generation = old manifest UNION new
+            # shards, or manifest-honoring readers would silently lose
+            # every previous shard (sources/wds.py, r10 review)
+            prev = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(prev):
+                with open(prev) as f:
+                    manifest = sorted(
+                        {ln.strip() for ln in f if ln.strip()} | set(manifest)
+                    )
+        # atomic manifest swap (os.replace), then retire old shards —
+        # a crash anywhere leaves either the old or the new generation
+        # fully readable, never a torn one
+        final = os.path.join(self.path, "_SUCCESS")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(manifest))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        keep = set(manifest)
+        for name in self._old_shards:
+            if name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
+        # failed tasks contribute None commit messages — skip them or
+        # the cleanup crashes and succeeded tasks' orphans survive
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:

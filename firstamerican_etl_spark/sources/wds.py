@@ -133,6 +133,18 @@ class WdsWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         manifest = sorted(m.filename for m in messages)
+        if not self.overwrite:
+            # append: the committed generation is old manifest UNION new
+            # shards. Without the merge, rewriting _SUCCESS with only
+            # this job's shard names would silently hide every previous
+            # shard from manifest-honoring readers while their tars sit
+            # orphaned on disk (r10 review).
+            prev = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(prev):
+                with open(prev) as f:
+                    manifest = sorted(
+                        {ln.strip() for ln in f if ln.strip()} | set(manifest)
+                    )
         # atomic manifest swap: a crash mid-commit must leave either
         # the old generation's manifest or the new one, never a
         # truncated half-written file (os.replace is atomic on POSIX)
@@ -153,7 +165,12 @@ class WdsWriter(DataSourceWriter):
                     pass
 
     def abort(self, messages) -> None:
+        # failed tasks contribute None commit messages (DataSourceWriter
+        # contract) — skip them or the cleanup itself crashes and the
+        # succeeded tasks' orphan shards survive (r10 review)
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:
@@ -178,6 +195,8 @@ class WdsReader(DataSourceReader):
         return [_Shard(p) for p in _shard_paths(self.path)]
 
     def read(self, partition: _Shard):
+        if partition is None:  # empty partitions() → PySpark passes [None]
+            return
         cols = [f.name for f in self.schema.fields if f.name != _KEY]
         types = {
             f.name: f.dataType for f in self.schema.fields if f.name != _KEY

@@ -37,16 +37,24 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-#: State kept per user: open-session accumulator.
+#: State kept per user: ALL open sessions, parallel arrays sorted by
+#: start. Multiple sessions per key are the price of CORRECT
+#: out-of-order handling (r10 review): a late-but-within-watermark
+#: event can open a session EARLIER than the current one, extend one
+#: downward, or bridge two open sessions into one — a single-session
+#: state either merged such events into the wrong session (silent
+#: session inflation, diverging from the batch islands twin) or lost
+#: the downward start extension. List length is bounded by how many
+#: gap-separated sessions fit inside the watermark horizon.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("end_us", T.LongType()),
-        T.StructField("n_events", T.LongType()),
+        T.StructField("starts_us", T.ArrayType(T.LongType())),
+        T.StructField("ends_us", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
         # value accumulates in 1e-6 units as int64 (functions/stable.py
         # discipline): exact, associative, engine-identical — emitted as
         # units/1e6, so the batch islands idiom is a bit-tight oracle
-        T.StructField("sum_units", T.LongType()),
+        T.StructField("sum_units", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -60,61 +68,82 @@ def _session_fn(gap_seconds: int):
         key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        # load open-session state (if any)
+        sessions: list[list[int]] = []
         if state.exists:
-            start_us, end_us, n_events, sum_units = state.get
-        else:
-            start_us = end_us = None
-            n_events, sum_units = 0, 0
+            starts, ends, counts, sums = state.get
+            sessions = sorted(
+                [int(a), int(b), int(c), int(d)]
+                for a, b, c, d in zip(starts, ends, counts, sums)
+            )
 
         closed: list[tuple] = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        if state.hasTimedOut:
-            # watermark passed the open session's horizon → emit + clear
-            if start_us is not None:
-                closed.append((user_id, start_us, end_us, n_events, sum_units))
-            state.remove()
-        else:
+        def flush_expired() -> None:
+            # a session is CLOSED once the watermark passes end + gap:
+            # no admissible event can merge into it anymore. Emission is
+            # purely watermark-driven — the pre-r10 inline close (emit
+            # the previous session the moment a later event gaps past
+            # it) was premature: a late event inside the watermark could
+            # still have extended it.
+            still = []
+            for s in sessions:
+                if s[1] + gap_us <= wm_us:
+                    closed.append((user_id, s[0], s[1], s[2], s[3]))
+                else:
+                    still.append(s)
+            sessions[:] = still
+
+        if not state.hasTimedOut:
             # CONCATENATE the group's Arrow chunks before the ONE sort:
             # a key whose micro-batch rows exceed arrow.maxRecordsPerBatch
             # arrives as several pdfs in arbitrary relative order, and
             # sorting each chunk independently would walk the gap state
-            # machine time-misordered (chunk 2 can hold earlier
-            # timestamps than chunk 1), splitting/merging sessions at
-            # wrong boundaries. Memory stays bounded by one key's
-            # micro-batch volume — the same bound the chunked walk had
-            # to buffer in `closed` anyway.
+            # machine time-misordered. Memory stays bounded by one key's
+            # micro-batch volume.
             pdfs = [p for p in pdf_iter if len(p)]
-            merged = (
-                pd.concat(pdfs, ignore_index=True).sort_values("ts")
-                if pdfs
-                else None
-            )
-            if merged is not None:
-                pdf = merged
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True).sort_values("ts")
                 for ts, value in zip(
                     pdf["ts"].astype("int64"), pdf["value"].fillna(0.0)
                 ):
                     # pandas int64 of a timestamp is nanoseconds
                     ts_us = ts // 1000
                     units = int(math.floor(float(value) * 1e6 + 0.5))
-                    if start_us is None:
-                        start_us, end_us = ts_us, ts_us
-                        n_events, sum_units = 1, units
-                    elif ts_us - end_us > gap_us:
-                        closed.append(
-                            (user_id, start_us, end_us, n_events, sum_units)
-                        )
-                        start_us, end_us = ts_us, ts_us
-                        n_events, sum_units = 1, units
-                    else:
-                        end_us = max(end_us, ts_us)
-                        n_events += 1
-                        sum_units += units
-            if start_us is not None:
-                state.update((start_us, end_us, n_events, sum_units))
-                # close the open session once event time passes end+gap
-                state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+                    cur = [ts_us, ts_us, 1, units]
+                    keep = []
+                    for s in sessions:
+                        # merge every session within gap of the event —
+                        # an event can BRIDGE two sessions into one
+                        if s[0] - gap_us <= ts_us <= s[1] + gap_us:
+                            cur = [
+                                min(cur[0], s[0]),
+                                max(cur[1], s[1]),
+                                cur[2] + s[2],
+                                cur[3] + s[3],
+                            ]
+                        else:
+                            keep.append(s)
+                    keep.append(cur)
+                    keep.sort()
+                    sessions = keep
+
+        flush_expired()
+        if sessions:
+            state.update(
+                (
+                    [s[0] for s in sessions],
+                    [s[1] for s in sessions],
+                    [s[2] for s in sessions],
+                    [s[3] for s in sessions],
+                )
+            )
+            # wake when event time passes the EARLIEST open horizon;
+            # the timeout must sit strictly above the current watermark
+            horizon_ms = (min(s[1] for s in sessions) + gap_us) // 1000
+            state.setTimeoutTimestamp(max(horizon_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
 
         if closed:
             yield pd.DataFrame(

@@ -119,6 +119,24 @@ def test_netpbm_decoder_all_variants():
     assert _decode_netpbm(p2) == (2, 1, 1, gray)
 
 
+def test_netpbm_decoder_16bit_samples():
+    """maxval > 255 means TWO big-endian bytes per sample (r10 review:
+    the old decoder read one byte regardless — the length check passed
+    on half the raster and garbage decoded silently)."""
+    from firstamerican_etl_spark.operators.multimodal import _decode_netpbm
+
+    vals = [0, 300, 65535, 7]
+    raster = b"".join(v.to_bytes(2, "big") for v in vals)
+    p5 = b"P5\n4 1\n65535\n" + raster
+    assert _decode_netpbm(p5) == (4, 1, 1, vals)
+    # truncated 16-bit raster (would have PASSED the old 1-byte check)
+    with pytest.raises(ValueError):
+        _decode_netpbm(b"P5\n4 1\n65535\n" + raster[:4])
+    # 16-bit sample exceeding maxval still raises
+    with pytest.raises(ValueError):
+        _decode_netpbm(b"P5\n1 1\n300\n" + (301).to_bytes(2, "big"))
+
+
 def test_netpbm_decoder_rejects_malformed():
     from firstamerican_etl_spark.operators.multimodal import _decode_netpbm
 

@@ -361,3 +361,97 @@ def test_extract_zips_rejects_duplicate_member_within_one_archive(tmp_path):
         zf.writestr("C.txt", "3\n")
     out = extract_zips([str(z3), str(z4)], str(tmp_path / "out3"))
     assert sorted(p.rsplit("/", 1)[-1] for p in out) == ["A.txt", "B.txt", "C.txt"]
+
+
+def test_jsonlgz_overwrite_is_crash_safe(spark, sf_dir, tmp_path):
+    """The wds crash-safe protocol applied to jsonlgz (r10 review —
+    the old writer deleted the WHOLE previous generation up front,
+    leaving nothing readable if the job then failed, and os.remove
+    crashed outright on a subdirectory entry): constructing a new
+    overwrite writer must leave the old generation intact; a completed
+    overwrite retires it."""
+    import os
+
+    from firstamerican_etl_spark.sources.jsonlgz import (
+        JsonlGzDataSource,
+        JsonlGzWriter,
+    )
+
+    spark.dataSource.register(JsonlGzDataSource)
+    out = str(tmp_path / "jl_ow")
+
+    def write_gen(n):
+        spark.range(n).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(
+            1
+        ).write.format("jsonlgz").mode("overwrite").option("path", out).save()
+
+    write_gen(5)
+    gen1 = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    os.makedirs(os.path.join(out, "subdir"), exist_ok=True)  # old code: crash
+
+    schema = spark.range(1).selectExpr("id", "CAST(id AS STRING) AS s").schema
+    JsonlGzWriter(schema, {"path": out}, overwrite=True)
+    still = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    assert still == gen1  # pre-commit window leaves gen1 fully readable
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    write_gen(7)
+    gen2 = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    assert not set(gen1) & set(gen2)  # old generation fully retired
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read().splitlines() == gen2
+    assert os.path.isdir(os.path.join(out, "subdir"))
+    back = spark.read.json(out)
+    assert back.count() == 7
+
+
+def test_custom_sink_append_merges_manifest(spark, tmp_path):
+    """mode('append') on the custom sinks must UNION the old manifest
+    with the new shards (r10 review: rewriting _SUCCESS with only the
+    new job's names silently hid every previous shard from
+    manifest-honoring readers)."""
+    import os
+
+    from firstamerican_etl_spark.sources.jsonlgz import JsonlGzDataSource
+    from firstamerican_etl_spark.sources.wds import WdsDataSource
+
+    spark.dataSource.register(JsonlGzDataSource)
+    spark.dataSource.register(WdsDataSource)
+
+    out_j = str(tmp_path / "jl_ap")
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+    df.coalesce(1).write.format("jsonlgz").mode("overwrite").option(
+        "path", out_j
+    ).save()
+    df.coalesce(1).write.format("jsonlgz").mode("append").option(
+        "path", out_j
+    ).save()
+    shards = sorted(f for f in os.listdir(out_j) if f.endswith(".jsonl.gz"))
+    with open(os.path.join(out_j, "_SUCCESS")) as f:
+        assert f.read().splitlines() == shards  # union, not replacement
+    assert len(shards) == 2
+    assert spark.read.json(out_j).count() == 6
+
+    out_w = str(tmp_path / "wds_ap")
+    src = spark.range(3).select(
+        F.col("id").cast("string").alias("__key__"),
+        F.col("id").cast("string").cast("binary").alias("ppm"),
+    )
+    src.coalesce(1).write.format("wds").mode("overwrite").option(
+        "path", out_w
+    ).save()
+    src.selectExpr(
+        "CAST(CAST(__key__ AS BIGINT) + 100 AS STRING) AS __key__", "ppm"
+    ).coalesce(1).write.format("wds").mode("append").option(
+        "path", out_w
+    ).save()
+    tars = sorted(f for f in os.listdir(out_w) if f.endswith(".tar"))
+    with open(os.path.join(out_w, "_SUCCESS")) as f:
+        assert f.read().splitlines() == tars
+    back = (
+        spark.read.format("wds")
+        .option("path", out_w)
+        .option("columns", "ppm:binary")
+        .load()
+    )
+    assert back.count() == 6

@@ -355,6 +355,7 @@ def test_stateful_fns_merge_arrow_chunks_before_walking():
     class FakeState:
         exists = False
         hasTimedOut = False
+        watermark_ms = 0
 
         def update(self, v):
             self.exists, self._v = True, v
@@ -368,6 +369,9 @@ def test_stateful_fns_merge_arrow_chunks_before_walking():
 
         def setTimeoutTimestamp(self, ts):
             pass
+
+        def getCurrentWatermarkMs(self):
+            return self.watermark_ms
 
     def mk(ts_list):
         return pd.DataFrame(
@@ -384,13 +388,40 @@ def test_stateful_fns_merge_arrow_chunks_before_walking():
     early = mk(["2024-01-01 08:00:00", "2024-01-01 08:00:20"])
 
     st = FakeState()
-    list(_session_fn(gap_seconds=600)((1,), iter([late, early]), st))
-    start_us, end_us, n_events, _ = st.get
-    # the OPEN session must be the 10:00 pair; the 08:00 pair is a
-    # CLOSED earlier session — per-chunk walking would instead fold
-    # all four into one session starting at 10:00
-    assert start_us == int(pd.Timestamp("2024-01-01 10:00:00").value) // 1000
-    assert n_events == 2
+    out = list(_session_fn(gap_seconds=600)((1,), iter([late, early]), st))
+    starts, ends, counts, _sums = st.get
+    # TWO open sessions (r10 multi-session state): the 08:00 pair and
+    # the 10:00 pair — per-chunk walking would fold all four into one
+    # session starting at 10:00, and the pre-r10 single-session state
+    # would have prematurely closed the 08:00 pair (a late event inside
+    # the watermark could still extend it). Nothing is emitted at
+    # watermark 0.
+    us = lambda s: int(pd.Timestamp(s).value) // 1000  # noqa: E731
+    assert starts == [us("2024-01-01 08:00:00"), us("2024-01-01 10:00:00")]
+    assert counts == [2, 2]
+    assert out == []
+
+    # advance the watermark past the first session's horizon (end+gap)
+    # but not the second's: ONLY the 08:00 session flushes
+    st.watermark_ms = (us("2024-01-01 09:00:00")) // 1000
+    st.hasTimedOut = True
+    out = list(_session_fn(gap_seconds=600)((1,), iter([]), st))
+    assert len(out) == 1 and len(out[0]) == 1
+    assert str(out[0]["session_start"].iloc[0]) == "2024-01-01 08:00:00"
+    assert int(out[0]["n_events"].iloc[0]) == 2
+    starts2, _e, counts2, _s = st.get
+    assert starts2 == [us("2024-01-01 10:00:00")] and counts2 == [2]
+
+    # a LATE event that bridges nothing but lands within gap BEFORE the
+    # open session's start must extend it DOWNWARD (the pre-r10 walker
+    # kept start frozen)
+    st.hasTimedOut = False
+    lateback = mk(["2024-01-01 09:52:00"])
+    list(_session_fn(gap_seconds=600)((1,), iter([lateback]), st))
+    starts3, ends3, counts3, _s3 = st.get
+    assert starts3 == [us("2024-01-01 09:52:00")]
+    assert ends3 == [us("2024-01-01 10:00:30")]
+    assert counts3 == [3]
 
     st2 = FakeState()
     out = list(_throttle_fn(ttl_seconds=3600)((1,), iter([late, early]), st2))
