@@ -140,10 +140,12 @@ def star_contraction_components(
             .distinct()
         )
         # small-star over the large-star output: centers with at
-        # least one smaller neighbor re-point that whole in-star
-        sm = _bidir(ls).filter(F.col("dst") < F.col("src")).withColumn(
-            "mn", F.min("dst").over(w)
-        )
+        # least one smaller neighbor re-point that whole in-star.
+        # No _bidir here (r10 review): large-star emits (dst, least(src,
+        # mn)) under dst > src >= mn, so EVERY ls row already has
+        # src > dst — bidirecting and re-filtering dst < src was an
+        # exact identity costing an extra union + scan per round.
+        sm = ls.withColumn("mn", F.min("dst").over(w))
         cur = (
             sm.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .union(sm.select("src", F.col("mn").alias("dst")))

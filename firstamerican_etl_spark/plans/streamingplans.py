@@ -20,11 +20,25 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from firstamerican_etl_spark.functions.stable import stable_round
+from firstamerican_etl_spark.functions.stable import fast_sum, sql_fast_sum, stable_round
 from firstamerican_etl_spark.plans.registry import register
 from firstamerican_etl_spark.sources.io import load_table, staging_tag
 from firstamerican_etl_spark.streaming.stateful import sessionize_with_state
 from firstamerican_etl_spark.streaming.windows import read_events_stream
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup. Landings/checkpoints are per-run
+    scratch (a checkpoint MUST be fresh per drain — reusing one would
+    replay or skip batches), but the pre-r10 bare mkdtemp leaked a full
+    events-table copy per invocation into TMPDIR, growing without bound
+    across bench/driver runs (r10 review)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _stage_events(
@@ -47,7 +61,7 @@ def _stage_events(
         markers=("landing/_SUCCESS",),
     )
     landing = os.path.join(base, "landing")
-    ckpt = tempfile.mkdtemp(prefix=f"fa_stream_ckpt_{tag}_")
+    ckpt = _tmpdir(prefix=f"fa_stream_ckpt_{tag}_")
     return landing, ckpt
 
 
@@ -61,11 +75,11 @@ def _drain(stream_df: DataFrame, name: str, ckpt: str, mode: str) -> DataFrame:
 
 @register(
     "streaming_tumbling_window",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
+       {sql_fast_sum("value")} AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -83,14 +97,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(
-                F.sum(
-                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / F.lit(1000000.0)
-            ).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -156,8 +163,8 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     # this query writes its OWN landing (events + closer rows) — only
     # a fresh checkpoint dir is needed; staging the shared events copy
     # here would be a full table write nothing reads
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_sess_")
-    landing = tempfile.mkdtemp(prefix="fa_stream_sess_land_")
+    ckpt = _tmpdir(prefix="fa_stream_ckpt_sess_")
+    landing = _tmpdir(prefix="fa_stream_sess_land_")
     ev = load_table(spark, sf_dir, "events")
     ev.coalesce(2).write.mode("overwrite").parquet(landing)
     closer = (
@@ -233,12 +240,12 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     bounded-state argument as the exactly-once row, with the horizon
     covering the retry window instead of exact-timestamp replays."""
     ev = load_table(spark, sf_dir, "events")
-    landing = tempfile.mkdtemp(prefix="fa_stream_wwm_land_")
+    landing = _tmpdir(prefix="fa_stream_wwm_land_")
     doubled = ev.unionByName(
         ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
     )
     doubled.coalesce(1).write.mode("overwrite").parquet(landing)
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_wwm_ckpt_")
+    ckpt = _tmpdir(prefix="fa_stream_wwm_ckpt_")
     deduped = (
         read_events_stream(spark, landing)
         .withWatermark("ts", "4 hours")
@@ -273,10 +280,10 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firstamerican_etl_spark.streaming.windows import stream_dedup
 
     ev = load_table(spark, sf_dir, "events")
-    landing = tempfile.mkdtemp(prefix="fa_stream_dedup_land_")
+    landing = _tmpdir(prefix="fa_stream_dedup_land_")
     ev.coalesce(2).write.mode("overwrite").parquet(landing)
     ev.coalesce(2).write.mode("append").parquet(landing)  # exact duplicates
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_dedup_ckpt_")
+    ckpt = _tmpdir(prefix="fa_stream_dedup_ckpt_")
     deduped = stream_dedup(
         read_events_stream(spark, landing), keys=["event_id"], watermark="2 hours"
     )
@@ -292,14 +299,14 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sliding_window",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
 )
 SELECT window_start, count(*) AS n_events,
-       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
+       {sql_fast_sum("value")} AS sum_value
 FROM assigned
 GROUP BY 1
 """,
@@ -316,14 +323,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(
-                F.sum(
-                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / F.lit(1000000.0)
-            ).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -387,10 +387,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_static_enrich",
-    oracle="""
+    oracle=f"""
 SELECT c_mktsegment, event_type,
        count(*) AS n_events,
-       floor((CAST(sum(CAST(floor((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) * 100 + 0.5) / 100 AS sum_value
+       {sql_fast_sum("value")} AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """,
@@ -416,14 +416,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_round(
-                F.sum(
-                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / F.lit(1000000.0)
-            ).alias("sum_value"),
+            fast_sum(F.col("value")).alias("sum_value"),
         )
     )
     name = f"stream_enrich_{abs(hash((sf_dir, ckpt))) % 10**8}"
@@ -460,10 +453,12 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         EventGenStreamDataSource,
     )
 
-    try:
-        spark.dataSource.register(EventGenStreamDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # register unconditionally: re-registration does NOT raise (the
+    # fazip/jsonlgz rows prove it every bench min-of-2 run), so the old
+    # blanket except-pass only ever swallowed REAL failures, which then
+    # resurfaced ten lines later as a baffling "DataSource eventgen not
+    # found" instead of the actual error (r10 review)
+    spark.dataSource.register(EventGenStreamDataSource)
     n_total, per_batch = 300, 100
     stream = (
         spark.readStream.format("eventgen")
@@ -476,7 +471,7 @@ def streaming_custom_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
     )
     name = f"eventgen_agg_{abs(hash((sf_dir, time.time_ns()))) % 10**10}"
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_eventgen_")
+    ckpt = _tmpdir(prefix="fa_stream_ckpt_eventgen_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -549,13 +544,13 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     if max_id is None:  # empty corpus: nothing to ingest, keep the schema
         return docs.select("doc_id", "lang", "source").limit(0)
     mid = max_id // 2
-    landing = tempfile.mkdtemp(prefix="fa_stream_ingest_land_")
+    landing = _tmpdir(prefix="fa_stream_ingest_land_")
     now = _time.time()
     for tag, cond, offset in (
         ("00a", F.col("doc_id") <= mid, 0),
         ("00b", F.col("doc_id") > mid, 100),
     ):
-        stage = tempfile.mkdtemp(prefix=f"fa_stream_ingest_{tag}_")
+        stage = _tmpdir(prefix=f"fa_stream_ingest_{tag}_")
         docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dest = os.path.join(landing, f"{tag}.parquet")
@@ -563,7 +558,7 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         os.utime(dest, (now + offset, now + offset))
         shutil.rmtree(stage, ignore_errors=True)
 
-    state = tempfile.mkdtemp(prefix="fa_stream_ingest_state_")
+    state = _tmpdir(prefix="fa_stream_ingest_state_")
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -583,7 +578,7 @@ def streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
             "append"
         ).parquet(state)
 
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_ingest_ckpt_")
+    ckpt = _tmpdir(prefix="fa_stream_ingest_ckpt_")
     try:
         stream = (
             spark.readStream.schema(
@@ -696,8 +691,8 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark passes), so executor state is O(events/hour) forever;
     the join shuffles both sides by user_id once."""
     # own landing (events + sentinel closers); no shared staging needed
-    ckpt = tempfile.mkdtemp(prefix="fa_stream_ckpt_ssoj_")
-    landing = tempfile.mkdtemp(prefix="fa_stream_ssoj_land_")
+    ckpt = _tmpdir(prefix="fa_stream_ckpt_ssoj_")
+    landing = _tmpdir(prefix="fa_stream_ssoj_land_")
     ev = load_table(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(landing)
     far = (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")

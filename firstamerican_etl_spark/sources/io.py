@@ -250,7 +250,11 @@ def compact_parquet(
             f"{path} is hive-partitioned ({parts[0]}, ...); use "
             "compact_parquet_dir, which preserves the partition layout"
         )
-    df = spark.read.parquet(path)
+    # mergeSchema: the single-footer default would take the schema from
+    # one arbitrary file, and a layout-only maintenance pass would then
+    # silently DROP any column later appends added (r10 review — the
+    # data would be unrecoverable after the rewrite replaces the dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if target_files is None:
         total_bytes = sum(
             f.stat().st_size for f in Path(path).rglob("*.parquet")
@@ -260,6 +264,10 @@ def compact_parquet(
     shutil.rmtree(staging, ignore_errors=True)  # stale staging from a crash
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + "__precompact"
+    # a crash mid-rmtree on a PREVIOUS run can leave a non-empty backup
+    # dir; os.rename cannot replace it, so every later compaction would
+    # fail AFTER paying the full rewrite (r10 review)
+    shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
@@ -364,6 +372,13 @@ def write_zorder_clustered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).collect()[0]
+    if bounds["a_lo"] is None or bounds["b_lo"] is None:
+        # empty input (or an all-null cluster column): there is nothing
+        # to cluster — write the empty/degenerate dataset instead of
+        # float(None) exploding (r10 review; write_range_clustered
+        # already tolerates this input)
+        df.write.mode(mode).option("compression", compression).parquet(path)
+        return
     a_lo, a_hi = float(bounds["a_lo"]), float(bounds["a_hi"])
     b_lo, b_hi = float(bounds["b_lo"]), float(bounds["b_hi"])
 
@@ -503,9 +518,17 @@ def compact_parquet_dir(
         # readers of the compacted path re-infer exactly as before.
         from pyspark.sql import types as T
 
-        data_schema = spark.read.parquet(files[0]).schema
+        # the DATA schema must be the MERGE across every leaf file —
+        # taking one arbitrary footer (the pre-r10 form) silently and
+        # permanently dropped any column a later append added, during a
+        # pass that promises to be layout-only (r10 review). Partition
+        # columns ride in via path inference on the explicit file list;
+        # they are stripped here and re-added as strings below.
+        merged = (
+            spark.read.option("mergeSchema", "true").parquet(*files).schema
+        )
         full = T.StructType(
-            list(data_schema.fields)
+            [f for f in merged.fields if f.name not in set(keys)]
             + [T.StructField(k, T.StringType()) for k in keys]
         )
         df = spark.read.schema(full).parquet(path)

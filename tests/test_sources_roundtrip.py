@@ -455,3 +455,40 @@ def test_custom_sink_append_merges_manifest(spark, tmp_path):
         .load()
     )
     assert back.count() == 6
+
+
+def test_zorder_empty_input_writes_empty_dataset(spark, tmp_path):
+    """r10 review: float(None) crash on empty input — the z-order
+    writer must degrade to a plain empty write like its range-clustered
+    sibling."""
+    from firstamerican_etl_spark.sources.io import write_zorder_clustered
+
+    out = str(tmp_path / "z_empty")
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    write_zorder_clustered(empty, out, "a", "b")
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_compact_parquet_dir_merges_appended_schema(spark, tmp_path):
+    """r10 review: the partitioned compaction took its data schema from
+    ONE arbitrary leaf footer, permanently dropping any column a later
+    append added — during a pass that promises to be layout-only."""
+    import os
+
+    from firstamerican_etl_spark.sources.io import compact_parquet_dir
+
+    out = str(tmp_path / "evolving")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    ).repartition(4).write.partitionBy("part").parquet(out)
+    # later append carries an EXTRA column
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS extra", "CAST(id % 2 AS STRING) AS part"
+    ).repartition(4).write.mode("append").partitionBy("part").parquet(out)
+
+    report = compact_parquet_dir(spark, out, target_bytes=1 << 30)
+    assert report["compacted"], report
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "extra" in back.columns  # the appended column SURVIVES
+    assert back.count() == 20
+    assert back.filter("extra IS NOT NULL").count() == 10
