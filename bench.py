@@ -143,7 +143,10 @@ def _force(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = None  # custom-named dir: record null rather than crash at startup
     registry = load_all()
     # Host-load context: a shared host's background load inflates
     # timings (the r3→r4 "+22%" was contention, and attributing it
@@ -171,13 +174,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in HEADLINE:
-        spec = registry[name]
         # best of 2: this host shares hardware, and a single sample
         # absorbs whatever the neighbors were doing that second — the
         # min is the steady-state plan cost, which is the number that
         # should be compared round-over-round
         best, n = None, 0
         try:
+            # the registry lookup belongs INSIDE the try: a stale
+            # HEADLINE name (rename/retag — it has happened twice)
+            # must surface as one per-query failure, not a KeyError
+            # that loses the whole round's bench artifact (r10 review)
+            spec = registry[name]
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = _force(spec.spark(spark, sf_dir))

@@ -322,7 +322,12 @@ def build_corpus(
         out = spark.read.schema("bin_id BIGINT").json(out_dir)
     else:
         writer.parquet(out_dir)
-        out = spark.read.parquet(out_dir)
+        # explicit schema: a gate configuration that drops EVERY doc
+        # writes only _SUCCESS, and schema inference over zero data
+        # files raises UNABLE_TO_INFER_SCHEMA instead of returning
+        # zero-count stats (r10 review); the jsonl branch above was
+        # already immune for the same reason
+        out = spark.read.schema(observed.schema).parquet(out_dir)
     # Dedup INDEX sidecar — what an incremental refresh (delta mode,
     # build_corpus_delta) dedups new batches against WITHOUT re-reading
     # the corpus text: the (fingerprint, keeper) table of every
@@ -446,6 +451,10 @@ def build_corpus_delta(
     # submission is thread-safe). Three independent preflight
     # aggregates launch together: index max id, batch min+count (one
     # fused scan), existing-corpus max bin_id.
+    # (a zero-doc existing corpus — only _SUCCESS on disk — would fail
+    # schema inference here; acceptable fail-loud for now, since a
+    # delta against an empty corpus has nothing to dedup against and
+    # the full build's post-write read is the guarded path)
     existing = spark.read.parquet(out_dir)
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_idx = pool.submit(
@@ -780,8 +789,16 @@ def compact_corpus(
     n_removed = n_before - int(obs.get["n"])
     # atomic-ish swap: the index sidecar (inside out_dir, _-prefixed)
     # rides across; the bridged record is cleared LAST so a crash
-    # before this point leaves a re-runnable state, never a corrupt one
-    shutil.move(os.path.join(out_dir, "_index"), os.path.join(tmp, "_index"))
+    # before this point leaves a re-runnable state, never a corrupt
+    # one. COPY the index into the new generation rather than move it
+    # (r10 review): a crash between a move and the rename below would
+    # leave the LIVE corpus without its index — unreadable by delta's
+    # scheme check and not re-runnable; a copy leaves the old
+    # generation complete until the rename lands, at the cost of
+    # duplicating a narrow 2-3-column sidecar for the swap window.
+    shutil.copytree(
+        os.path.join(out_dir, "_index"), os.path.join(tmp, "_index")
+    )
     old = out_dir.rstrip("/") + ".compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(out_dir, old)

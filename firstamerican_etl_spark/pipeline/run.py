@@ -239,15 +239,18 @@ def run_pipeline(
 
                 from firstamerican_etl_spark.pipeline.convert import RAW_COLUMNS
 
-                markers = {
-                    "deed": "Deed",
-                    "prop": annual_file_string,
-                    "taxhist": "TaxHist",
-                    "valhist": value_history_file_string,
-                }
-                # one read per family glob; executor-side decompress
-                marker_glob = os.path.join(raw_dir, f"*{markers[fam]}*.txt.zip")
-                df = spark.read.format("fazip").option("path", marker_glob).load()
+                # the EXACT files family discovery selected — not a
+                # re-derived marker glob, which (a) crashed on valid
+                # names the discovery accepted (Deed36061.zip is a zip
+                # but not *.txt.zip) and (b) silently read files that
+                # arrived after discovery (r10 review; the marker dict
+                # here had also drifted into a copy of
+                # discover_families')
+                df = (
+                    spark.read.format("fazip")
+                    .option("paths", os.pathsep.join(raw_inputs))
+                    .load()
+                )
                 raw = df.select(*[c for c in RAW_COLUMNS[fam] if c in df.columns])
                 for c in RAW_COLUMNS[fam]:
                     if c not in raw.columns:

@@ -26,6 +26,20 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _submit_provided_master() -> bool:
+    """True when spark-submit (or the environment) already supplies a
+    master URL. The pre-r10 factory unconditionally forced
+    ``local[N]`` whenever the caller passed ``master=None`` — exactly
+    the case the docstring promises defers to spark-submit — so
+    ``spark-submit --master yarn`` would have silently run the whole
+    pipeline single-node on the driver (r10 review). spark-submit
+    surfaces the master through PYSPARK_SUBMIT_ARGS / the launcher
+    env; plain ``python script.py`` sets neither, and falls back to
+    local[N]."""
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    return "--master" in submit_args or bool(os.environ.get("MASTER"))
+
+
 def get_spark(
     app_name: str = "firstamerican_etl_spark",
     master: str | None = None,
@@ -39,13 +53,19 @@ def get_spark(
     """
     cpus = DEFAULT_CPUS
     if master is None:
-        master = f"local[{cpus}]"
+        if os.environ.get("SPARK_GRAFT_MASTER"):
+            master = os.environ["SPARK_GRAFT_MASTER"]
+        elif not _submit_provided_master():
+            master = f"local[{cpus}]"
+        # else: leave unset — spark-submit's --master wins
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

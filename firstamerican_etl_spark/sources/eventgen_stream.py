@@ -68,7 +68,11 @@ class EventGenStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = start["offset"]
-        hi = min(lo + self.rows_per_batch, self.rows_per_batch * self.max_batches)
+        # never let the cap move the end offset BEHIND a checkpointed
+        # start (restarting with smaller max_batches would otherwise
+        # report end < start — an invalid offset regression instead of
+        # a clean empty batch; r10 review)
+        hi = max(lo, min(lo + self.rows_per_batch, self.rows_per_batch * self.max_batches))
         return (iter([_row(i) for i in range(lo, hi)]), {"offset": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -39,11 +39,26 @@ class _ZipMember(InputPartition):
         self.member = member
 
 
+def _resolve_paths(options: dict) -> list[str]:
+    """``paths`` (os.pathsep-separated EXPLICIT file list) wins over the
+    ``path`` glob. Callers that already discovered their inputs (the
+    pipeline's family discovery) pass the exact list — re-deriving it
+    from a glob both missed valid names the discovery accepted and
+    silently picked up files that arrived after discovery (r10
+    review)."""
+    import os
+
+    explicit = options.get("paths")
+    if explicit:
+        return sorted(p for p in explicit.split(os.pathsep) if p)
+    return sorted(glob.glob(options["path"]))
+
+
 class FaZipReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
         self.sep = options.get("sep", "|")
-        self.paths = sorted(glob.glob(options["path"]))
+        self.paths = _resolve_paths(options)
 
     def partitions(self):
         parts = []
@@ -83,9 +98,11 @@ class FaZipDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         # header of the first member of the first zip, all strings
-        paths = sorted(glob.glob(self.options["path"]))
+        paths = _resolve_paths(self.options)
         if not paths:
-            raise FileNotFoundError(self.options["path"])
+            raise FileNotFoundError(
+                self.options.get("paths") or self.options["path"]
+            )
         sep = self.options.get("sep", "|")
         with zipfile.ZipFile(paths[0]) as zf:
             member = next(m for m in zf.namelist() if not m.endswith("/"))

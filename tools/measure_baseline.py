@@ -81,17 +81,22 @@ WHERE PropertyID IS NOT NULL
   AND CAST(SaleAmt AS BIGINT) > 0 AND SaleAmt IS NOT NULL
 """
 
-# fa-etl.py:96-110 (ranked sales: most recent sale per year/property)
+# fa-etl.py:96-110 (ranked sales: most recent sale per year/property).
+# Null-date reject + (SaleAmt, FATransactionID) tiebreak mirror the
+# Spark side (pipeline/convert.rank_deed) exactly — without them a
+# same-date duplicate would be broken arbitrarily by DuckDB and the
+# parity columns would flap on inputs the generator happens not to
+# produce today (r10 review).
 _RANKED_DEED_SQL = """
 SELECT PropertyID, SaleAmt, RecordingYear
 FROM (
   SELECT PropertyID, SaleAmt, RecordingYear,
          row_number() OVER (
            PARTITION BY RecordingYear, PropertyID
-           ORDER BY RecordingDate DESC
+           ORDER BY RecordingDate DESC, SaleAmt, FATransactionID
          ) AS rk
   FROM read_parquet('{deed}')
-  WHERE SaleFlag = 1
+  WHERE SaleFlag = 1 AND RecordingDate IS NOT NULL
 ) WHERE rk = 1
 """
 
