@@ -102,3 +102,58 @@ def is_empty(df: DataFrame) -> bool:
     ``describe()`` and reads the count (fa-etl.py:13-18) — a whole-table
     scan; here it's limit(1), which stops at the first row produced."""
     return df.isEmpty()
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    compare: Sequence[str] | None = None,
+) -> DataFrame:
+    """Content diff of two dataset versions keyed on ``key``: every row
+    of either side comes back with a ``status`` column — ``added`` (in
+    ``new`` only), ``removed`` (in ``old`` only), ``changed`` (both
+    sides, any ``compare`` column differs null-safely), ``unchanged``.
+    ``compare`` defaults to every shared non-key column. Key columns
+    are coalesced across sides; compared columns come back as
+    ``<col>_old`` / ``<col>_new`` pairs.
+
+    The release-audit primitive behind the registered
+    ``corpus_snapshot_diff`` query: one full-outer join on the key
+    (both sides hash-exchanged on it — with a unique key there is no
+    skew), status computed join-side; aggregate or filter downstream.
+    Callers wanting a compact report do
+    ``snapshot_diff(...).groupBy("status").count()`` — the join output
+    never needs to leave the executors.
+    """
+    if not key:
+        raise ValueError("snapshot_diff: key must be non-empty")
+    if compare is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare = [c for c in shared if c not in set(key)]
+    missing = [c for c in list(key) + list(compare) if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: columns absent from a side: {missing}")
+    o = old.select(*key, *compare).alias("o")
+    n = new.select(*key, *compare).alias("n")
+    on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in key]
+    j = o.join(n, on, "full_outer")
+    in_old = F.col(f"o.{key[0]}").isNotNull()
+    in_new = F.col(f"n.{key[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in compare:
+        # null-safe inequality: NULL -> value and value -> NULL both
+        # count as changes, matching what a release audit means
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key]
+    out.append(status.alias("status"))
+    for c in compare:
+        out.append(F.col(f"o.{c}").alias(f"{c}_old"))
+        out.append(F.col(f"n.{c}").alias(f"{c}_new"))
+    return j.select(*out)

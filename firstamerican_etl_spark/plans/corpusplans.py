@@ -469,3 +469,101 @@ def ngram_diversity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_ppm"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, md5(text) AS fp, n_chars
+  FROM documents WHERE doc_id % 10 != 9
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END) AS fp,
+         n_chars + CASE WHEN doc_id % 17 = 3 THEN 3 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 13 != 5
+),
+d AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(a.n_chars, 0) AS ca,
+         COALESCE(b.n_chars, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status,
+       count(*) AS n_docs,
+       CAST(sum(ca) AS BIGINT) AS chars_a,
+       CAST(sum(cb) AS BIGINT) AS chars_b
+FROM d GROUP BY status
+""",
+    tags=("corpus", "versioning", "audit", "training-data"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release audit: diff two corpus versions by content
+    fingerprint and report added / removed / changed / unchanged
+    document counts with per-status char mass — the reproducibility
+    check a training-data pipeline runs between crawl releases before
+    retraining (what changed, and how much of the token budget it
+    touches). Version A is the prior release (the incremental-ingest
+    convention: doc_id % 10 == 9 rows are the NEW arrivals, absent
+    from A); version B is the next release, with doc_id % 13 == 5
+    rows retired and doc_id % 17 == 3 rows re-crawled with mutated
+    content (' v2' appended — fingerprint AND char mass shift
+    together, so the oracle cross-checks both signals).
+
+    Scale shape: one parquet scan per version (column-pruned to
+    doc_id/text/n_chars; the fingerprint is computed scan-side inside
+    WholeStageCodegen), then ONE full-outer sort-merge join keyed on
+    the unique doc_id — both sides exchange-partitioned on the same
+    key, no skew possible on a unique key — feeding a map-side-partial
+    aggregate over the four status groups. Nothing document-sized
+    moves after the join's own exchange, and the output is 4 rows at
+    any corpus size. At 100 TB the two versions are separate snapshot
+    paths; here both derive from `documents` so the oracle can state
+    the exact expected partition of doc_ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+        "n_chars",
+    )
+    mut = F.col("doc_id") % 17 == 3
+    b = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.md5(
+            F.encode(
+                F.when(mut, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                    F.col("text")
+                ),
+                "UTF-8",
+            )
+        ).alias("fp"),
+        (F.col("n_chars") + F.when(mut, F.lit(3)).otherwise(F.lit(0))).alias(
+            "n_chars"
+        ),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("a.n_chars"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("b.n_chars"), F.lit(0)).alias("cb"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ca").alias("chars_a"),
+            F.sum("cb").alias("chars_b"),
+        )
+    )

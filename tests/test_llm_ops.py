@@ -372,3 +372,43 @@ def test_jaccard_df_cap_bounds_candidate_expansion(spark, tmp_path):
     # the cap removes every one of them from the candidate stage
     assert expansion >= n * (n - 1) / 2  # ≥ C(60,2) from boilerplate alone
     assert capped_expansion <= 40  # only the rare near-dup shingles
+
+
+def test_snapshot_diff_statuses_and_nullsafe_compare(spark):
+    from firstamerican_etl_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, txt string, n long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "now-set", 40), (5, "e", 50)],
+        "id long, txt string, n long",
+    )
+    got = {
+        r["id"]: (r["status"], r["txt_old"], r["txt_new"])
+        for r in snapshot_diff(old, new, key=["id"]).collect()
+    }
+    assert got[1] == ("removed", "a", None)
+    assert got[2] == ("unchanged", "b", "b")
+    assert got[3] == ("changed", "c", "CHANGED")
+    # NULL -> value is a change under the null-safe comparison
+    assert got[4] == ("changed", None, "now-set")
+    assert got[5] == ("added", None, "e")
+    assert len(got) == 5
+
+
+def test_snapshot_diff_explicit_compare_and_errors(spark):
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "id long, txt string, n long")
+    new = spark.createDataFrame([(1, "zzz", 10)], "id long, txt string, n long")
+    # restricting compare to n: the txt difference is invisible
+    row = snapshot_diff(old, new, key=["id"], compare=["n"]).collect()[0]
+    assert row["status"] == "unchanged" and row["n_old"] == row["n_new"] == 10
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, key=[])
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, key=["id"], compare=["absent"])
