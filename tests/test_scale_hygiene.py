@@ -57,6 +57,7 @@ ARROW_PYTHON_OK = {
     "kmeans_embedding_clusters",
     "global_row_index_scalable",
     "global_running_sum_scalable",
+    "drift_ks_two_sample",  # ECDF cumsum rides the same prefix-sum recipe
     "corpus_pack_contiguous",
     "quantile_bins_scalable",
     "weighted_median_udaf",
