@@ -134,12 +134,18 @@ def snapshot_diff(
     missing = [c for c in list(key) + list(compare) if c not in old.columns or c not in new.columns]
     if missing:
         raise ValueError(f"snapshot_diff: columns absent from a side: {missing}")
-    o = old.select(*key, *compare).alias("o")
-    n = new.select(*key, *compare).alias("n")
+    if "_present" in list(key) + list(compare):
+        raise ValueError("snapshot_diff: '_present' is reserved")
+    # explicit presence markers: inferring presence from the key being
+    # non-null misclassifies a side's rows that CARRY a null key (null
+    # keys never join, so such an old row is "removed", not "added" —
+    # but its o.key is null either way)
+    o = old.select(*key, *compare, F.lit(True).alias("_present")).alias("o")
+    n = new.select(*key, *compare, F.lit(True).alias("_present")).alias("n")
     on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in key]
     j = o.join(n, on, "full_outer")
-    in_old = F.col(f"o.{key[0]}").isNotNull()
-    in_new = F.col(f"n.{key[0]}").isNotNull()
+    in_old = F.col("o._present").isNotNull()
+    in_new = F.col("n._present").isNotNull()
     differs = F.lit(False)
     for c in compare:
         # null-safe inequality: NULL -> value and value -> NULL both

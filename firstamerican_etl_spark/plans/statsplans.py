@@ -1143,7 +1143,9 @@ cum AS (
 SELECT na AS n_a,
        nb AS n_b,
        CAST(count(*) AS BIGINT) AS n_values,
-       CAST(floor(max(abs(d)) / na / nb * 1000000 + 0.5) AS BIGINT) AS ks_ppm
+       CASE WHEN na > 0 AND nb > 0
+            THEN CAST(floor(max(abs(d)) / na / nb * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS ks_ppm
 FROM cum
 GROUP BY na, nb
 """,
@@ -1197,22 +1199,35 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ab.agg(
         F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
     ).collect()[0]
-    na, nb = int(tot["na"]), int(tot["nb"])
+    # sum over zero groups is None (empty input / one-sided sample):
+    # treat as 0 and null the statistic instead of dividing by zero
+    # (ANSI-on would otherwise raise DIVIDE_BY_ZERO; the oracle's
+    # CASE WHEN mirrors this)
+    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
     pts = ab.withColumn(
         "d", F.col("a_cnt") * F.lit(nb) - F.col("b_cnt") * F.lit(na)
     )
     cum = global_running_sum(pts, "value", "d", out_col="cum_d")
-    return cum.agg(
-        F.max(F.abs(F.col("cum_d"))).alias("mx"),
-        F.count(F.lit(1)).alias("n_values"),
-    ).select(
-        F.lit(na).cast("long").alias("n_a"),
-        F.lit(nb).cast("long").alias("n_b"),
-        "n_values",
+    ks = (
         F.floor(
             F.col("mx") / F.lit(na) / F.lit(nb) * F.lit(1000000.0)
             + F.lit(0.5)
+        ).cast("long")
+        if na > 0 and nb > 0
+        else F.lit(None).cast("long")
+    )
+    return (
+        cum.agg(
+            F.max(F.abs(F.col("cum_d"))).alias("mx"),
+            F.count(F.lit(1)).alias("n_values"),
         )
-        .cast("long")
-        .alias("ks_ppm"),
+        .select(
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nb).cast("long").alias("n_b"),
+            "n_values",
+            ks.alias("ks_ppm"),
+        )
+        # the oracle's GROUP BY over an empty points frame yields zero
+        # rows; the ungrouped agg here yields one — align on empty
+        .filter(F.col("n_values") > 0)
     )

@@ -412,3 +412,17 @@ def test_snapshot_diff_explicit_compare_and_errors(spark):
         snapshot_diff(old, new, key=[])
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, key=["id"], compare=["absent"])
+
+
+def test_snapshot_diff_null_keys_never_match(spark):
+    """A null-keyed row never joins; it must surface as removed/added
+    for its own side, not be misclassified via key-null inference."""
+    from firstamerican_etl_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x")], "id long, txt string")
+    new = spark.createDataFrame([(None, "y")], "id long, txt string")
+    rows = sorted(
+        (r["status"], r["txt_old"], r["txt_new"])
+        for r in snapshot_diff(old, new, key=["id"]).collect()
+    )
+    assert rows == [("added", None, "y"), ("removed", "x", None)]
