@@ -414,7 +414,11 @@ def _fa_pipeline_e2e(spark, sf: float, **pipeline_kwargs) -> float:
     from firstamerican_etl_spark.pipeline.run import run_pipeline
     from tools.fa_bench_data import generate
 
-    n_props = max(2_000, int(200_000 * sf))
+    # sf is None for custom-named SF dirs (main() records sf: null
+    # rather than crashing); the FA pipeline generates its OWN inputs,
+    # so size it at the sf0.1 default instead of TypeError-ing both
+    # e2e rows into failures (r10 review, sixth pass)
+    n_props = max(2_000, int(200_000 * (sf if sf is not None else 0.1)))
     work = tempfile.mkdtemp(prefix="fa_bench_")
     try:
         generate(work, n_props)

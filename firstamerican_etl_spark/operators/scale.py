@@ -122,10 +122,22 @@ def shared_stage(
             except FileExistsError:
                 try:
                     if time.time() - os.stat(lock).st_mtime > 60:
-                        os.rmdir(lock)  # steal an orphaned lease
+                        # steal by atomic RENAME: with a bare rmdir two
+                        # stealers could interleave stat→rmdir so the
+                        # second removed the first's FRESH lease and
+                        # both entered the critical section (r10
+                        # review, sixth pass). rename succeeds for
+                        # exactly one stealer; the loser raises and
+                        # re-loops into the mkdir race.
+                        stolen = (
+                            f"{lock}.stolen-{os.getpid()}-"
+                            f"{uuid.uuid4().hex[:8]}"
+                        )
+                        os.rename(lock, stolen)
+                        os.rmdir(stolen)
                         continue
                 except OSError:
-                    continue  # holder released between stat and rmdir
+                    continue  # holder released / another stealer won
                 time.sleep(0.02)
         try:
             if not _complete(final):

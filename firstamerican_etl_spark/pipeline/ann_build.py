@@ -466,6 +466,9 @@ def refresh_ann_index(
     import shutil
     import uuid
 
+    # a trailing slash would nest the sibling generation INSIDE the
+    # live index ("x/.gen-..." under "x/") and break the swap renames
+    out_dir = os.path.normpath(out_dir)
     assign_path = os.path.join(out_dir, "assignments.parquet")
     meta_path = os.path.join(out_dir, "train_meta.parquet")
     if not os.path.exists(os.path.join(assign_path, "_SUCCESS")):
@@ -481,14 +484,37 @@ def refresh_ann_index(
     gen = f"{out_dir}.gen-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
         stats = _train_index(spark, emb, gen, n_cells, lloyd_rounds)
-        old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(out_dir, old)
-        os.rename(gen, out_dir)
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
+    except BaseException:
         # a failed retrain (OOM, disk full, interrupt) must not leak an
-        # index-sized partial generation next to the live index
+        # index-sized partial generation next to the live index; the
+        # live index itself is untouched at this point
         shutil.rmtree(gen, ignore_errors=True)
+        raise
+    # Swap: park the live index, promote the new generation, drop the
+    # parked copy. If parking succeeded but promotion did NOT, restore
+    # the parked live index — and only ever delete `gen` once a
+    # complete index is back at out_dir. The earlier unconditional
+    # finally-rmtree(gen) could destroy the ONLY complete generation
+    # when an interrupt landed between the two renames (r10 review,
+    # sixth pass), leaving nothing at out_dir.
+    old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(out_dir, old)
+    promoted = False
+    try:
+        os.rename(gen, out_dir)
+        promoted = True
+    finally:
+        if not promoted:
+            try:
+                os.rename(old, out_dir)
+            except OSError:
+                # restoration itself failed: leave BOTH survivors
+                # (old + gen) on disk for manual recovery — deleting
+                # either here could drop the last complete index
+                pass
+            else:
+                shutil.rmtree(gen, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     return AnnIndexStats(
         n_vectors=stats.n_vectors,
         n_cells=stats.n_cells,

@@ -1039,6 +1039,11 @@ def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPOCH_SHARDS = 8
 _EPOCHS = 2
+# the shard id maps ONE hex digit through floor(d / (16 // SHARDS)),
+# which yields exactly SHARDS balanced shards only when SHARDS divides
+# 16 — any other value silently produces a different, unbalanced count
+# in BOTH engines (parity would not catch it)
+assert 16 % _EPOCH_SHARDS == 0, "_EPOCH_SHARDS must divide 16"
 
 
 @register(

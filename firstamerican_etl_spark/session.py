@@ -35,9 +35,22 @@ def _submit_provided_master() -> bool:
     pipeline single-node on the driver (r10 review). spark-submit
     surfaces the master through PYSPARK_SUBMIT_ARGS / the launcher
     env; plain ``python script.py`` sets neither, and falls back to
-    local[N]."""
+    local[N].
+
+    The decisive signal is PYSPARK_GATEWAY_PORT: under real
+    spark-submit the driver Python is launched by PythonRunner with a
+    JVM gateway ALREADY running (and its conf already carries the
+    submitted spark.master) — that path sets the gateway env vars but
+    NOT PYSPARK_SUBMIT_ARGS, so keying on submit-args alone would
+    still force local[N] over ``--master yarn`` (r10 review, second
+    pass). PYSPARK_SUBMIT_ARGS remains checked for the pyspark-shell
+    family, which sets it before Python launches the JVM itself."""
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    return "--master" in submit_args or bool(os.environ.get("MASTER"))
+    return (
+        bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
+        or "--master" in submit_args
+        or bool(os.environ.get("MASTER"))
+    )
 
 
 def get_spark(

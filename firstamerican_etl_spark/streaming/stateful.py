@@ -85,10 +85,14 @@ def _session_fn(gap_seconds: int):
             # purely watermark-driven — the pre-r10 inline close (emit
             # the previous session the moment a later event gaps past
             # it) was premature: a late event inside the watermark could
-            # still have extended it.
+            # still have extended it. STRICTLY past: an on-time event
+            # at ts == wm == end + gap is still admissible and would
+            # merge (the batch islands rule keeps gap-equal events
+            # in-session), so closing at <= would split that session
+            # (r10 review, sixth pass).
             still = []
             for s in sessions:
-                if s[1] + gap_us <= wm_us:
+                if s[1] + gap_us < wm_us:
                     closed.append((user_id, s[0], s[1], s[2], s[3]))
                 else:
                     still.append(s)
