@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 import uuid
 
 from firstamerican_etl_spark.operators.scale import shared_stage
@@ -180,3 +181,43 @@ def test_two_process_race_over_legacy_debris():
     assert {open(f).read() for f in parts} == {winner}
     assert glob.glob(final + ".tmp-*") == []
     assert not os.path.exists(final + ".lock")
+
+
+def test_stale_lease_steal_race_single_winner():
+    """The r10 sixth-review race: an ORPHANED lease (holder died >60s
+    ago) being stolen by several processes at once. The stat->rmdir
+    steal let a second stealer remove the first's freshly acquired
+    lease so both entered the critical section; the rename-based steal
+    admits exactly one. Pre-create a stale lock, race four processes,
+    and require a single internally consistent committed generation
+    with no lease debris (stolen-* remnants included)."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    lock = final + ".lock"
+    os.makedirs(lock)
+    stale = time.time() - 120
+    os.utime(lock, (stale, stale))
+
+    script = _RACER.format(repo=_REPO, key=key)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        outs.append(out.strip())
+    assert outs == [final] * 4
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    winner = open(os.path.join(final, "writer_pid.txt")).read()
+    parts = sorted(glob.glob(os.path.join(final, "part-*.txt")))
+    assert len(parts) == 20
+    assert {open(f).read() for f in parts} == {winner}
+    assert glob.glob(final + ".tmp-*") == []
+    assert glob.glob(final + ".lock*") == []  # incl. .stolen-* remnants
