@@ -328,3 +328,57 @@ def test_refresh_policy_guards(spark, sf_dir, tmp_path):
     assert not dec.refresh
     with _pytest.raises(ValueError, match="no committed ANN index"):
         refresh_ann_index(spark, str(tmp_path / "nope"))
+
+
+def test_refresh_swap_failure_restores_live_index(spark, sf_dir, tmp_path, monkeypatch):
+    """The r10 sixth-review hazard: promotion (rename gen -> out_dir)
+    failing AFTER the live index was parked must restore the parked
+    index and must NOT delete the trained generation until a complete
+    index is back at out_dir. Inject a failure into exactly that
+    rename and require (a) the error propagates, (b) the ORIGINAL
+    index is back at out_dir and still serves, (c) no .old debris."""
+    import glob as _glob
+
+    from firstamerican_etl_spark.pipeline.ann_build import refresh_ann_index
+
+    d = str(tmp_path / "idx")
+    build_ann_index(spark, sf_dir, d, n_cells=8, lloyd_rounds=1)
+    before = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(d, "assignments.parquet"))
+        .select("vec_id").limit(5).collect()
+    )
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if dst == d and ".gen-" in src:  # the promotion rename only
+            raise OSError(28, "No space left on device (injected)")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        refresh_ann_index(spark, d)
+    monkeypatch.undo()
+
+    # live index restored at out_dir, identical content, still serves
+    assert os.path.exists(os.path.join(d, "assignments.parquet", "_SUCCESS"))
+    after = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(d, "assignments.parquet"))
+        .select("vec_id").limit(5).collect()
+    )
+    assert after == before
+    assert _glob.glob(d + ".old-*") == []  # no parked debris left behind
+
+
+def test_refresh_accepts_trailing_slash(spark, sf_dir, tmp_path):
+    """A trailing slash must not nest the sibling generation inside
+    the live index (the swap renames would then fail or corrupt)."""
+    from firstamerican_etl_spark.pipeline.ann_build import refresh_ann_index
+
+    d = str(tmp_path / "idx")
+    build_ann_index(spark, sf_dir, d, n_cells=8, lloyd_rounds=1)
+    rst = refresh_ann_index(spark, d + "/")
+    assert rst.n_cells == 8
+    assert os.path.exists(os.path.join(d, "assignments.parquet", "_SUCCESS"))
