@@ -86,21 +86,28 @@ def shared_stage(
 
     A ``final`` that exists WITHOUT its markers can only be debris from
     the pre-protocol idiom (a rename is all-or-nothing); it is retired
-    before committing. Retirement + commit run under a short mkdir
-    lease (``final.lock``): without it, two writers racing over debris
-    could interleave check→rmtree→rename so that one deletes the
-    other's JUST-committed stage while a reader scans it. The lease is
-    held only around the two directory ops (microseconds — the
-    expensive ``write_fn`` happens before acquisition); a lease older
-    than 60 s is presumed orphaned by a dead process and stolen."""
+    before committing. Retirement + commit run under an OS-level
+    ``flock`` on ``final.flock``: the kernel releases the lock when its
+    holder dies (crash, OOM-kill), so there is NO staleness heuristic
+    and no steal path at all. The r10 mkdir-lease with a 60 s mtime
+    steal had an irreducible TOCTOU — a stealer that passed the
+    staleness check, was descheduled, and resumed after another
+    process had legitimately re-acquired would steal the FRESH lease
+    (rename/rmdir never re-check mtime), admitting two writers to the
+    critical section; and a stealer dying mid-steal leaked rename
+    debris. flock has neither failure mode. The lock is held only
+    around the two directory ops (microseconds — the expensive
+    ``write_fn`` happens before acquisition); the zero-byte ``.flock``
+    file is left in place by design (unlinking a lock file would
+    reintroduce the acquire-vs-unlink race)."""
+    import fcntl
     import os
     import shutil
     import tempfile
-    import time
     import uuid
 
     final = os.path.join(tempfile.gettempdir(), f"fa_shared_{prefix}_{key}")
-    lock = final + ".lock"
+    lock = final + ".flock"
 
     def _complete(d: str) -> bool:
         return all(os.path.exists(os.path.join(d, m)) for m in markers)
@@ -115,42 +122,30 @@ def shared_stage(
             if not os.path.exists(mp):
                 os.makedirs(os.path.dirname(mp), exist_ok=True)
                 open(mp, "w").close()
-        while True:
-            try:
-                os.mkdir(lock)  # atomic lease acquisition
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.stat(lock).st_mtime > 60:
-                        # steal by atomic RENAME: with a bare rmdir two
-                        # stealers could interleave stat→rmdir so the
-                        # second removed the first's FRESH lease and
-                        # both entered the critical section (r10
-                        # review, sixth pass). rename succeeds for
-                        # exactly one stealer; the loser raises and
-                        # re-loops into the mkdir race.
-                        stolen = (
-                            f"{lock}.stolen-{os.getpid()}-"
-                            f"{uuid.uuid4().hex[:8]}"
-                        )
-                        os.rename(lock, stolen)
-                        os.rmdir(stolen)
-                        continue
-                except OSError:
-                    continue  # holder released / another stealer won
-                time.sleep(0.02)
+        # retire pre-flock debris: a leftover mkdir-lease DIRECTORY
+        # from the retired protocol (at the old ".lock" path, or —
+        # defensively — squatting on the ".flock" path itself). Best
+        # effort: nothing holds a dead process's mkdir lease.
+        for stale_dir in (final + ".lock", lock):
+            if os.path.isdir(stale_dir):
+                shutil.rmtree(stale_dir, ignore_errors=True)
+        lock_fd = open(lock, "a+b")
         try:
-            if not _complete(final):
-                if os.path.isdir(final):  # pre-protocol debris
-                    shutil.rmtree(final)
-                os.rename(tmp, final)
-            # else: another writer committed while we built — adopt it;
-            # same key means same content by contract
-        finally:
+            # blocks until the holder commits or DIES — the kernel
+            # releases a dead holder's flock, so orphaned leases
+            # resolve themselves with no staleness guess
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
             try:
-                os.rmdir(lock)
-            except OSError:
-                pass
+                if not _complete(final):
+                    if os.path.isdir(final):  # pre-protocol debris
+                        shutil.rmtree(final)
+                    os.rename(tmp, final)
+                # else: another writer committed while we built — adopt
+                # it; same key means same content by contract
+            finally:
+                fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        finally:
+            lock_fd.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final

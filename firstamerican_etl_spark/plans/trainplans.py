@@ -1042,8 +1042,11 @@ _EPOCHS = 2
 # the shard id maps ONE hex digit through floor(d / (16 // SHARDS)),
 # which yields exactly SHARDS balanced shards only when SHARDS divides
 # 16 — any other value silently produces a different, unbalanced count
-# in BOTH engines (parity would not catch it)
-assert 16 % _EPOCH_SHARDS == 0, "_EPOCH_SHARDS must divide 16"
+# in BOTH engines (parity would not catch it). A raise, not an assert:
+# python -O strips asserts, and prod spark-submit wrappers commonly
+# set PYTHONOPTIMIZE (r10 review, seventh pass)
+if 16 % _EPOCH_SHARDS != 0:
+    raise ValueError("_EPOCH_SHARDS must divide 16 (hex-digit bucketing)")
 
 
 @register(

@@ -183,20 +183,22 @@ def test_two_process_race_over_legacy_debris():
     assert not os.path.exists(final + ".lock")
 
 
-def test_stale_lease_steal_race_single_winner():
-    """The r10 sixth-review race: an ORPHANED lease (holder died >60s
-    ago) being stolen by several processes at once. The stat->rmdir
-    steal let a second stealer remove the first's freshly acquired
-    lease so both entered the critical section; the rename-based steal
-    admits exactly one. Pre-create a stale lock, race four processes,
-    and require a single internally consistent committed generation
-    with no lease debris (stolen-* remnants included)."""
+def test_orphaned_lease_race_single_winner():
+    """The r10 sixth/seventh-review race family: an ORPHANED lease
+    (holder died) must not block or corrupt later writers. Under the
+    flock protocol a dead holder's lock is released by the KERNEL, so
+    there is no staleness heuristic and no steal path (the mtime-steal
+    variants all had a TOCTOU admitting two writers). Pre-create a
+    legacy mkdir-lease DIRECTORY (pre-flock debris — the worst case:
+    it shadows the lock-file path), race four processes, and require a
+    single internally consistent committed generation, the legacy dir
+    retired, and no tmp debris."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
-    lock = final + ".lock"
-    os.makedirs(lock)
+    legacy = final + ".lock"
+    os.makedirs(legacy)
     stale = time.time() - 120
-    os.utime(lock, (stale, stale))
+    os.utime(legacy, (stale, stale))
 
     script = _RACER.format(repo=_REPO, key=key)
     procs = [
@@ -220,4 +222,47 @@ def test_stale_lease_steal_race_single_winner():
     assert len(parts) == 20
     assert {open(f).read() for f in parts} == {winner}
     assert glob.glob(final + ".tmp-*") == []
-    assert glob.glob(final + ".lock*") == []  # incl. .stolen-* remnants
+    assert not os.path.isdir(legacy)  # pre-flock debris retired
+    assert os.path.isfile(final + ".flock")  # the permanent lock file
+
+
+def test_flock_blocks_until_holder_death_releases(tmp_path):
+    """The property the mtime heuristic could only approximate: a
+    LIVE holder blocks writers indefinitely; a DEAD holder blocks
+    nobody. Hold the flock in a child process, SIGKILL it mid-hold,
+    and require a waiting shared_stage to proceed the moment the
+    kernel releases the dead holder's lock."""
+    import signal
+
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)  # the prefix _RACER stages under
+    lock = final + ".flock"
+
+    holder_src = (
+        "import fcntl, sys, time\n"
+        f"fd = open({lock!r}, 'a+b')\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "print('held', flush=True)\n"
+        "time.sleep(600)\n"
+    )
+    holder = subprocess.Popen(
+        [sys.executable, "-c", holder_src], stdout=subprocess.PIPE, text=True
+    )
+    assert holder.stdout.readline().strip() == "held"
+
+    waiter_src = _RACER.format(repo=_REPO, key=key)
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", waiter_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    # the waiter builds its tmp (~0.5s) then blocks on the held flock;
+    # kill the holder and the kernel releases the lock
+    time.sleep(3)
+    assert waiter.poll() is None  # still blocked behind the live holder
+    holder.send_signal(signal.SIGKILL)
+    out, err = waiter.communicate(timeout=60)
+    assert waiter.returncode == 0, err
+    assert out.strip() == final
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
