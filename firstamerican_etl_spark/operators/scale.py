@@ -104,6 +104,7 @@ def shared_stage(
     import os
     import shutil
     import tempfile
+    import time
     import uuid
 
     final = os.path.join(tempfile.gettempdir(), f"fa_shared_{prefix}_{key}")
@@ -122,19 +123,36 @@ def shared_stage(
             if not os.path.exists(mp):
                 os.makedirs(os.path.dirname(mp), exist_ok=True)
                 open(mp, "w").close()
-        # retire pre-flock debris: a leftover mkdir-lease DIRECTORY
-        # from the retired protocol (at the old ".lock" path, or —
-        # defensively — squatting on the ".flock" path itself). Best
-        # effort: nothing holds a dead process's mkdir lease.
-        for stale_dir in (final + ".lock", lock):
-            if os.path.isdir(stale_dir):
-                shutil.rmtree(stale_dir, ignore_errors=True)
-        lock_fd = open(lock, "a+b")
-        try:
+        if os.path.isdir(lock):  # a dir squatting on the lock-FILE path
+            shutil.rmtree(lock, ignore_errors=True)
+        legacy = final + ".lock"
+        with open(lock, "a+b") as lock_fd:
             # blocks until the holder commits or DIES — the kernel
-            # releases a dead holder's flock, so orphaned leases
-            # resolve themselves with no staleness guess
+            # releases a dead holder's flock (fd close included), so
+            # orphaned leases resolve themselves with no staleness
+            # guess and no steal path
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            # Mixed-version overlap guard (r10 review, eighth pass):
+            # an old-protocol process from before a code update only
+            # respects the mkdir lease, so while mutating we hold THAT
+            # too. flock serializes new-version writers, the mkdir
+            # lease excludes old-version ones in BOTH directions (they
+            # block on ours; we block on theirs). The 60 s mtime steal
+            # survives here only against DEAD old-version holders — a
+            # transitional, old-protocol-compatible escape that goes
+            # away with the last pre-flock process.
+            while True:
+                try:
+                    os.mkdir(legacy)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.stat(legacy).st_mtime > 60:
+                            shutil.rmtree(legacy, ignore_errors=True)
+                            continue
+                    except OSError:
+                        continue  # released between the two calls
+                    time.sleep(0.02)
             try:
                 if not _complete(final):
                     if os.path.isdir(final):  # pre-protocol debris
@@ -143,9 +161,11 @@ def shared_stage(
                 # else: another writer committed while we built — adopt
                 # it; same key means same content by contract
             finally:
+                try:
+                    os.rmdir(legacy)
+                except OSError:
+                    pass
                 fcntl.flock(lock_fd, fcntl.LOCK_UN)
-        finally:
-            lock_fd.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final

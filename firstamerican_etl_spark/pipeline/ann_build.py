@@ -498,35 +498,37 @@ def refresh_ann_index(
     # when an interrupt landed between the two renames (r10 review,
     # sixth pass), leaving nothing at out_dir.
     old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
-    promoted = False
     try:
         os.rename(out_dir, old)
         os.rename(gen, out_dir)
-        promoted = True
     finally:
-        # parking itself is inside the protected region (r10 review,
-        # seventh pass): a failure or interrupt at EITHER rename must
-        # leave a complete index at out_dir and no index-sized leak.
-        # Whether we parked is read from the filesystem (`old` exists),
-        # not a flag — there is no bytecode window between the rename
-        # succeeding and the fact becoming observable.
-        if not promoted:
-            if not os.path.isdir(old):
-                # parking never happened: out_dir is untouched; the
-                # trained generation is the only thing to clean
-                shutil.rmtree(gen, ignore_errors=True)
+        # Both renames are inside the protected region (r10 review,
+        # seventh/eighth passes): a failure or interrupt at EITHER
+        # must leave a complete index at out_dir and no index-sized
+        # leak. Progress is read from the FILESYSTEM, never a flag —
+        # a flag assignment after a rename leaves a bytecode window
+        # where an interrupt strands state the finally then misreads.
+        # rename(gen, out_dir) is the only way `gen` vanishes, so:
+        if not os.path.isdir(gen):
+            # promoted (exceptionally or not): the new index is live;
+            # the parked copy is the only thing left to retire
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            # parked but not promoted: restore the live index, and
+            # only delete the generation once restoration succeeded
+            try:
+                os.rename(old, out_dir)
+            except OSError:
+                # restoration itself failed: leave BOTH survivors
+                # (old + gen) on disk for manual recovery — deleting
+                # either could drop the last complete index
+                pass
             else:
-                try:
-                    os.rename(old, out_dir)
-                except OSError:
-                    # restoration itself failed: leave BOTH survivors
-                    # (old + gen) on disk for manual recovery —
-                    # deleting either could drop the last complete
-                    # index
-                    pass
-                else:
-                    shutil.rmtree(gen, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(gen, ignore_errors=True)
+        else:
+            # parking never happened: out_dir is untouched; the
+            # trained generation is the only thing to clean
+            shutil.rmtree(gen, ignore_errors=True)
     return AnnIndexStats(
         n_vectors=stats.n_vectors,
         n_cells=stats.n_cells,

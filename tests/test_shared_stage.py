@@ -226,12 +226,14 @@ def test_orphaned_lease_race_single_winner():
     assert os.path.isfile(final + ".flock")  # the permanent lock file
 
 
-def test_flock_blocks_until_holder_death_releases(tmp_path):
+def test_flock_blocks_until_holder_death_releases():
     """The property the mtime heuristic could only approximate: a
     LIVE holder blocks writers indefinitely; a DEAD holder blocks
     nobody. Hold the flock in a child process, SIGKILL it mid-hold,
     and require a waiting shared_stage to proceed the moment the
-    kernel releases the dead holder's lock."""
+    kernel releases the dead holder's lock. Children are killed on
+    EVERY exit path — a failed assertion must not leak a 600 s holder
+    that blocks the next run's lock."""
     import signal
 
     key = uuid.uuid4().hex[:12]
@@ -248,21 +250,59 @@ def test_flock_blocks_until_holder_death_releases(tmp_path):
     holder = subprocess.Popen(
         [sys.executable, "-c", holder_src], stdout=subprocess.PIPE, text=True
     )
-    assert holder.stdout.readline().strip() == "held"
+    waiter = None
+    try:
+        assert holder.stdout.readline().strip() == "held"
 
-    waiter_src = _RACER.format(repo=_REPO, key=key)
+        waiter_src = _RACER.format(repo=_REPO, key=key)
+        waiter = subprocess.Popen(
+            [sys.executable, "-c", waiter_src],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        # the waiter builds its tmp (~0.5s) then blocks on the held
+        # flock; kill the holder and the kernel releases the lock
+        time.sleep(3)
+        assert waiter.poll() is None  # still blocked behind the holder
+        holder.send_signal(signal.SIGKILL)
+        out, err = waiter.communicate(timeout=60)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    finally:
+        for p in (holder, waiter):
+            if p is not None and p.poll() is None:
+                p.kill()
+                p.wait(timeout=10)
+
+
+def test_live_legacy_mkdir_lease_blocks_new_writers():
+    """Mixed-version overlap (r10 eighth review): an old-protocol
+    process started before a code update holds the mkdir lease; a
+    new-version writer must BLOCK on it (not destroy it) until the old
+    holder releases — only a >60s-stale legacy lease may be retired."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)  # fresh mtime — a LIVE old-protocol holder
+
     waiter = subprocess.Popen(
-        [sys.executable, "-c", waiter_src],
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
     )
-    # the waiter builds its tmp (~0.5s) then blocks on the held flock;
-    # kill the holder and the kernel releases the lock
-    time.sleep(3)
-    assert waiter.poll() is None  # still blocked behind the live holder
-    holder.send_signal(signal.SIGKILL)
-    out, err = waiter.communicate(timeout=60)
-    assert waiter.returncode == 0, err
-    assert out.strip() == final
-    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    try:
+        time.sleep(3)  # waiter built its tmp and is parked on the lease
+        assert waiter.poll() is None
+        os.rmdir(legacy)  # the old holder releases
+        out, err = waiter.communicate(timeout=60)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+        assert not os.path.isdir(legacy)  # writer released its own hold
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
