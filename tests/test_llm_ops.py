@@ -426,3 +426,35 @@ def test_snapshot_diff_null_keys_never_match(spark):
         for r in snapshot_diff(old, new, key=["id"]).collect()
     )
     assert rows == [("added", None, "y"), ("removed", "x", None)]
+
+
+def test_ks_statistic_matches_independent_numpy_ecdf(spark, sf_dir):
+    """Third, independent implementation of the KS statistic: the
+    classic two-float-ECDF scan in numpy over the raw rows. The
+    registered query's integerized single-prefix-sum formulation
+    (max|cum(a*nB - b*nA)|/(nA*nB)) and its DuckDB oracle share the
+    algebra; this check shares NOTHING with either — it pins the
+    algebraic identity itself, at full double precision, to the ppm
+    quantization the query emits."""
+    import numpy as np
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    row = load_all()["drift_ks_two_sample"].spark(spark, sf_dir).collect()[0]
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .where("event_type in ('click','error') and value is not null")
+        .collect()
+    )
+    a = np.sort(np.array([r["value"] for r in ev if r["event_type"] == "click"]))
+    b = np.sort(np.array([r["value"] for r in ev if r["event_type"] == "error"]))
+    grid = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    ecdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    ks = float(np.max(np.abs(ecdf_a - ecdf_b)))
+
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["n_values"] == len(grid)
+    assert row["ks_ppm"] == int(np.floor(ks * 1_000_000 + 0.5))
