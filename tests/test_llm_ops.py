@@ -458,3 +458,47 @@ def test_ks_statistic_matches_independent_numpy_ecdf(spark, sf_dir):
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert row["n_values"] == len(grid)
     assert row["ks_ppm"] == int(np.floor(ks * 1_000_000 + 0.5))
+
+
+def test_snapshot_diff_query_matches_independent_dict_diff(spark, sf_dir):
+    """Independent reimplementation of corpus_snapshot_diff: plain
+    python dicts over the raw rows, sharing neither the join nor the
+    fingerprint algebra with the query/oracle pair (membership is by
+    literal text comparison, no md5)."""
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    got = {
+        r["status"]: (r["n_docs"], r["chars_a"], r["chars_b"])
+        for r in load_all()["corpus_snapshot_diff"].spark(spark, sf_dir).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    )
+    a = {r["doc_id"]: (r["text"], r["n_chars"]) for r in rows if r["doc_id"] % 10 != 9}
+    b = {
+        r["doc_id"]: (
+            r["text"] + " v2" if r["doc_id"] % 17 == 3 else r["text"],
+            r["n_chars"] + (3 if r["doc_id"] % 17 == 3 else 0),
+        )
+        for r in rows
+        if r["doc_id"] % 13 != 5
+    }
+    expect: dict[str, list[int]] = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            st, ca, cb = "added", 0, b[k][1]
+        elif k not in b:
+            st, ca, cb = "removed", a[k][1], 0
+        elif a[k][0] != b[k][0]:
+            st, ca, cb = "changed", a[k][1], b[k][1]
+        else:
+            st, ca, cb = "unchanged", a[k][1], b[k][1]
+        agg = expect.setdefault(st, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += ca
+        agg[2] += cb
+    assert got == {k: tuple(v) for k, v in expect.items()}
