@@ -438,9 +438,7 @@ def test_ks_statistic_matches_independent_numpy_ecdf(spark, sf_dir):
     quantization the query emits."""
     import numpy as np
 
-    from firstamerican_etl_spark.plans.registry import load_all
-
-    row = load_all()["drift_ks_two_sample"].spark(spark, sf_dir).collect()[0]
+    row = REGISTRY["drift_ks_two_sample"].spark(spark, sf_dir).collect()[0]
 
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -465,12 +463,9 @@ def test_snapshot_diff_query_matches_independent_dict_diff(spark, sf_dir):
     python dicts over the raw rows, sharing neither the join nor the
     fingerprint algebra with the query/oracle pair (membership is by
     literal text comparison, no md5)."""
-
-    from firstamerican_etl_spark.plans.registry import load_all
-
     got = {
         r["status"]: (r["n_docs"], r["chars_a"], r["chars_b"])
-        for r in load_all()["corpus_snapshot_diff"].spark(spark, sf_dir).collect()
+        for r in REGISTRY["corpus_snapshot_diff"].spark(spark, sf_dir).collect()
     }
 
     rows = (
