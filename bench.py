@@ -129,6 +129,35 @@ HEADLINE = [
 ]
 
 
+def _fa_n_props(sf: float | None) -> int:
+    """FA e2e input size for an SF; the single sizing rule shared by
+    the pipeline rows and the headline record. sf=None (custom-named
+    SF dir) falls back to the sf0.1 default size — the headline then
+    records the substitution explicitly (`fa_e2e_assumed_sf`/
+    `fa_e2e_n_props`) so an sf:null bench row is self-describing."""
+    return max(2_000, int(200_000 * (sf if sf is not None else 0.1)))
+
+
+def _calibrate_host(n_mb: int = 256) -> float:
+    """Single-threaded md5 over a fixed 256 MiB buffer — a host-speed
+    canary. The r10 round proved cross-night wall-clock comparisons
+    are host-regime-bound (the same commit measured 85 s one night and
+    108 s the next; load average alone did not predict it). This loop
+    is deterministic, allocation-free after the first MiB, and pinned
+    to one core, so its wall time moves ONLY with the host's effective
+    single-thread speed: to compare two rounds' headline values,
+    divide each by its run's `calib_s` first (README §bench)."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    h = hashlib.md5()
+    t0 = time.perf_counter()
+    for _ in range(n_mb):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _force(df) -> int:
     """Execute the full plan without collecting results: xxhash every
     column into one aggregated value (prevents column pruning of the
@@ -154,6 +183,7 @@ def main() -> None:
     # and after so a contended run is visible IN the bench line.
     n_cpus = os.cpu_count() or 1
     load_before = round(os.getloadavg()[0], 2)
+    calib_s = _calibrate_host()
     spark = get_spark(app_name="bench")
 
     # Warm-up: run every headline query once at the SMALLEST scale
@@ -274,6 +304,10 @@ def main() -> None:
         "sf": sf,
         "load_before": load_before,
         "load_after": load_after,
+        # host-speed canary: wall seconds for a fixed single-threaded
+        # md5 loop, measured before the JVM starts. Normalize headline
+        # values by this before comparing across rounds/hosts.
+        "calib_s": calib_s,
         # our own local[N] workers saturate ~n_cpus while running; a
         # PRE-existing load near or above the core count means the
         # numbers were taken on a contended host and round-over-round
@@ -287,6 +321,11 @@ def main() -> None:
         "complete": not failures,
         "value": total,
     }
+    if sf is None:
+        # ADVICE r10: custom-named SF dirs time the FA e2e rows at the
+        # substituted default size — record it so the row is honest
+        out["fa_e2e_assumed_sf"] = 0.1
+        out["fa_e2e_n_props"] = _fa_n_props(None)
     if failures:
         out["failures"] = {k: v[:120] for k, v in failures.items()}
     print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
@@ -417,8 +456,9 @@ def _fa_pipeline_e2e(spark, sf: float, **pipeline_kwargs) -> float:
     # sf is None for custom-named SF dirs (main() records sf: null
     # rather than crashing); the FA pipeline generates its OWN inputs,
     # so size it at the sf0.1 default instead of TypeError-ing both
-    # e2e rows into failures (r10 review, sixth pass)
-    n_props = max(2_000, int(200_000 * (sf if sf is not None else 0.1)))
+    # e2e rows into failures (r10 review, sixth pass) — the headline
+    # records the substitution (fa_e2e_assumed_sf / fa_e2e_n_props)
+    n_props = _fa_n_props(sf)
     work = tempfile.mkdtemp(prefix="fa_bench_")
     try:
         generate(work, n_props)

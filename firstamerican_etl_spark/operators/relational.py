@@ -136,6 +136,14 @@ def snapshot_diff(
         raise ValueError(f"snapshot_diff: columns absent from a side: {missing}")
     if "_present" in list(key) + list(compare):
         raise ValueError("snapshot_diff: '_present' is reserved")
+    # a column in both key and compare would be selected twice per side
+    # below and surface as an ambiguous-column AnalysisException deep in
+    # the plan; likewise a duplicate within either list (ADVICE r10)
+    overlap = sorted(set(key) & set(compare))
+    if overlap:
+        raise ValueError(f"snapshot_diff: columns in both key and compare: {overlap}")
+    if len(set(key)) != len(key) or len(set(compare)) != len(compare):
+        raise ValueError("snapshot_diff: duplicate names in key or compare")
     # explicit presence markers: inferring presence from the key being
     # non-null misclassifies a side's rows that CARRY a null key (null
     # keys never join, so such an old row is "removed", not "added" —

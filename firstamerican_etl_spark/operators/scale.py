@@ -137,21 +137,70 @@ def shared_stage(
             # respects the mkdir lease, so while mutating we hold THAT
             # too. flock serializes new-version writers, the mkdir
             # lease excludes old-version ones in BOTH directions (they
-            # block on ours; we block on theirs). The 60 s mtime steal
-            # survives here only against DEAD old-version holders — a
-            # transitional, old-protocol-compatible escape that goes
-            # away with the last pre-flock process.
+            # block on ours; we block on theirs).
+            #
+            # Stale-holder handling (ADVICE r11): we stamp our pid into
+            # the lease, so a NEW-version holder that died inside the
+            # critical section is detected by liveness probe and its
+            # lease retired immediately — no 60 s stall (its flock was
+            # already kernel-released; only the mkdir dir lingered). A
+            # lease WITHOUT a pid stamp is an old-protocol holder; only
+            # the legacy >60 s mtime rule applies to those. Either way
+            # the steal is an atomic RENAME to a unique trash name, not
+            # an in-place rmtree: two concurrent stealers both passing
+            # the staleness check race the rename, exactly one wins
+            # (the loser gets ENOENT and re-enters the loop), so a
+            # re-acquired fresh lease can never be destroyed by a
+            # descheduled stealer — the r10 TOCTOU is gone.
+            pid_stamp = os.path.join(legacy, "pid")
+
+            def _holder_state() -> str:
+                """'dead' / 'alive' (pid-stamped new-version holder) or
+                'unstamped' (old-protocol holder, or the instant before
+                the stamp lands — only these see the 60 s mtime rule)."""
+                try:
+                    pid = int(open(pid_stamp).read().strip() or 0)
+                except (OSError, ValueError):
+                    return "unstamped"
+                if pid <= 0:
+                    return "unstamped"
+                try:
+                    os.kill(pid, 0)
+                    return "alive"
+                except ProcessLookupError:
+                    return "dead"
+                except OSError:  # PermissionError: exists under other uid
+                    return "alive"
+
+            def _steal() -> None:
+                trash = f"{legacy}.steal-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(legacy, trash)  # atomic: one winner
+                except OSError:
+                    return  # released, or another stealer won — retry loop
+                shutil.rmtree(trash, ignore_errors=True)
+
             while True:
                 try:
                     os.mkdir(legacy)
+                    try:
+                        with open(pid_stamp, "w") as fh:
+                            fh.write(str(os.getpid()))
+                    except OSError:
+                        pass  # stamp is an optimization, not a correctness need
                     break
                 except FileExistsError:
-                    try:
-                        if time.time() - os.stat(legacy).st_mtime > 60:
-                            shutil.rmtree(legacy, ignore_errors=True)
-                            continue
-                    except OSError:
-                        continue  # released between the two calls
+                    state = _holder_state()
+                    if state == "dead":
+                        _steal()
+                        continue
+                    if state == "unstamped":
+                        try:
+                            if time.time() - os.stat(legacy).st_mtime > 60:
+                                _steal()
+                                continue
+                        except OSError:
+                            continue  # released between the two calls
                     time.sleep(0.02)
             try:
                 if not _complete(final):
@@ -161,6 +210,10 @@ def shared_stage(
                 # else: another writer committed while we built — adopt
                 # it; same key means same content by contract
             finally:
+                try:
+                    os.unlink(pid_stamp)
+                except OSError:
+                    pass
                 try:
                     os.rmdir(legacy)
                 except OSError:

@@ -102,11 +102,15 @@ def _asof_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- range join
 
+# Int literals to match the declared "lo BIGINT, hi BIGINT" DDL below:
+# float literals here passed locally only because Arrow silently cast
+# float64→int64, and failed on the driver's Arrow-off session (r10 red
+# row). local_df now coerces dtypes either way; keep these exact.
 _BANDS = [
-    ("tiny", 0.0, 10.0),
-    ("small", 10.0, 25.0),
-    ("medium", 25.0, 40.0),
-    ("large", 40.0, 1e9),
+    ("tiny", 0, 10),
+    ("small", 10, 25),
+    ("medium", 25, 40),
+    ("large", 40, 10**9),
 ]
 
 

@@ -63,20 +63,24 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r10 MASS ROTATION, second of the three planned sweeps (VERDICT r9
-    # #1). After r9's 43-first-timer sweep, 99 of 259 registry entries
-    # had never received an independent driver CORRECTNESS row. This
-    # round pins only FIVE veterans — the three FA anchors (the
-    # reference's own pipeline, re-proven every round), the TPC-H
-    # aggregation flagship, and the corpus e2e — and fills FORTY-FIVE
-    # slots with first-timers in the verdict's priority order: the
-    # §2-mapped extension proofs (union_by_name resolves the
-    # fa-etl.py:581-582 TODO), the source formats (ORC, mergeSchema),
-    # then the multimodal / graph / join / scale / analytics / dedup
-    # tails. Every rotated-out veteran keeps its full local oracle in
-    # tests/test_oracle.py; per-slot retirement rationale lives in git
-    # history (r9 tag). No `contrast` row is eligible, and every window
-    # row carries a full value oracle (test_registry_window pins both).
+    # r11 FINAL ROTATION, last of the three planned sweeps (VERDICT r10
+    # #2). After r10's 45-first-timer sweep the cumulative driver-proven
+    # count is 204/261 (recomputed from the CORRECTNESS_r*.json union —
+    # `python tools/driver_sim.py --ledger`); exactly 45 window-eligible
+    # queries (full value oracle, non-`contrast`) have never received an
+    # independent driver row. This window pins the same FIVE veterans —
+    # the three FA anchors (the reference's own pipeline, re-proven
+    # every round), the TPC-H aggregation flagship, and the corpus e2e —
+    # and fills all FORTY-FIVE remaining slots with the entire eligible
+    # backlog, including the r10 red-row retry
+    # (range_join_quantity_bands — float-vs-BIGINT local_df dtype
+    # mismatch, fixed in sources/io.py + extplans.py, regression-tested
+    # Arrow-off in tests/test_arrow_off.py) and the two r10 additions
+    # (drift_ks_two_sample, corpus_snapshot_diff). A green round leaves
+    # only the 12 structurally ineligible rows (10 rows-only sketches
+    # with driver-proven oracled twins + 2 `contrast` anchors)
+    # driver-unproven. Every rotated-out veteran keeps its full local
+    # oracle in tests/test_oracle.py.
     # ------------------------------------------------------------------
     # — pinned veterans (5) —
     "fa_ranked_deed",
@@ -84,67 +88,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_flagship_merged",
     "q1_pricing_summary",
     "corpus_clean_pipeline",
-    # — §2-mapped extension proofs (11) —
-    "union_by_name",
-    "grouping_sets_agg",
-    "exact_percentiles",
-    "pivot_status_by_year",
-    "unpivot_part_attrs",
-    "posexplode_tokens",
-    "window_range_frame",
-    "dedup_exact",
-    "text_normalize",
-    "asof_join_events_orders",
+    # — r10 red-row retry (1) —
     "range_join_quantity_bands",
-    # — source formats (3) —
-    "events_from_orc",
-    "orc_source_roundtrip",
-    "scan_merge_schema",
-    # — r9 web-corpus additions, driver-pending (2) —
-    "url_normalize_dedup",
-    "domain_registrable_profile",
-    # — never-proven streaming (2) —
-    "streaming_sliding_window",
-    "streaming_static_enrich",
-    # — multimodal tail (5) —
-    "multimodal_ppm_pixel_decode",
-    "multimodal_binaryfile_ingest",
-    "multimodal_resize_chain",
-    "multimodal_frame_sample",
-    "multimodal_featurize_knn",
-    # — graph / geo tail (4) —
-    "graph_triangle_count",
-    "graph_triangle_degree_50k",
-    "geo_haversine_knn",
-    "geo_morton_bucket",
-    # — join-family tail (5) —
-    "asof_join_forward",
-    "full_outer_reconcile",
-    "join_null_safe",
-    "merge_upsert_snapshot",
-    "scd2_value_intervals",
-    # — scale-operator tail (5) —
-    "global_row_index_scalable",
-    "global_running_sum_scalable",
-    "bucketed_join_colocated",
-    "salted_skew_agg",
-    "key_skew_report",
-    # — window / analytics tail (5) —
-    "histogram_width_bucket",
-    "ntile_price_quartiles",
-    "window_percent_rank",
-    "yoy_revenue_change",
-    "share_of_total_window",
-    # — dedup / similarity tail (3) —
-    # (dedup_embedding_cosine held this slot when r10 opened; the same
-    # round's probe-coverage closure measured it at 17.0x/decade —
-    # fixed-cardinality label blocking — and it was retagged
-    # `contrast`; the exact n-gram Jaccard pair anchor, never
-    # driver-seen and the lossless oracle the capped/prefix-filter
-    # variants verify against, takes the slot)
-    "ngram_jaccard_pairs",
-    "dedup_incremental_ingest",
-    "jaccard_prefix_filter_pairs",
+    # — r10 additions, driver-pending (2) —
+    "drift_ks_two_sample",
+    "corpus_snapshot_diff",
+    # — aggregation / stats tail (9) —
+    "agg_arg_extremes",
+    "agg_collect_set_sorted",
+    "modal_quantity_per_flag",
+    "stats_moments_stable",
+    "iqr_outlier_bounds",
+    "pearson_correlation_matrix",
+    "linreg_price_on_qty",
+    "table_profile",
+    "dq_constraint_report",
+    # — text / corpus tail (10) —
+    "bpe_pair_counts",
+    "ngram_shingles",
+    "repetition_dup_ngram_coverage",
+    "repetition_top_bigram",
+    "corpus_byte_histogram",
+    "quality_classifier_score",
+    "zipf_rank_frequency",
+    "chi2_lang_source",
+    "doc_chunk_windows",
+    "udtf_tokenize_lateral",
+    # — training-prep tail (6) —
+    "train_split_assign",
+    "sample_stratified_hash",
+    "token_budget_sample",
+    "length_bucket_batching",
+    "hard_negative_mining",
+    "retrieval_eval_ndcg",
+    # — embedding tail (3) —
+    "embedding_centroid_per_label",
+    "embedding_quantize_int8",
+    "int8_recon_fidelity",
+    # — time-series / sessionization tail (8) —
+    "rolling_7d_active_users",
+    "gap_fill_forward",
+    "gap_fill_interpolate",
+    "ewma_truncated_k8",
+    "funnel_stage_conversion",
+    "cohort_retention_matrix",
+    "markov_event_transitions",
+    "event_mix_gini_by_weekday",
+    # — functions / arrays tail (4) —
+    "array_higher_order",
+    "map_event_type_counts",
+    "regexp_extract_numbers",
+    "levenshtein_similar_parts",
+    # — misc analytics tail (2) —
+    "basket_cooccurrence_pairs",
+    "inverted_index_postings",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement

@@ -561,7 +561,20 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     zero-copy batch, ~0.15 s, identical LocalTableScan plan.
 
     ``schema`` is a DDL string ("a INT, b ARRAY<DOUBLE>") or a
-    StructType; rows are tuples/lists in schema field order."""
+    StructType; rows are tuples/lists in schema field order.
+
+    The pandas frame is coerced to the DECLARED field dtypes before
+    handing it to Spark, so the resulting plan does not depend on
+    Arrow being enabled in the session. With Arrow on,
+    ``createDataFrame(pdf, schema)`` silently casts float64→int64;
+    the pickle fallback (``spark.sql.execution.arrow.pyspark.enabled
+    =false`` — the driver harness's session) verifies each value
+    strictly against the schema and rejects ``0.0`` for LongType.
+    Coercing here makes both paths see the same dtypes (the r10
+    ``range_join_quantity_bands`` driver failure class). Lossy casts
+    (non-integral floats headed for an integer field, or nullable
+    numeric columns) are left alone so genuine mismatches still
+    surface as errors rather than silent truncation."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -570,4 +583,23 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], st)
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=st.names)
+    np_by_spark = {
+        "byte": "int8", "short": "int16", "integer": "int32",
+        "long": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool",
+    }
+    for f in st.fields:
+        np_t = np_by_spark.get(f.dataType.typeName())
+        if np_t is None or str(pdf[f.name].dtype) == np_t:
+            continue
+        col = pdf[f.name]
+        if col.isna().any():
+            continue
+        try:
+            cast = col.astype(np_t)
+        except (ValueError, TypeError):
+            continue
+        if np_t.startswith("int") and not (cast == col).all():
+            continue
+        pdf[f.name] = cast
     return spark.createDataFrame(pdf, st)

@@ -39,3 +39,55 @@ def test_totals_line_matches_registry():
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
         n_total, n_sql, n_total - n_sql
     ), f"COVERAGE.md totals stale: doc says {m.groups()}, registry has ({n_total}, {n_sql}, {n_total - n_sql})"
+
+
+def test_driver_proof_ledger_matches_artifacts():
+    """COVERAGE.md's driver-proof ledger numbers and name lists must be
+    reproducible from the committed CORRECTNESS_r*.json artifacts via
+    tools/driver_sim.py --ledger — the r10 verdict caught the
+    hand-maintained counts drifting (claimed 164/209, actual 160/204),
+    so the prose is now pinned to the computation."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.driver_sim import proven_ledger
+
+    led = proven_ledger()
+    text = open("COVERAGE.md").read()
+    n_proven, n_total = len(led["proven"]), led["registry_total"]
+    n_elig = len(led["eligible_never_proven"])
+    n_inelig = len(led["ineligible_never_proven"])
+    n_never = n_elig + n_inelig
+    assert n_proven + n_never == n_total
+    assert f"**{n_proven} of {n_total} through r10**" in text, (
+        f"ledger headline stale: artifacts say {n_proven}/{n_total}"
+    )
+    assert f"Remaining {n_never} never-driver-proven entries" in text
+    assert f"**{n_elig} window-eligible**" in text
+    assert f"**{n_inelig} window-ineligible by design**" in text
+    # every never-proven name must be listed in the ledger section,
+    # and no proven name may appear in its lists
+    ledger_sec = text.split("## Driver-proof ledger", 1)[1]
+    for n in led["eligible_never_proven"]:
+        assert f"`{n}`" in ledger_sec, f"eligible {n} missing from ledger"
+    for n, _why in led["ineligible_never_proven"]:
+        assert f"`{n}`" in ledger_sec, f"ineligible {n} missing from ledger"
+
+
+def test_r11_window_closes_eligible_backlog():
+    """The r11 rotation plan: every window-eligible never-proven query
+    occupies a DRIVER_WINDOW slot (the final sweep — a green round
+    leaves only the 12 structurally ineligible rows unproven)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW
+    from tools.driver_sim import proven_ledger
+
+    led = proven_ledger()
+    not_in_window = [
+        n for n in led["eligible_never_proven"] if n not in DRIVER_WINDOW
+    ]
+    assert not_in_window == [], (
+        f"eligible never-proven queries outside the window: {not_in_window}"
+    )

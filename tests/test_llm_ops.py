@@ -412,6 +412,12 @@ def test_snapshot_diff_explicit_compare_and_errors(spark):
         snapshot_diff(old, new, key=[])
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, key=["id"], compare=["absent"])
+    # key/compare overlap must be a clear ValueError, not a deferred
+    # ambiguous-column AnalysisException (ADVICE r10)
+    with _pytest.raises(ValueError, match="both key and compare"):
+        snapshot_diff(old, new, key=["id"], compare=["id", "n"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        snapshot_diff(old, new, key=["id"], compare=["n", "n"])
 
 
 def test_snapshot_diff_null_keys_never_match(spark):

@@ -277,6 +277,76 @@ def test_flock_blocks_until_holder_death_releases():
                 p.wait(timeout=10)
 
 
+def test_dead_stamped_lease_steals_immediately():
+    """ADVICE r11: a NEW-version writer killed inside the critical
+    section leaves a fresh-mtime legacy dir; its flock is already
+    kernel-released, so only the mkdir lease lingers. With the pid
+    stamp the next writer detects the dead holder by liveness probe
+    and retires the lease at once — no 60 s mtime stall (the stall is
+    the behavior under test: communicate(timeout=30) would expire if
+    the writer sat out the old mtime window)."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)  # fresh mtime — the old rule would wait 60s
+    # a pid that has definitely exited
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait(timeout=30)
+    open(os.path.join(legacy, "pid"), "w").write(str(dead.pid))
+
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        out, err = waiter.communicate(timeout=30)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+        assert not os.path.isdir(legacy)
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
+
+
+def test_stale_mtime_alive_stamped_holder_blocks():
+    """The dual guarantee: a pid-stamped lease whose holder is ALIVE
+    is never mtime-stolen, even >60 s old — the mtime rule applies
+    only to unstamped (old-protocol) leases. Stamp the lease with OUR
+    pid, age it past the window, and require the writer to park until
+    release."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))
+    stale = time.time() - 120
+    os.utime(legacy, (stale, stale))
+
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        time.sleep(5)  # waiter built its tmp and is parked on the lease
+        assert waiter.poll() is None, "writer stole a live stamped lease"
+        os.unlink(os.path.join(legacy, "pid"))
+        os.rmdir(legacy)  # the holder releases
+        out, err = waiter.communicate(timeout=60)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
+
+
 def test_live_legacy_mkdir_lease_blocks_new_writers():
     """Mixed-version overlap (r10 eighth review): an old-protocol
     process started before a code update holds the mkdir lease; a
