@@ -99,6 +99,20 @@ def get_spark(
         # a write-once process constant, never toggled mid-flight
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Dynamic-partition writes (the FIPS-partitioned staging, the
+        # corpus split/lang sinks) default to sorting every task's rows
+        # by partition value before writing — a full UnsafeExternalSorter
+        # materialization with spill risk, paid even when a task only
+        # ever sees ONE partition value (our staging shape: county files
+        # are per-county, so each input split carries a single FIPS).
+        # With up to N concurrent open writers per task Spark skips that
+        # sort entirely and falls back to sorting only the residue after
+        # N distinct values — same semantics, no up-front sort. 4 is
+        # deliberately small: each open parquet writer buffers pages up
+        # to a row group, so this bounds write memory at 4 buffers/task
+        # while covering every per-entity-file layout (measured at 2M
+        # props: removes the staging sort, ~5% off the staged write).
+        .config("spark.sql.maxConcurrentOutputFileWriters", "4")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # target (one task per row-group-ish split); leave it alone.
