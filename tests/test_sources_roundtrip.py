@@ -492,3 +492,25 @@ def test_compact_parquet_dir_merges_appended_schema(spark, tmp_path):
     assert "extra" in back.columns  # the appended column SURVIVES
     assert back.count() == 20
     assert back.filter("extra IS NOT NULL").count() == 10
+
+
+def test_partitioned_write_exceeding_concurrent_writer_cap(spark, tmp_path):
+    """The session factory sets maxConcurrentOutputFileWriters=4
+    (skip the dynamic-partition sort for our one-county-per-split
+    staging shape). Semantics must be unchanged on the OTHER side of
+    the cap: a single task seeing many more distinct partition values
+    than 4 takes the residue-sort fallback mid-write. 20 partition
+    values through 1 input partition: every row must land in its
+    partition dir, exactly once."""
+    from firstamerican_etl_spark.sources.io import write_parquet
+
+    assert spark.conf.get("spark.sql.maxConcurrentOutputFileWriters") == "4"
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 20 AS STRING) AS part"
+    ).coalesce(1)
+    out = str(tmp_path / "many_parts")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("part").distinct().count() == 20
+    assert back.groupBy("id").count().filter("count > 1").count() == 0
