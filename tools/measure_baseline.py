@@ -291,6 +291,13 @@ def main(argv=None) -> list[dict]:
                    default="fips",
                    help="staging strategy for the Spark side (fips = the "
                         "bench's fa_pipeline_e2e default)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="complete fresh setup+run samples per SIDE; the "
+                        "recorded wall is the min, applied to BOTH "
+                        "engines symmetrically (the shared host serves "
+                        "multi-second bursts of contention — bench.py's "
+                        "min-of-2 discipline; every sample's wall is "
+                        "also recorded under *_sec_samples)")
     a = p.parse_args(argv)
 
     try:
@@ -327,17 +334,22 @@ def main(argv=None) -> list[dict]:
         scale = {"n_props": n_props, "baseline_engine": baseline_engine,
                  "spark_variant": a.spark_variant}
         for side, fn in (("baseline", baseline_fn), ("spark", None)):
-            work = tempfile.mkdtemp(prefix=f"fa_base_{side}_")
-            try:
-                generate(work, n_props)
-                t0 = time.perf_counter()
-                out = (fn(work) if fn is not None
-                       else run_spark_pipeline(spark, work, **spark_kwargs))
-                scale[f"{side}_sec"] = round(time.perf_counter() - t0, 3)
-                scale[f"{side}_rows"] = out["rows"]
-                scale[f"{side}_sale_sum"] = out["sale_amt_sum"]
-            finally:
-                shutil.rmtree(work, ignore_errors=True)
+            samples = []
+            for _ in range(max(1, a.repeats)):
+                work = tempfile.mkdtemp(prefix=f"fa_base_{side}_")
+                try:
+                    generate(work, n_props)
+                    t0 = time.perf_counter()
+                    out = (fn(work) if fn is not None
+                           else run_spark_pipeline(spark, work, **spark_kwargs))
+                    samples.append(round(time.perf_counter() - t0, 3))
+                    scale[f"{side}_rows"] = out["rows"]
+                    scale[f"{side}_sale_sum"] = out["sale_amt_sum"]
+                finally:
+                    shutil.rmtree(work, ignore_errors=True)
+            scale[f"{side}_sec"] = min(samples)
+            if len(samples) > 1:
+                scale[f"{side}_sec_samples"] = samples
         scale["rows_match"] = scale["baseline_rows"] == scale["spark_rows"]
         scale["sale_sum_match"] = (
             scale["baseline_sale_sum"] == scale["spark_sale_sum"]
