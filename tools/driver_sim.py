@@ -3,9 +3,10 @@ every queries()[name] against oracle_sql()[name] via DuckDB at sf0.01
 (row-count + sorted schema + md5 of sorted row reprs).
 
 Runs the comparison TWICE: once under the repo session (ANSI off, UTC,
-Arrow on — what bench/pytest use) and once under ANSI-on (the Spark 4
-default and therefore what the round driver's default-config session
-runs). The second pass exists because of r03: ``dedup_minhash_lsh``
+Arrow on — what bench/pytest use) and once under ANSI-on + Arrow-off (the
+round driver's observed session config: Spark 4 defaults ANSI to ON,
+and the r10 red row proved its createDataFrame takes the strict
+pickle path, i.e. Arrow disabled). The second pass exists because of r03: ``dedup_minhash_lsh``
 relied on silent int64 wraparound, green under the repo session and an
 ARITHMETIC_OVERFLOW crash in the driver. ANSI is a runtime SQL conf,
 so one JVM serves both passes.
@@ -226,8 +227,17 @@ def main():
 
         reset_staging()
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        bad += run_pass(spark, con, qs, oracles, "ansi-on")
+        # ...and with Arrow OFF: the real driver's session takes the
+        # strict pickle path for createDataFrame (proven by the r10
+        # range_join red row — `LongType() can not accept object 0.0`
+        # comes from _createFromLocal's verifier, which Arrow's silent
+        # dtype cast bypasses). Running the parity pass under
+        # ANSI-on + Arrow-off makes the sim's second pass match the
+        # driver's observed config on both axes at zero extra cost.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        bad += run_pass(spark, con, qs, oracles, "ansi-on+arrow-off")
         spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     spark.stop()
     sys.exit(1 if bad else 0)
