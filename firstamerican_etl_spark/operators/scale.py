@@ -139,38 +139,37 @@ def shared_stage(
             # lease excludes old-version ones in BOTH directions (they
             # block on ours; we block on theirs).
             #
-            # Stale-holder handling (ADVICE r11): we stamp our pid into
-            # the lease, so a NEW-version holder that died inside the
-            # critical section is detected by liveness probe and its
-            # lease retired immediately — no 60 s stall (its flock was
-            # already kernel-released; only the mkdir dir lingered). A
-            # lease WITHOUT a pid stamp is an old-protocol holder; only
-            # the legacy >60 s mtime rule applies to those. Either way
-            # the steal is an atomic RENAME to a unique trash name, not
-            # an in-place rmtree: two concurrent stealers both passing
-            # the staleness check race the rename, exactly one wins
-            # (the loser gets ENOENT and re-enters the loop), so a
-            # re-acquired fresh lease can never be destroyed by a
-            # descheduled stealer — the r10 TOCTOU is gone.
+            # Stale-holder handling (ADVICE r11 + r11 review): we stamp
+            # a marker file into every lease we create. The load-bearing
+            # invariant is WHO can hold a stamped lease: only
+            # new-version writers stamp, and a new-version writer only
+            # ever creates the legacy dir while holding the flock WE now
+            # hold — so any stamped lease we observe from inside the
+            # flock critical section is debris from a holder that died
+            # mid-section (the kernel released its flock without running
+            # its finally). It is retired immediately: no liveness
+            # probe, so pid reuse or an unreaped zombie can never spoof
+            # 'alive' and deadlock the key (the r11 review's finding
+            # against the earlier os.kill(pid,0) probe); the pid value
+            # in the stamp is diagnostics only. A lease WITHOUT the
+            # stamp is an old-protocol holder (or a new-version writer
+            # killed in the instant before its stamp landed) — only the
+            # legacy >60 s mtime rule applies, preserving guaranteed
+            # progress.
+            #
+            # Steals are an atomic RENAME to a unique trash name, not an
+            # in-place rmtree: two concurrent NEW-version stealers both
+            # passing the check race the rename and exactly one wins
+            # (the loser gets ENOENT and re-enters the loop), so
+            # new-version writers can never double-admit. One window
+            # remains, inherent to the mkdir protocol and transitional
+            # by construction: a concurrent OLD-protocol process that
+            # mtime-steals and re-acquires between our probe and our
+            # rename would lose its fresh lease to the rename. That
+            # requires a live pre-flock-version process racing this
+            # exact key; it disappears with the last such process, as
+            # documented for the whole legacy path.
             pid_stamp = os.path.join(legacy, "pid")
-
-            def _holder_state() -> str:
-                """'dead' / 'alive' (pid-stamped new-version holder) or
-                'unstamped' (old-protocol holder, or the instant before
-                the stamp lands — only these see the 60 s mtime rule)."""
-                try:
-                    pid = int(open(pid_stamp).read().strip() or 0)
-                except (OSError, ValueError):
-                    return "unstamped"
-                if pid <= 0:
-                    return "unstamped"
-                try:
-                    os.kill(pid, 0)
-                    return "alive"
-                except ProcessLookupError:
-                    return "dead"
-                except OSError:  # PermissionError: exists under other uid
-                    return "alive"
 
             def _steal() -> None:
                 trash = f"{legacy}.steal-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -190,17 +189,17 @@ def shared_stage(
                         pass  # stamp is an optimization, not a correctness need
                     break
                 except FileExistsError:
-                    state = _holder_state()
-                    if state == "dead":
+                    if os.path.exists(pid_stamp):
+                        # stamped ⇒ created under the flock we now hold
+                        # ⇒ its writer is dead; retire immediately
                         _steal()
                         continue
-                    if state == "unstamped":
-                        try:
-                            if time.time() - os.stat(legacy).st_mtime > 60:
-                                _steal()
-                                continue
-                        except OSError:
-                            continue  # released between the two calls
+                    try:
+                        if time.time() - os.stat(legacy).st_mtime > 60:
+                            _steal()
+                            continue
+                    except OSError:
+                        continue  # released between the two calls
                     time.sleep(0.02)
             try:
                 if not _complete(final):

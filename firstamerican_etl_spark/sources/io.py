@@ -601,5 +601,10 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             continue
         if np_t.startswith("int") and not (cast == col).all():
             continue
+        # bool: astype('bool') maps ANY non-zero to True — only accept
+        # values that are already exact booleans (0/1/True/False), so a
+        # genuine type error still surfaces instead of becoming data
+        if np_t == "bool" and not col.isin([0, 1, True, False]).all():
+            continue
         pdf[f.name] = cast
     return spark.createDataFrame(pdf, st)

@@ -28,45 +28,68 @@ _ARROW_CONF = "spark.sql.execution.arrow.pyspark.enabled"
 
 def _local_df_users() -> set[str]:
     """Names of registered queries whose plan function — or any
-    module-level function its source mentions, to a fixpoint —
-    contains a ``local_df`` call."""
+    package function/method its source mentions, to a fixpoint —
+    contains a ``local_df`` call. The closure walks EVERY loaded
+    ``firstamerican_etl_spark`` module, not just the plan modules: the
+    r11 review found queries reaching local_df through operators/ and
+    pipeline/ helpers (connected-components' driver union-find, the
+    corpus boilerplate stage) that a plans-only scan missed."""
+    import importlib
+    import pkgutil
+
+    import firstamerican_etl_spark as pkg
+
     reg = load_all()
-    modules = {inspect.getmodule(spec.spark) for spec in reg.values()}
-    # seed: module-level callables whose source mentions local_df
-    users: set[str] = set()
-    funcs: dict[str, str] = {}  # qualified name -> source
+    # import every submodule (many helpers are imported lazily inside
+    # function bodies, so sys.modules alone misses them)
+    modules = set()
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        try:
+            modules.add(importlib.import_module(info.name))
+        except Exception:
+            continue  # optional-dependency module: not on any query path
+
+    def _referenced_names(fn) -> set[str]:
+        """Global names a function's code (incl. nested code objects:
+        lambdas, comprehensions, inner defs) references — exact, from
+        co_names/co_freevars, no source-text substring noise."""
+        names: set[str] = set()
+        stack = [fn.__code__]
+        while stack:
+            code = stack.pop()
+            names.update(code.co_names)
+            names.update(code.co_freevars)
+            stack.extend(c for c in code.co_consts if hasattr(c, "co_names"))
+        return names
+
+    refs: dict[str, set[str]] = {}  # short fn name -> referenced names
     for mod in modules:
-        if mod is None:
-            continue
         for name, obj in vars(mod).items():
-            if callable(obj) and inspect.getmodule(obj) is mod:
-                try:
-                    src = inspect.getsource(obj)
-                except (OSError, TypeError):
-                    continue
-                key = f"{mod.__name__}.{name}"
-                funcs[key] = src
-                if "local_df" in src:
-                    users.add(key)
-    # fixpoint: a function whose source names a known user is a user
+            if inspect.isfunction(obj) and getattr(obj, "__module__", "").startswith(
+                "firstamerican_etl_spark"
+            ):
+                refs.setdefault(name, set()).update(_referenced_names(obj))
+            elif inspect.isclass(obj) and getattr(obj, "__module__", "").startswith(
+                "firstamerican_etl_spark"
+            ):
+                for mname, meth in vars(obj).items():
+                    if inspect.isfunction(meth):
+                        refs.setdefault(f"{name}.{mname}", set()).update(
+                            _referenced_names(meth)
+                        )
+    # fixpoint over short names: a callable referencing a known user
+    # (or local_df itself) is a user
+    users: set[str] = {"local_df"}
     changed = True
     while changed:
         changed = False
-        short = {u.rsplit(".", 1)[1] for u in users}
-        for key, src in funcs.items():
-            if key in users:
+        for name, rf in refs.items():
+            if name in users:
                 continue
-            if any(s in src for s in short):
-                users.add(key)
+            if rf & users or any(u.split(".", 1)[0] in rf for u in users):
+                users.add(name)
                 changed = True
-    short = {u.rsplit(".", 1)[1] for u in users}
-    out = set()
-    for name, spec in reg.items():
-        mod = inspect.getmodule(spec.spark)
-        key = f"{mod.__name__}.{spec.spark.__name__}" if mod else ""
-        if key in users or spec.spark.__name__ in short:
-            out.add(name)
-    return out
+    return {name for name, spec in reg.items() if spec.spark.__name__ in users}
 
 
 # Run the full closure, not just the DRIVER_WINDOW slice — rotated-out

@@ -58,9 +58,14 @@ def test_driver_proof_ledger_matches_artifacts():
     n_elig = len(led["eligible_never_proven"])
     n_inelig = len(led["ineligible_never_proven"])
     n_never = n_elig + n_inelig
+    latest = max(led["proven"].values())  # newest CORRECTNESS round
     assert n_proven + n_never == n_total
-    assert f"**{n_proven} of {n_total} through r10**" in text, (
-        f"ledger headline stale: artifacts say {n_proven}/{n_total}"
+    # the round label is derived from the artifacts, so when the next
+    # CORRECTNESS_r*.json lands this assertion states exactly what the
+    # doc must say rather than failing on a hardcoded literal
+    assert f"**{n_proven} of {n_total} through r{latest}**" in text, (
+        f"ledger headline stale: artifacts say {n_proven}/{n_total} "
+        f"through r{latest}"
     )
     assert f"Remaining {n_never} never-driver-proven entries" in text
     assert f"**{n_elig} window-eligible**" in text

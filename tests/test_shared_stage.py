@@ -280,11 +280,12 @@ def test_flock_blocks_until_holder_death_releases():
 def test_dead_stamped_lease_steals_immediately():
     """ADVICE r11: a NEW-version writer killed inside the critical
     section leaves a fresh-mtime legacy dir; its flock is already
-    kernel-released, so only the mkdir lease lingers. With the pid
-    stamp the next writer detects the dead holder by liveness probe
-    and retires the lease at once — no 60 s mtime stall (the stall is
-    the behavior under test: communicate(timeout=30) would expire if
-    the writer sat out the old mtime window)."""
+    kernel-released, so only the mkdir lease lingers. The stamp marks
+    it as flock-protocol debris (a live stamped holder would be
+    holding the flock the observer holds), so the next writer retires
+    it at once — no 60 s mtime stall (the stall is the behavior under
+    test: communicate(timeout=30) would expire if the writer sat out
+    the old mtime window)."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
@@ -312,19 +313,22 @@ def test_dead_stamped_lease_steals_immediately():
             waiter.wait(timeout=10)
 
 
-def test_stale_mtime_alive_stamped_holder_blocks():
-    """The dual guarantee: a pid-stamped lease whose holder is ALIVE
-    is never mtime-stolen, even >60 s old — the mtime rule applies
-    only to unstamped (old-protocol) leases. Stamp the lease with OUR
-    pid, age it past the window, and require the writer to park until
-    release."""
+def test_stamped_lease_with_live_pid_cannot_deadlock():
+    """r11 review: an os.kill(pid,0) liveness probe would deadlock the
+    key forever if the dead holder's pid were RECYCLED by an unrelated
+    live process (or lingered as a zombie) — 'alive' would spin with no
+    mtime fallback. The protocol therefore does not probe at all: a
+    stamped lease observed from inside the flock critical section can
+    only be debris (live new-version holders hold the flock the
+    observer now holds), so it is retired immediately. Fabricate the
+    worst case — a stamped lease whose pid IS a live process (ours),
+    fresh mtime — and require the writer to steal it and finish
+    promptly rather than hang."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
-    os.makedirs(legacy)
-    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))
-    stale = time.time() - 120
-    os.utime(legacy, (stale, stale))
+    os.makedirs(legacy)  # fresh mtime: the mtime rule alone would stall
+    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # "alive"
 
     waiter = subprocess.Popen(
         [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
@@ -333,14 +337,11 @@ def test_stale_mtime_alive_stamped_holder_blocks():
         text=True,
     )
     try:
-        time.sleep(5)  # waiter built its tmp and is parked on the lease
-        assert waiter.poll() is None, "writer stole a live stamped lease"
-        os.unlink(os.path.join(legacy, "pid"))
-        os.rmdir(legacy)  # the holder releases
-        out, err = waiter.communicate(timeout=60)
+        out, err = waiter.communicate(timeout=30)
         assert waiter.returncode == 0, err
         assert out.strip() == final
         assert os.path.exists(os.path.join(final, "_SUCCESS"))
+        assert not os.path.isdir(legacy)
     finally:
         if waiter.poll() is None:
             waiter.kill()

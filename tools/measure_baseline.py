@@ -334,7 +334,7 @@ def main(argv=None) -> list[dict]:
         scale = {"n_props": n_props, "baseline_engine": baseline_engine,
                  "spark_variant": a.spark_variant}
         for side, fn in (("baseline", baseline_fn), ("spark", None)):
-            samples = []
+            samples, outs = [], []
             for _ in range(max(1, a.repeats)):
                 work = tempfile.mkdtemp(prefix=f"fa_base_{side}_")
                 try:
@@ -343,10 +343,19 @@ def main(argv=None) -> list[dict]:
                     out = (fn(work) if fn is not None
                            else run_spark_pipeline(spark, work, **spark_kwargs))
                     samples.append(round(time.perf_counter() - t0, 3))
-                    scale[f"{side}_rows"] = out["rows"]
-                    scale[f"{side}_sale_sum"] = out["sale_amt_sum"]
+                    outs.append(out)
                 finally:
                     shutil.rmtree(work, ignore_errors=True)
+            # EVERY sample's output must agree, not just the last one —
+            # otherwise the min could come from a run whose result was
+            # never parity-checked. Deterministic inputs ⇒ identical
+            # outputs; a divergent sample is a real bug, fail loudly.
+            if any(o != outs[0] for o in outs[1:]):
+                raise AssertionError(
+                    f"{side} samples disagree at {n_props}: {outs}"
+                )
+            scale[f"{side}_rows"] = outs[0]["rows"]
+            scale[f"{side}_sale_sum"] = outs[0]["sale_amt_sum"]
             scale[f"{side}_sec"] = min(samples)
             if len(samples) > 1:
                 scale[f"{side}_sec_samples"] = samples
