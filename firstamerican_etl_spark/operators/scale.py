@@ -139,37 +139,53 @@ def shared_stage(
             # lease excludes old-version ones in BOTH directions (they
             # block on ours; we block on theirs).
             #
-            # Stale-holder handling (ADVICE r11 + r11 review): we stamp
-            # a marker file into every lease we create. The load-bearing
-            # invariant is WHO can hold a stamped lease: only
-            # new-version writers stamp, and a new-version writer only
-            # ever creates the legacy dir while holding the flock WE now
-            # hold — so any stamped lease we observe from inside the
-            # flock critical section is debris from a holder that died
-            # mid-section (the kernel released its flock without running
-            # its finally). It is retired immediately: no liveness
-            # probe, so pid reuse or an unreaped zombie can never spoof
-            # 'alive' and deadlock the key (the r11 review's finding
-            # against the earlier os.kill(pid,0) probe); the pid value
-            # in the stamp is diagnostics only. A lease WITHOUT the
-            # stamp is an old-protocol holder (or a new-version writer
-            # killed in the instant before its stamp landed) — only the
-            # legacy >60 s mtime rule applies, preserving guaranteed
-            # progress.
+            # Stale-holder handling (ADVICE r11, refined by two r11
+            # review passes): we stamp our pid into every lease we
+            # create. A stamped lease whose pid is DEAD is retired
+            # immediately — no 60 s stall after a writer is killed
+            # inside the critical section (normally any stamped lease
+            # observed from inside the flock section is debris, since a
+            # live new-version holder would be holding the flock we now
+            # hold; the probe is the belt to that suspender). EVERY
+            # other state — stamped-but-alive (pid reuse or a zombie
+            # spoofing liveness, or a real holder after lock-file loss),
+            # unstamped (old-protocol holder, or a writer killed the
+            # instant before its stamp landed) — falls through to the
+            # legacy >60 s mtime rule, never an exemption: progress is
+            # guaranteed within a minute no matter how the probe lies
+            # (the first review's deadlock finding against an
+            # alive-waits-forever design), and if the zero-byte .flock
+            # file is ever unlinked mid-hold (tmp cleaner), a live
+            # holder's lease is WAITED on for its microsecond critical
+            # section instead of stolen instantly (the second review's
+            # corruption finding against an always-steal design).
             #
             # Steals are an atomic RENAME to a unique trash name, not an
-            # in-place rmtree: two concurrent NEW-version stealers both
-            # passing the check race the rename and exactly one wins
-            # (the loser gets ENOENT and re-enters the loop), so
-            # new-version writers can never double-admit. One window
-            # remains, inherent to the mkdir protocol and transitional
-            # by construction: a concurrent OLD-protocol process that
-            # mtime-steals and re-acquires between our probe and our
-            # rename would lose its fresh lease to the rename. That
-            # requires a live pre-flock-version process racing this
-            # exact key; it disappears with the last such process, as
-            # documented for the whole legacy path.
+            # in-place rmtree: concurrent NEW-version stealers race the
+            # rename and exactly one wins (the loser gets ENOENT and
+            # re-enters the loop), so new-version writers never
+            # double-admit. One window remains, inherent to the mkdir
+            # protocol and transitional by construction: a concurrent
+            # OLD-protocol process that mtime-steals and re-acquires
+            # between our probe and our rename would lose its fresh
+            # lease to the rename; it disappears with the last
+            # pre-flock process, as documented for the legacy path.
             pid_stamp = os.path.join(legacy, "pid")
+
+            def _stamped_holder_dead() -> bool:
+                try:
+                    pid = int(open(pid_stamp).read().strip() or 0)
+                except (OSError, ValueError):
+                    return False  # unstamped/unreadable: mtime rule
+                if pid <= 0:
+                    return False
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    return True  # definitely gone: steal immediately
+                except OSError:
+                    pass  # exists under another uid etc.: mtime rule
+                return False
 
             def _steal() -> None:
                 trash = f"{legacy}.steal-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -189,9 +205,7 @@ def shared_stage(
                         pass  # stamp is an optimization, not a correctness need
                     break
                 except FileExistsError:
-                    if os.path.exists(pid_stamp):
-                        # stamped ⇒ created under the flock we now hold
-                        # ⇒ its writer is dead; retire immediately
+                    if _stamped_holder_dead():
                         _steal()
                         continue
                     try:

@@ -46,8 +46,13 @@ def _local_df_users() -> set[str]:
     for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
         try:
             modules.add(importlib.import_module(info.name))
-        except Exception:
+        except ImportError:
             continue  # optional-dependency module: not on any query path
+    # a silently-skipped CORE module would shrink the user set to
+    # nothing without signal — pin the helper modules the r11 review
+    # found reachable only through lazy imports
+    core = {f"{pkg.__name__}.operators.graph", f"{pkg.__name__}.pipeline.corpus_build"}
+    assert core <= {m.__name__ for m in modules}, "core modules failed to import"
 
     def _referenced_names(fn) -> set[str]:
         """Global names a function's code (incl. nested code objects:
@@ -86,23 +91,29 @@ def _local_df_users() -> set[str]:
         for name, rf in refs.items():
             if name in users:
                 continue
-            if rf & users or any(u.split(".", 1)[0] in rf for u in users):
+            # co_names holds single identifiers, so match each user's
+            # leading name ("Class.method" users match via "Class")
+            if any(u.split(".", 1)[0] in rf for u in users):
                 users.add(name)
                 changed = True
     return {name for name, spec in reg.items() if spec.spark.__name__ in users}
 
 
 # Run the full closure, not just the DRIVER_WINDOW slice — rotated-out
-# local_df users (geo kNN/PIP, PQ-ADC, kmeans) can rotate back in, and
-# the failure class is config-dependent, so local tests are the only
-# early warning. 7 queries at sf0.001 ≈ seconds.
+# local_df users (geo kNN/PIP, PQ-ADC, kmeans, the graph-components
+# family) can rotate back in, and the failure class is
+# config-dependent, so local tests are the only early warning.
+# ~9 queries at sf0.001 ≈ seconds.
 _USERS = _local_df_users()
 
 
 def test_detection_finds_the_r10_failure() -> None:
     # the query that actually failed on the driver must be in the set
-    # (guards the source-inspection heuristic itself)
+    # (guards the source-inspection heuristic itself), as must a query
+    # that only reaches local_df through a lazily-imported operators/
+    # helper (the r11 review's coverage-gap finding)
     assert "range_join_quantity_bands" in _USERS
+    assert "dedup_cluster_components" in _USERS
 
 
 @pytest.fixture()

@@ -58,7 +58,7 @@ def test_driver_proof_ledger_matches_artifacts():
     n_elig = len(led["eligible_never_proven"])
     n_inelig = len(led["ineligible_never_proven"])
     n_never = n_elig + n_inelig
-    latest = max(led["proven"].values())  # newest CORRECTNESS round
+    latest = led["latest_round"]  # newest ARTIFACT round, from filenames
     assert n_proven + n_never == n_total
     # the round label is derived from the artifacts, so when the next
     # CORRECTNESS_r*.json lands this assertion states exactly what the

@@ -314,21 +314,22 @@ def test_dead_stamped_lease_steals_immediately():
 
 
 def test_stamped_lease_with_live_pid_cannot_deadlock():
-    """r11 review: an os.kill(pid,0) liveness probe would deadlock the
-    key forever if the dead holder's pid were RECYCLED by an unrelated
-    live process (or lingered as a zombie) — 'alive' would spin with no
-    mtime fallback. The protocol therefore does not probe at all: a
-    stamped lease observed from inside the flock critical section can
-    only be debris (live new-version holders hold the flock the
-    observer now holds), so it is retired immediately. Fabricate the
-    worst case — a stamped lease whose pid IS a live process (ours),
-    fresh mtime — and require the writer to steal it and finish
-    promptly rather than hang."""
+    """r11 review: liveness alone must never be trusted to BLOCK
+    forever — a dead holder's pid can be RECYCLED by an unrelated
+    long-lived process (or linger as a zombie), spoofing 'alive'
+    indefinitely. The protocol therefore applies the >60 s mtime
+    fallback to every non-dead state rather than exempting
+    stamped-alive leases. Fabricate the worst case — a stamped lease
+    whose pid IS a live process (ours), aged past the mtime window —
+    and require the writer to steal it and finish promptly rather
+    than hang."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
-    os.makedirs(legacy)  # fresh mtime: the mtime rule alone would stall
+    os.makedirs(legacy)
     open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # "alive"
+    stale = time.time() - 120
+    os.utime(legacy, (stale, stale))  # aged past the 60s window
 
     waiter = subprocess.Popen(
         [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
@@ -342,6 +343,40 @@ def test_stamped_lease_with_live_pid_cannot_deadlock():
         assert out.strip() == final
         assert os.path.exists(os.path.join(final, "_SUCCESS"))
         assert not os.path.isdir(legacy)
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
+
+
+def test_fresh_stamped_live_lease_blocks_until_release():
+    """The flip side (second r11 review pass): if the zero-byte .flock
+    file is ever unlinked mid-hold (tmp cleaner), a second writer can
+    acquire a FRESH flock inode and observe a live holder's stamped
+    lease — an always-steal design would destroy a stage mid-commit.
+    A fresh-mtime stamped lease whose pid is alive must therefore be
+    WAITED on, and stolen only via the >60 s mtime rule."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)  # fresh mtime
+    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # alive
+
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        time.sleep(5)  # waiter built its tmp and is parked on the lease
+        assert waiter.poll() is None, "writer stole a fresh live stamped lease"
+        os.unlink(os.path.join(legacy, "pid"))
+        os.rmdir(legacy)  # the holder releases
+        out, err = waiter.communicate(timeout=60)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
     finally:
         if waiter.poll() is None:
             waiter.kill()

@@ -126,11 +126,15 @@ def proven_ledger(repo_root=None):
 
     root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proven = {}
+    latest_round = 0  # newest ARTIFACT round — not max(first-proven):
+    # a round whose window proves no first-timers still advances the
+    # "through rN" label (r11 review)
     for f in sorted(
         glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
         key=lambda s: int(s.rsplit("_r", 1)[1].split(".")[0]),
     ):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        latest_round = max(latest_round, rnd)
         for name, row in json.load(open(f)).items():
             green = (
                 row.get("err") is None
@@ -155,6 +159,7 @@ def proven_ledger(repo_root=None):
     )
     return {
         "registry_total": len(reg),
+        "latest_round": latest_round,
         "proven": proven,
         "eligible_never_proven": eligible,
         "ineligible_never_proven": ineligible,
