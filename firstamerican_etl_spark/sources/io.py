@@ -588,13 +588,25 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         "long": "int64", "float": "float32", "double": "float64",
         "boolean": "bool",
     }
+    # A numeric/bool column CONTAINING nulls has no faithful numpy
+    # dtype: the Arrow path raises TypeError on the mixed object
+    # column, and the pickle path silently turns None into NaN for
+    # float targets (null≠NaN in Spark). Found by the r11 hypothesis
+    # equivalence property — route such frames through the plain-list
+    # constructor: slower (RDD path), but exact and identical under
+    # every session config. Hot-path callers pass dense literals and
+    # never hit this branch.
+    if any(
+        pdf[f.name].isna().any()
+        for f in st.fields
+        if np_by_spark.get(f.dataType.typeName())
+    ):
+        return spark.createDataFrame([tuple(r) for r in rows], st)
     for f in st.fields:
         np_t = np_by_spark.get(f.dataType.typeName())
         if np_t is None or str(pdf[f.name].dtype) == np_t:
             continue
         col = pdf[f.name]
-        if col.isna().any():
-            continue
         try:
             cast = col.astype(np_t)
         except (ValueError, TypeError):

@@ -314,3 +314,68 @@ def test_bpe_merge_is_boundary_aware(spark):
     assert sorted(got) == sorted(
         [rep("xy", "z"), rep("y", "zq"), rep("yz"), rep("yz", "yz")]
     )
+
+
+# ---------------------------------------------------------------- local_df
+
+_ldf_cell = st.one_of(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.none(),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_ldf_cell, st.text(max_size=6)),
+                min_size=1, max_size=8))
+def test_local_df_arrow_on_off_equivalence(spark, rows):
+    """The r10 driver failure class, as a property: for ANY small
+    frame, local_df must behave identically with Arrow enabled and
+    disabled — same rows out, or the same refusal. A divergence means
+    a plan passes every local test and fails (or silently differs) on
+    the driver's pickle-path session."""
+    from firstamerican_etl_spark.sources.io import local_df
+
+    ddl = "x DOUBLE, s STRING"
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    results = {}
+    prev = spark.conf.get(conf, "true")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set(conf, mode)
+            try:
+                got = sorted(
+                    tuple(r) for r in local_df(spark, rows, ddl).collect()
+                )
+                results[mode] = ("ok", got)
+            except Exception as exc:
+                results[mode] = ("err", type(exc).__name__)
+    finally:
+        spark.conf.set(conf, prev)
+    assert results["true"] == results["false"], results
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-5, 5)),
+                min_size=1, max_size=6))
+def test_local_df_bigint_bool_coercion_property(spark, rows):
+    """Integral values coerce losslessly into BIGINT/BOOLEAN fields on
+    the pickle path; the boolean column only ever receives exact 0/1
+    here, so both engines' semantics agree by construction."""
+    from firstamerican_etl_spark.sources.io import local_df
+
+    conf = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(conf, "true")
+    spark.conf.set(conf, "false")
+    try:
+        df = local_df(
+            spark, [(bool(b), float(i)) for b, i in rows], "flag BOOLEAN, n BIGINT"
+        )
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted((bool(b), i) for b, i in rows)
+        assert got == want
+    finally:
+        spark.conf.set(conf, prev)
