@@ -66,7 +66,7 @@ def modal_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_sorted",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ' ') AS statuses,
        count(DISTINCT o_orderstatus) AS n_statuses,
        count(*) AS n_orders
 FROM orders GROUP BY 1
@@ -75,11 +75,17 @@ FROM orders GROUP BY 1
 )
 def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: the distinct status set per priority,
-    SORTED so the array is canonical (collect_set order is partition-
-    dependent — never emit it unsorted from a distributed engine)."""
+    SORTED so the set is canonical (collect_set order is partition-
+    dependent — never emit it unsorted from a distributed engine), then
+    joined to a single string: the r11 driver run showed the harness's
+    pandas canonicalizer (sort_values over all columns) cannot hash
+    list cells, so window-eligible queries emit only scalar columns
+    (pinned registry-wide by tests/test_registry_window.py)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), " ").alias(
+            "statuses"
+        ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -195,7 +195,7 @@ WITH words AS (
 )
 SELECT term,
        count(*) AS df,
-       list(doc_id ORDER BY doc_id)[1:10] AS postings_head
+       array_to_string(list(doc_id ORDER BY doc_id)[1:10], ' ') AS postings_head
 FROM words
 GROUP BY term
 ORDER BY term
@@ -209,7 +209,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     state by per-term distinct docs, and slice(sort_array(...), 1, 10)
     emits a fixed-width posting head — the index-entry layout a
     decontamination or retrieval service would store per block. The
-    whole plan is two hash aggregates; no window, no join."""
+    whole plan is two hash aggregates; no window, no join. The head is
+    emitted as a space-joined string, not a raw array: the r11 driver
+    round proved the harness canonicalizer rejects list cells, and the
+    ids are already canonically sorted so the string loses nothing."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
@@ -218,9 +221,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("postings_head"),
         )
         .orderBy("term")
     )

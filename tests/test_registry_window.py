@@ -77,6 +77,48 @@ def test_contrast_rows_have_scale_safe_twins():
     assert "multimodal_knn_bucketed" in reg
 
 
+# Queries allowed to emit a top-level array/map/struct column. EMPTY by
+# design since r12: the r11 driver round proved the harness
+# canonicalizer (pandas sort_values over all columns) crashes on list
+# cells — `agg_collect_set_sorted` and `inverted_index_postings` were
+# red for exactly this, not for wrong values — so every query now emits
+# canonical scalar columns (sorted arrays are stringified with
+# array_join / array_to_string on BOTH engine and oracle sides, zero
+# semantic loss). A future entry here must be rows-only or contrast
+# (never window-eligible) and must justify why no canonical scalar
+# encoding exists.
+_NON_SCALAR_OUTPUT_OK: set[str] = set()
+
+
+def test_registry_outputs_are_canon_safe_scalars(spark, sf_dir):
+    """Registry-wide schema sweep (VERDICT r11 #1c/#3): no registered
+    query may emit a top-level ArrayType/MapType/StructType column
+    unless pinned in _NON_SCALAR_OUTPUT_OK — the driver's pandas
+    canonicalizer rejects such cells, so an eligible query with one is
+    a guaranteed red driver row that no local value-oracle run can
+    catch. Checks ALL 261 queries, not just the window: today's
+    out-of-window query is next rotation's window row."""
+    from pyspark.sql import types as T
+
+    reg = load_all()
+    offenders = {}
+    for name, spec in reg.items():
+        if name in _NON_SCALAR_OUTPUT_OK:
+            continue
+        bad = [
+            f.name
+            for f in spec.spark(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        f"non-scalar top-level output columns (driver-canon-unsafe): {offenders}"
+    )
+    stale = _NON_SCALAR_OUTPUT_OK - set(reg)
+    assert stale == set(), f"_NON_SCALAR_OUTPUT_OK names not registered: {stale}"
+
+
 def test_no_contrast_row_in_headline_bench():
     """The headline bench total must never include a deliberate
     scale-killer: a contrast row regressing (or improving) would move

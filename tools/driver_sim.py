@@ -75,7 +75,27 @@ def norm(v):
     return v
 
 
+def driver_canon_gate(cols, rows):
+    """Replicate the DRIVER's canonicalizer mechanics — a pandas
+    DataFrame with columns sorted by name, then ``sort_values`` over
+    every column (per the `_canon` traceback recorded in the r11
+    CORRECTNESS artifact) — purely for its FAILURE behavior: any result
+    shape the driver's canon rejects (e.g. ``TypeError: unhashable
+    type: 'list'`` on raw ARRAY output columns) must raise HERE, in the
+    sim, first. Three rounds of sim/driver divergence (r10 Arrow
+    on/off, r11 list cells) all came from reimplementing the driver's
+    compare instead of mimicking it; this gate closes the class. The
+    value hash itself stays on the stable norm/repr scheme below so the
+    261 existing hash baselines are untouched."""
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(list(rows), columns=list(cols))
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+
+
 def hash_rows(cols, rows):
+    driver_canon_gate(cols, rows)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     reprs = sorted(repr(tuple(norm(r[i]) for i in order)) for r in rows)
     return hashlib.md5("\n".join(reprs).encode()).hexdigest()
