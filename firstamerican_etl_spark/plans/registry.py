@@ -63,24 +63,43 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r11 FINAL ROTATION, last of the three planned sweeps (VERDICT r10
-    # #2). After r10's 45-first-timer sweep the cumulative driver-proven
-    # count is 204/261 (recomputed from the CORRECTNESS_r*.json union —
-    # `python tools/driver_sim.py --ledger`); exactly 45 window-eligible
-    # queries (full value oracle, non-`contrast`) have never received an
-    # independent driver row. This window pins the same FIVE veterans —
-    # the three FA anchors (the reference's own pipeline, re-proven
-    # every round), the TPC-H aggregation flagship, and the corpus e2e —
-    # and fills all FORTY-FIVE remaining slots with the entire eligible
-    # backlog, including the r10 red-row retry
-    # (range_join_quantity_bands — float-vs-BIGINT local_df dtype
-    # mismatch, fixed in sources/io.py + extplans.py, regression-tested
-    # Arrow-off in tests/test_arrow_off.py) and the two r10 additions
-    # (drift_ks_two_sample, corpus_snapshot_diff). A green round leaves
-    # only the 12 structurally ineligible rows (10 rows-only sketches
-    # with driver-proven oracled twins + 2 `contrast` anchors)
-    # driver-unproven. Every rotated-out veteran keeps its full local
-    # oracle in tests/test_oracle.py.
+    # r12 WINDOW — first round of the STANDING RE-PROVE ROTATION.
+    #
+    # Rotation policy (VERDICT r11 #4), now the steady-state cadence
+    # since the eligible backlog closed in r11 (247/261 driver-proven;
+    # only the 12 structurally ineligible rows plus this round's 2
+    # retries remain unproven):
+    #
+    #   slots  1-5   PINNED VETERANS, never rotated: the three FA
+    #                anchors (the reference's own pipeline), the TPC-H
+    #                aggregation flagship, and the corpus e2e — proven
+    #                fresh EVERY round so the core contract can never
+    #                silently drift.
+    #   slots  6-7   RETRIES: queries whose last driver row was red,
+    #                re-windowed in the same round as their fix. This
+    #                round: the two r11 array-output canonicalizer
+    #                crashes (agg_collect_set_sorted,
+    #                inverted_index_postings), now emitting canonical
+    #                sorted STRINGS on both engine and oracle sides.
+    #   slots  8-50  OLDEST-FIRST RE-PROVE: the 43 eligible queries
+    #                whose most recent green driver row is OLDEST
+    #                (ties broken alphabetically), so every proof ages
+    #                out and gets re-established against current code
+    #                rather than standing as a one-shot historical
+    #                artifact. With ~250 eligible queries and 43 slots
+    #                per round, every proof is refreshed at least once
+    #                every ~6 rounds. Contrast-tagged rows are excluded
+    #                even when historically proven (r1 proved
+    #                dedup_embedding_cosine_vectorized before the
+    #                contrast policy existed). This round re-proves the
+    #                r1-r3 vintage (41 r1 rows, the r2 session window,
+    #                the r3 exact-dedup), whose green rows predate ten
+    #                rounds of io/session/operator churn.
+    #
+    # Any NEW oracled query enters at the top of the rotation segment
+    # (it has no driver row, so it is oldest by definition — and
+    # tests/test_docs_coverage.py asserts every eligible never-proven
+    # query holds a window slot).
     # ------------------------------------------------------------------
     # — pinned veterans (5) —
     "fa_ranked_deed",
@@ -88,60 +107,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_flagship_merged",
     "q1_pricing_summary",
     "corpus_clean_pipeline",
-    # — r10 red-row retry (1) —
-    "range_join_quantity_bands",
-    # — r10 additions, driver-pending (2) —
-    "drift_ks_two_sample",
-    "corpus_snapshot_diff",
-    # — aggregation / stats tail (9) —
-    "agg_arg_extremes",
+    # — r11 red-row retries (2): array outputs stringified both sides —
     "agg_collect_set_sorted",
-    "modal_quantity_per_flag",
-    "stats_moments_stable",
-    "iqr_outlier_bounds",
-    "pearson_correlation_matrix",
-    "linreg_price_on_qty",
-    "table_profile",
-    "dq_constraint_report",
-    # — text / corpus tail (10) —
-    "bpe_pair_counts",
-    "ngram_shingles",
-    "repetition_dup_ngram_coverage",
-    "repetition_top_bigram",
-    "corpus_byte_histogram",
-    "quality_classifier_score",
-    "zipf_rank_frequency",
-    "chi2_lang_source",
-    "doc_chunk_windows",
-    "udtf_tokenize_lateral",
-    # — training-prep tail (6) —
-    "train_split_assign",
-    "sample_stratified_hash",
-    "token_budget_sample",
-    "length_bucket_batching",
-    "hard_negative_mining",
-    "retrieval_eval_ndcg",
-    # — embedding tail (3) —
-    "embedding_centroid_per_label",
-    "embedding_quantize_int8",
-    "int8_recon_fidelity",
-    # — time-series / sessionization tail (8) —
-    "rolling_7d_active_users",
-    "gap_fill_forward",
-    "gap_fill_interpolate",
-    "ewma_truncated_k8",
-    "funnel_stage_conversion",
-    "cohort_retention_matrix",
-    "markov_event_transitions",
-    "event_mix_gini_by_weekday",
-    # — functions / arrays tail (4) —
-    "array_higher_order",
-    "map_event_type_counts",
-    "regexp_extract_numbers",
-    "levenshtein_similar_parts",
-    # — misc analytics tail (2) —
-    "basket_cooccurrence_pairs",
     "inverted_index_postings",
+    # — oldest-first re-prove rotation (43): r1-r3 vintage —
+    "agg_groupby_full",
+    "anti_join_not_exists",
+    "asymmetric_key_join",
+    "coalesce_cascade_q",
+    "concat_fallback",
+    "conditional_flags",
+    "cosine_topk_bruteforce",
+    "cube_agg",
+    "dim_join_broadcast",
+    "distinct_projection",
+    "doc_fingerprint",
+    "embedding_norms",
+    "events_from_jsonl",
+    "events_from_xml",
+    "events_json_extract",
+    "events_multi_resolution_rollup",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "having_filter",
+    "knn_ivf_cells",
+    "lang_id_heuristic",
+    "left_join_null_filter",
+    "pagination_limit_offset",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "recursive_cte_hierarchy",
+    "rollup_agg",
+    "scan_filter_project",
+    "semi_join_exists",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union",
+    "sort_limit_topk",
+    "sql_interface_passthrough",
+    "string_date_funcs",
+    "text_quality",
+    "token_count",
+    "window_analytics",
+    "window_dedup_top1",
+    "window_topk_per_group",
+    "events_session_window",
+    "dedup_exact_keep_first",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement
