@@ -170,6 +170,31 @@ def shared_stage(
             # between our probe and our rename would lose its fresh
             # lease to the rename; it disappears with the last
             # pre-flock process, as documented for the legacy path.
+            #
+            # Version gate (VERDICT r11 #6): the pid-probe + mtime
+            # branches below exist ONLY for mixed-generation overlap
+            # with pre-flock writers. A deployment that declares
+            # ``SPARK_GRAFT_LEASE_V2=1`` asserts every concurrent
+            # writer serializes on the flock above — under that
+            # assertion, ANY legacy mkdir-lease observed from inside
+            # the flock section is debris by construction (a live
+            # v2 holder would be holding the flock we now hold, and a
+            # dead one's flock was kernel-released), so it is stolen
+            # immediately with no probe and no 60 s window. Once v2 is
+            # the only writer generation in the wild, the gated-off
+            # branches are dead code and get deleted outright.
+            lease_v2_only = os.environ.get("SPARK_GRAFT_LEASE_V2") == "1"
+
+            # Opportunistic sweep (ADVICE r11): a stealer killed
+            # between its atomic rename and the rmtree leaves an
+            # abandoned `{legacy}.steal-*` trash dir — by construction
+            # unreferenced once renamed — and across crashes these
+            # accumulate in tmp forever. Sweep siblings on entry.
+            import glob as _glob
+
+            for _trash in _glob.glob(f"{legacy}.steal-*"):
+                shutil.rmtree(_trash, ignore_errors=True)
+
             pid_stamp = os.path.join(legacy, "pid")
 
             def _stamped_holder_dead() -> bool:
@@ -205,7 +230,7 @@ def shared_stage(
                         pass  # stamp is an optimization, not a correctness need
                     break
                 except FileExistsError:
-                    if _stamped_holder_dead():
+                    if lease_v2_only or _stamped_holder_dead():
                         _steal()
                         continue
                     try:

@@ -412,3 +412,62 @@ def test_live_legacy_mkdir_lease_blocks_new_writers():
         if waiter.poll() is None:
             waiter.kill()
             waiter.wait(timeout=10)
+
+
+def test_lease_v2_gate_steals_any_lease_immediately():
+    """VERDICT r11 #6 version gate: under SPARK_GRAFT_LEASE_V2=1 the
+    deployment asserts no pre-flock-generation writer exists, so ANY
+    legacy mkdir lease observed from inside the flock section is
+    debris by construction (a live v2 holder would hold the flock) and
+    is stolen with no pid probe and no 60 s mtime window. Fabricate
+    the case every probe-based branch would stall or block on — a
+    FRESH lease stamped with a LIVE pid — and require immediate
+    progress under the gate."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)  # fresh mtime, and...
+    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # ...alive
+
+    env = dict(os.environ, SPARK_GRAFT_LEASE_V2="1")
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    try:
+        # far under the 60 s mtime window: only the v2 gate can pass
+        out, err = waiter.communicate(timeout=30)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
+        assert not os.path.isdir(legacy)
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
+
+
+def test_abandoned_steal_trash_swept_on_entry():
+    """ADVICE r11: a stealer killed between its atomic rename and the
+    rmtree leaves `{legacy}.steal-*` debris that nothing referenced
+    again — across crashes it accumulated in tmp forever. The lease
+    loop now sweeps sibling trash dirs on entry."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_sweep", key)
+    legacy = final + ".lock"
+    trash = [f"{legacy}.steal-9999-{uuid.uuid4().hex[:8]}" for _ in range(3)]
+    for t in trash:
+        os.makedirs(os.path.join(t, "junk"))
+
+    def write(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "x.txt"), "w") as f:
+            f.write("x")
+
+    d = shared_stage("sstest_sweep", key, write)
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    for t in trash:
+        assert not os.path.isdir(t), f"abandoned steal trash not swept: {t}"
