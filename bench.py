@@ -143,10 +143,13 @@ def _calibrate_host(n_mb: int = 256) -> float:
     canary. The r10 round proved cross-night wall-clock comparisons
     are host-regime-bound (the same commit measured 85 s one night and
     108 s the next; load average alone did not predict it). This loop
-    is deterministic, allocation-free after the first MiB, and pinned
-    to one core, so its wall time moves ONLY with the host's effective
-    single-thread speed: to compare two rounds' headline values,
-    divide each by its run's `calib_s` first (README §bench)."""
+    is deterministic, allocation-free after the first MiB, and
+    single-threaded (no CPU affinity is set — the scheduler may still
+    migrate it across cores with different boost states, so it tracks
+    effective single-thread speed, not one core's), so its wall time
+    moves ONLY with the host's single-thread regime: to compare two
+    rounds' headline values, divide each by its run's `calib_s` first
+    (README §bench)."""
     import hashlib
 
     buf = b"\x5a" * (1 << 20)
@@ -240,15 +243,27 @@ def main() -> None:
     # judge looks first. Each sample is a complete fresh setup+run (the
     # FA variants regenerate inputs so the S6 resume skip can't
     # short-circuit sample 2).
-    def _min_of(n: int, fn, *args, **kwargs) -> float:
-        return min(fn(*args, **kwargs) for _ in range(n))
+    # VERDICT r11 #7: the r11 min-of-2 switch made e2e rows
+    # incomparable to r<=10 single-sample snapshots, so for splicing
+    # the cross-round series each e2e row ALSO records its samples in
+    # BENCH_FULL.json ({"first_s": sample 1 ~ the old single-sample
+    # methodology, "min_s": the headline value}).
+    e2e_samples: dict[str, dict[str, float]] = {}
+
+    def _min_of(n: int, name: str, fn, *args, **kwargs) -> float:
+        samples = [fn(*args, **kwargs) for _ in range(n)]
+        e2e_samples[name] = {
+            "first_s": round(samples[0], 3),
+            "min_s": round(min(samples), 3),
+        }
+        return min(samples)
 
     for bench_name, kwargs in (
         ("fa_pipeline_e2e", {"partition_staging_by_fips": True}),
         ("fa_pipeline_e2e_bucketed", {"bucket_staging": 8}),
     ):
         try:
-            timings[bench_name] = round(_min_of(2, _fa_pipeline_e2e, spark, sf, **kwargs), 3)
+            timings[bench_name] = round(_min_of(2, bench_name, _fa_pipeline_e2e, spark, sf, **kwargs), 3)
             print(f"# {bench_name}: {timings[bench_name]:.3f}s", file=sys.stderr)
         except Exception as exc:
             failures[bench_name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -259,7 +274,7 @@ def main() -> None:
     # PII redaction → prefix-sum sequence packing → hash-range splits →
     # partitioned parquet, end-to-end wall time including the write.
     try:
-        timings["corpus_build_e2e"] = round(_min_of(2, _corpus_build_e2e, spark, sf_dir), 3)
+        timings["corpus_build_e2e"] = round(_min_of(2, "corpus_build_e2e", _corpus_build_e2e, spark, sf_dir), 3)
         print(f"# corpus_build_e2e: {timings['corpus_build_e2e']:.3f}s", file=sys.stderr)
     except Exception as exc:
         failures["corpus_build_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -270,7 +285,7 @@ def main() -> None:
     # ingest shape — only the delta is timed; the initial build is
     # setup outside the timed section).
     try:
-        timings["corpus_build_delta"] = round(_min_of(2, _corpus_build_delta, spark, sf_dir), 3)
+        timings["corpus_build_delta"] = round(_min_of(2, "corpus_build_delta", _corpus_build_delta, spark, sf_dir), 3)
         print(f"# corpus_build_delta: {timings['corpus_build_delta']:.3f}s", file=sys.stderr)
     except Exception as exc:
         failures["corpus_build_delta"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -280,7 +295,7 @@ def main() -> None:
     # rounds), write the cell-partitioned index, serve 20 probes with
     # partition pruning and grade recall — build + query both timed.
     try:
-        timings["ann_index_pipeline_e2e"] = round(_min_of(2, _ann_pipeline_e2e, spark, sf_dir), 3)
+        timings["ann_index_pipeline_e2e"] = round(_min_of(2, "ann_index_pipeline_e2e", _ann_pipeline_e2e, spark, sf_dir), 3)
         print(f"# ann_index_pipeline_e2e: {timings['ann_index_pipeline_e2e']:.3f}s", file=sys.stderr)
     except Exception as exc:
         failures["ann_index_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -291,7 +306,7 @@ def main() -> None:
     # only append + serve are timed, the initial build is setup. The
     # vector-side twin of corpus_build_delta.
     try:
-        timings["ann_index_append_e2e"] = round(_min_of(2, _ann_append_e2e, spark, sf_dir), 3)
+        timings["ann_index_append_e2e"] = round(_min_of(2, "ann_index_append_e2e", _ann_append_e2e, spark, sf_dir), 3)
         print(f"# ann_index_append_e2e: {timings['ann_index_append_e2e']:.3f}s", file=sys.stderr)
     except Exception as exc:
         failures["ann_index_append_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -340,6 +355,7 @@ def main() -> None:
     print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
     full = dict(out)
     full["queries"] = timings  # full 3-decimal walls, never truncated
+    full["e2e_samples"] = e2e_samples  # first_s + min_s per e2e row (r12)
     if failures:
         full["failures"] = failures
     try:
