@@ -601,7 +601,29 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         for f in st.fields
         if np_by_spark.get(f.dataType.typeName())
     ):
-        return spark.createDataFrame([tuple(r) for r in rows], st)
+        # The strict constructor rejects a float literal headed for an
+        # integer field (0.0 for LongType) that the Arrow-on pandas
+        # path above would have cast silently — so a caller mixing
+        # floats and nulls in one integer column would see a config-
+        # independent but NEW error (r12 ADVICE). Coerce exactly the
+        # value-preserving cases per-cell (v == int(v)); anything lossy
+        # still raises, same as the dense path's guarded astype.
+        int_fields = {
+            i
+            for i, f in enumerate(st.fields)
+            if (np_by_spark.get(f.dataType.typeName()) or "").startswith("int")
+        }
+
+        def _cell(i, v):
+            # .is_integer(), not v == int(v): NaN/inf must fall through
+            # to the strict constructor's error, not raise here
+            if i in int_fields and isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
+
+        return spark.createDataFrame(
+            [tuple(_cell(i, v) for i, v in enumerate(r)) for r in rows], st
+        )
     for f in st.fields:
         np_t = np_by_spark.get(f.dataType.typeName())
         if np_t is None or str(pdf[f.name].dtype) == np_t:

@@ -379,3 +379,32 @@ def test_local_df_bigint_bool_coercion_property(spark, rows):
         assert got == want
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_local_df_integral_floats_with_nulls_coerce(spark):
+    """r12 ADVICE: a null anywhere in a numeric column routes the whole
+    frame to the strict list constructor, which (unlike the Arrow
+    pandas path) rejects float literals headed for integer fields —
+    callers mixing `2.0` and `None` in one BIGINT column saw a NEW
+    error. Value-preserving floats now coerce per-cell on that branch;
+    lossy ones (2.5, NaN, inf) still refuse loudly."""
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.sources.io import local_df
+
+    got = sorted(
+        (
+            tuple(r)
+            for r in local_df(
+                spark, [(1.0, "a"), (None, "b"), (2.0, None)], "n BIGINT, s STRING"
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == sorted([(1, "a"), (2, None), (None, "b")], key=str)
+    with _pytest.raises(Exception):
+        local_df(spark, [(2.5, "a"), (None, "b")], "n BIGINT, s STRING").collect()
+    with _pytest.raises(Exception):
+        local_df(
+            spark, [(float("nan"), "a"), (None, "b")], "n BIGINT, s STRING"
+        ).collect()
