@@ -369,6 +369,11 @@ def run_pipeline(
         prop=prop_staged,
         ranked_deed=read_stage(ranked_paths["deed"], "ranked_deed"),
         taxhist=read_stage(staged_paths["taxhist"], "taxhist"),
+        # SHJ build hints (see unify docstring; r12 20M decade probe)
+        # — except under bucketed staging, whose PropertyID-bucketed,
+        # bucket-SORTED tables make SMJ's sort free on the single-key
+        # join while SHJ would pay hash-map builds for nothing.
+        shuffle_hash_builds=not bucket_staging,
     )
     merged_path = os.path.join(unified_dir, "merged.parquet")
     write_parquet(merged, merged_path)

@@ -55,6 +55,7 @@ def unify(
     taxhist: DataFrame,
     broadcast_prop: bool = False,
     validate_m1: bool = False,
+    shuffle_hash_builds: bool = True,
 ) -> DataFrame:
     """4-way left-join cascade + sale filter (fa-etl.py:459-482).
 
@@ -68,11 +69,31 @@ def unify(
     build side must be unique on its join key, otherwise the left
     joins would multiply valhist rows. Costs one aggregation per side;
     run it on first ingest of a new county, skip on trusted re-runs.
-    """
+
+    ``shuffle_hash_builds`` (default on) hints SHUFFLE_HASH for the
+    three build sides instead of Catalyst's sort-merge default. The
+    r12 20M-property decade probe measured the merge's three SMJ
+    sorts as its top cost — 15.3 s and a 7.25 GiB sorter spill on the
+    quiet-host merge-only A/B vs 12.1 s and ZERO spill with the hints
+    (identical 6,447,907 output rows; see BASELINE.md r12). SHJ is
+    safe on exactly this shape, by construction: the build sides are
+    the m:1-validated per-entity tables (unique on their join keys,
+    so per-partition hash maps are bounded by build_bytes /
+    shuffle_partitions and stay bounded as partitions scale with
+    data), and FA skew lives on the valhist PROBE side, which SHJ
+    streams (AQE's OptimizeSkewedJoin also covers SHJ since Spark
+    3.2). Set False to fall back to Catalyst's choice for an
+    un-validated ingest where a duplicate-key build side could
+    otherwise blow a hash partition past executor memory."""
     if validate_m1:
         _assert_unique(prop, ["PropertyID"], "prop")
         _assert_unique(ranked_deed, ["PropertyID", "RecordingYear"], "ranked_deed")
         _assert_unique(taxhist, ["PropertyID", "TaxYear"], "taxhist")
+    if shuffle_hash_builds:
+        if not broadcast_prop:  # an explicit broadcast hint wins anyway
+            prop = prop.hint("shuffle_hash")
+        ranked_deed = ranked_deed.hint("shuffle_hash")
+        taxhist = taxhist.hint("shuffle_hash")
     prop_side = F.broadcast(prop) if broadcast_prop else prop
 
     merged = (

@@ -311,6 +311,37 @@ def test_unify_m1_validation(spark, fa_dirs):
         unify(rv, dup_prop, deed, tax, validate_m1=True)
 
 
+def test_unify_merge_plans_shuffled_hash_joins(spark, fa_dirs):
+    """r12 decade probe (BASELINE.md): the merge's three SMJ sorts were
+    its top cost at 20M properties (15.3 s + a 7.25 GiB sorter spill
+    vs 12.1 s / zero spill with SHUFFLE_HASH build hints, identical
+    rows). The m:1-validated build sides keep per-partition hash maps
+    bounded, so the default plan must carry ShuffledHashJoin for the
+    cascade and no SortMergeJoin anywhere; shuffle_hash_builds=False
+    restores Catalyst's choice for un-validated ingests."""
+    from firstamerican_etl_spark.pipeline.unify import unify
+
+    input_dir, _ = fa_dirs
+    staging = os.path.join(input_dir, "staging")
+    rv = spark.read.parquet(os.path.join(staging, "ranked_valhist"))
+    prop = spark.read.parquet(os.path.join(staging, "prop"))
+    deed = spark.read.parquet(os.path.join(staging, "ranked_deed"))
+    tax = spark.read.parquet(os.path.join(staging, "taxhist"))
+
+    plan = unify(rv, prop, deed, tax)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # the opt-out really opts out (strategy back to Catalyst)
+    plan_off = (
+        unify(rv, prop, deed, tax, shuffle_hash_builds=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" not in plan_off, plan_off
+
+
 def test_dq_leading_zero_ids(spark):
     """The promoted fa-etl.py:68 check: '007' (cast-lossy) and 'abc'
     (non-numeric) are flagged; '7', ' 7 ' (trim-clean), and null are
