@@ -171,18 +171,23 @@ def shared_stage(
             # lease to the rename; it disappears with the last
             # pre-flock process, as documented for the legacy path.
             #
-            # Version gate (VERDICT r11 #6): the pid-probe + mtime
-            # branches below exist ONLY for mixed-generation overlap
-            # with pre-flock writers. A deployment that declares
-            # ``SPARK_GRAFT_LEASE_V2=1`` asserts every concurrent
-            # writer serializes on the flock above — under that
-            # assertion, ANY legacy mkdir-lease observed from inside
-            # the flock section is debris by construction (a live
-            # v2 holder would be holding the flock we now hold, and a
-            # dead one's flock was kernel-released), so it is stolen
-            # immediately with no probe and no 60 s window. Once v2 is
-            # the only writer generation in the wild, the gated-off
-            # branches are dead code and get deleted outright.
+            # Version gate (VERDICT r11 #6, NARROWED by the r12 review):
+            # ``SPARK_GRAFT_LEASE_V2=1`` asserts every concurrent writer
+            # is flock-generation — i.e. stamps its pid within
+            # microseconds of mkdir — so an UNSTAMPED lease older than a
+            # short grace can only be crash debris from the mkdir→stamp
+            # window, and v2 shortens its steal wait from 60 s to 5 s.
+            # That is ALL v2 may assert. The r11 ask wanted the mtime
+            # branch dropped outright one release later; the r12 review
+            # proved that unsafe even in a pure-v2 world: "a live v2
+            # holder would be holding the flock we now hold" is FALSE
+            # after mid-hold lock-file loss (the tmp-cleaner scenario
+            # this docstring already names — the next writer flocks a
+            # NEW inode), and an unconditional v2 steal there admits two
+            # writers to rmtree/rename the same final dir. So
+            # stamped-ALIVE leases keep the full 60 s rule under v2
+            # (pid reuse can also spoof liveness), and the mtime branch
+            # is load-bearing forever, not transitional.
             lease_v2_only = os.environ.get("SPARK_GRAFT_LEASE_V2") == "1"
 
             # Opportunistic sweep (ADVICE r11): a stealer killed
@@ -192,7 +197,7 @@ def shared_stage(
             # accumulate in tmp forever. Sweep siblings on entry.
             import glob as _glob
 
-            for _trash in _glob.glob(f"{legacy}.steal-*"):
+            for _trash in _glob.glob(_glob.escape(legacy) + ".steal-*"):
                 shutil.rmtree(_trash, ignore_errors=True)
 
             pid_stamp = os.path.join(legacy, "pid")
@@ -230,11 +235,16 @@ def shared_stage(
                         pass  # stamp is an optimization, not a correctness need
                     break
                 except FileExistsError:
-                    if lease_v2_only or _stamped_holder_dead():
+                    if _stamped_holder_dead():
                         _steal()
                         continue
+                    grace = (
+                        5.0
+                        if lease_v2_only and not os.path.exists(pid_stamp)
+                        else 60.0
+                    )
                     try:
-                        if time.time() - os.stat(legacy).st_mtime > 60:
+                        if time.time() - os.stat(legacy).st_mtime > grace:
                             _steal()
                             continue
                     except OSError:

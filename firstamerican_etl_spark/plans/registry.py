@@ -82,19 +82,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #                inverted_index_postings), now emitting canonical
     #                sorted STRINGS on both engine and oracle sides.
     #   slots  8-50  OLDEST-FIRST RE-PROVE: the 43 eligible queries
-    #                whose most recent green driver row is OLDEST
-    #                (ties broken alphabetically), so every proof ages
-    #                out and gets re-established against current code
-    #                rather than standing as a one-shot historical
-    #                artifact. With ~250 eligible queries and 43 slots
-    #                per round, every proof is refreshed at least once
-    #                every ~6 rounds. Contrast-tagged rows are excluded
-    #                even when historically proven (r1 proved
+    #                whose MOST RECENT green driver row is oldest
+    #                (recompute per round from the CORRECTNESS_r*.json
+    #                union — max green round per name, NOT first-proven,
+    #                which is immutable and would re-select the same
+    #                cohort forever; ties broken alphabetically). Every
+    #                proof thus ages out and gets re-established against
+    #                current code rather than standing as a one-shot
+    #                historical artifact; with ~250 eligible queries
+    #                and 43 slots per round, each proof refreshes at
+    #                least every ~6 rounds. Contrast-tagged rows are
+    #                excluded even when historically proven (r1 proved
     #                dedup_embedding_cosine_vectorized before the
     #                contrast policy existed). This round re-proves the
-    #                r1-r3 vintage (41 r1 rows, the r2 session window,
-    #                the r3 exact-dedup), whose green rows predate ten
-    #                rounds of io/session/operator churn.
+    #                r2-r6 vintage — many r1 firsts were re-proven by
+    #                later windows, so the stalest greens are the r2-r3
+    #                setop/events/sampling tails and the r4-r6 rows no
+    #                window has touched since.
     #
     # Any NEW oracled query enters at the top of the rotation segment
     # (it has no driver row, so it is oldest by definition — and
@@ -110,50 +114,55 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # — r11 red-row retries (2): array outputs stringified both sides —
     "agg_collect_set_sorted",
     "inverted_index_postings",
-    # — oldest-first re-prove rotation (43): r1-r3 vintage —
-    "agg_groupby_full",
+    # — oldest-first re-prove rotation (43), keyed on MOST RECENT green —
+    # last green r2:
     "anti_join_not_exists",
-    "asymmetric_key_join",
-    "coalesce_cascade_q",
-    "concat_fallback",
-    "conditional_flags",
-    "cosine_topk_bruteforce",
     "cube_agg",
-    "dim_join_broadcast",
     "distinct_projection",
-    "doc_fingerprint",
-    "embedding_norms",
-    "events_from_jsonl",
     "events_from_xml",
     "events_json_extract",
+    "pagination_limit_offset",
+    "semi_join_exists",
+    "setop_except_all",
+    # last green r3:
+    "coalesce_cascade_q",
+    "concat_fallback",
+    "doc_fingerprint",
+    "embedding_norms",
     "events_multi_resolution_rollup",
     "events_sliding_window",
     "events_tumbling_window",
-    "having_filter",
     "knn_ivf_cells",
-    "lang_id_heuristic",
-    "left_join_null_filter",
-    "pagination_limit_offset",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "recursive_cte_hierarchy",
+    "multimodal_decode_stats",
     "rollup_agg",
-    "scan_filter_project",
-    "semi_join_exists",
+    "sample_fixed_k_per_group",
+    "sample_hash_deterministic",
     "setop_except",
-    "setop_except_all",
     "setop_intersect",
+    "window_analytics",
+    # last green r4:
+    "conditional_flags",
+    "pareto_cumulative_share",
+    "q5_region_revenue",
+    "streaming_foreachbatch_ingest",
+    "token_count",
+    "unigram_logprob_score",
+    # last green r5:
+    "asymmetric_key_join",
+    "cosine_topk_bruteforce",
+    "events_from_jsonl",
+    "having_filter",
+    "lang_id_heuristic",
+    "q3_shipping_priority",
     "setop_union",
     "sort_limit_topk",
-    "sql_interface_passthrough",
-    "string_date_funcs",
-    "text_quality",
-    "token_count",
-    "window_analytics",
-    "window_dedup_top1",
     "window_topk_per_group",
-    "events_session_window",
-    "dedup_exact_keep_first",
+    # last green r6:
+    "agg_groupby_full",
+    "dim_join_broadcast",
+    "dsir_importance_weights",
+    "duplicate_span_report",
+    "embedding_gram_matrix",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement

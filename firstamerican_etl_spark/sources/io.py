@@ -613,12 +613,26 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             for i, f in enumerate(st.fields)
             if (np_by_spark.get(f.dataType.typeName()) or "").startswith("int")
         }
+        bool_fields = {
+            i
+            for i, f in enumerate(st.fields)
+            if np_by_spark.get(f.dataType.typeName()) == "bool"
+        }
 
         def _cell(i, v):
             # .is_integer(), not v == int(v): NaN/inf must fall through
             # to the strict constructor's error, not raise here
             if i in int_fields and isinstance(v, float) and v.is_integer():
                 return int(v)
+            # mirror the dense path's isin([0, 1, True, False]) guard:
+            # exact 0/1 numerics coerce, anything else refuses loudly
+            if (
+                i in bool_fields
+                and isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and v in (0, 1)
+            ):
+                return bool(v)
             return v
 
         return spark.createDataFrame(

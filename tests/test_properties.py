@@ -408,3 +408,25 @@ def test_local_df_integral_floats_with_nulls_coerce(spark):
         local_df(
             spark, [(float("nan"), "a"), (None, "b")], "n BIGINT, s STRING"
         ).collect()
+
+
+def test_local_df_bool_zero_one_with_nulls_coerce(spark):
+    """r12 review follow-up: the null-branch coercion must mirror the
+    dense path for BOOLEAN too — exact 0/1 numerics coerce, anything
+    else refuses — or adding a null flips a working call to an error."""
+    import pytest as _pytest
+
+    from firstamerican_etl_spark.sources.io import local_df
+
+    got = sorted(
+        (
+            tuple(r)
+            for r in local_df(
+                spark, [(1.0, "a"), (None, "b"), (0, "c")], "b BOOLEAN, s STRING"
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == sorted([(True, "a"), (None, "b"), (False, "c")], key=str)
+    with _pytest.raises(Exception):
+        local_df(spark, [(2.0, "a"), (None, "b")], "b BOOLEAN, s STRING").collect()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -414,20 +415,17 @@ def test_live_legacy_mkdir_lease_blocks_new_writers():
             waiter.wait(timeout=10)
 
 
-def test_lease_v2_gate_steals_any_lease_immediately():
-    """VERDICT r11 #6 version gate: under SPARK_GRAFT_LEASE_V2=1 the
-    deployment asserts no pre-flock-generation writer exists, so ANY
-    legacy mkdir lease observed from inside the flock section is
-    debris by construction (a live v2 holder would hold the flock) and
-    is stolen with no pid probe and no 60 s mtime window. Fabricate
-    the case every probe-based branch would stall or block on — a
-    FRESH lease stamped with a LIVE pid — and require immediate
-    progress under the gate."""
+def test_lease_v2_gate_steals_unstamped_debris_fast():
+    """VERDICT r11 #6 version gate, narrowed by the r12 review: under
+    SPARK_GRAFT_LEASE_V2=1 every writer stamps its pid within
+    microseconds of mkdir, so an UNSTAMPED lease past a 5 s grace is
+    crash debris from the mkdir→stamp window and is stolen without
+    the 60 s mtime wait. Fabricate exactly that — a fresh unstamped
+    lease — and require progress well under the legacy window."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
-    os.makedirs(legacy)  # fresh mtime, and...
-    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # ...alive
+    os.makedirs(legacy)  # fresh mtime, NO pid stamp
 
     env = dict(os.environ, SPARK_GRAFT_LEASE_V2="1")
     waiter = subprocess.Popen(
@@ -438,12 +436,47 @@ def test_lease_v2_gate_steals_any_lease_immediately():
         env=env,
     )
     try:
-        # far under the 60 s mtime window: only the v2 gate can pass
+        # far under the 60 s legacy window: only the v2 grace can pass
         out, err = waiter.communicate(timeout=30)
         assert waiter.returncode == 0, err
         assert out.strip() == final
         assert os.path.exists(os.path.join(final, "_SUCCESS"))
         assert not os.path.isdir(legacy)
+    finally:
+        if waiter.poll() is None:
+            waiter.kill()
+            waiter.wait(timeout=10)
+
+
+def test_lease_v2_still_waits_on_stamped_live_lease():
+    """The r12 review's corruption scenario: after mid-hold lock-file
+    loss a LIVE holder's stamped lease is visible to a writer holding
+    a flock on a NEW lock inode — v2 must WAIT on it (60 s rule), not
+    steal it, or two writers rmtree/rename the same final dir. A
+    stamped-alive fresh lease must therefore still block a v2 writer
+    until released."""
+    key = uuid.uuid4().hex[:12]
+    final = _final("sstest_race", key)
+    legacy = final + ".lock"
+    os.makedirs(legacy)  # fresh mtime
+    open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # alive
+
+    env = dict(os.environ, SPARK_GRAFT_LEASE_V2="1")
+    waiter = subprocess.Popen(
+        [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    try:
+        time.sleep(8)  # past the v2 unstamped grace, inside the 60 s rule
+        assert waiter.poll() is None, waiter.communicate()[1]
+        shutil.rmtree(legacy)  # the live holder releases
+        out, err = waiter.communicate(timeout=60)
+        assert waiter.returncode == 0, err
+        assert out.strip() == final
+        assert os.path.exists(os.path.join(final, "_SUCCESS"))
     finally:
         if waiter.poll() is None:
             waiter.kill()
