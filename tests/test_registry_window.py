@@ -77,6 +77,41 @@ def test_contrast_rows_have_scale_safe_twins():
     assert "multimodal_knn_bucketed" in reg
 
 
+def test_rotation_slots_match_most_recent_green_computation():
+    """The window's 43 rotation slots (after the 5 veterans and any
+    retries) must be exactly what `driver_sim --rotation` computes:
+    the eligible queries whose MOST RECENT green driver row is oldest.
+    The r12 review caught a hand-built segment keyed on FIRST-proven
+    round — immutable, so it would re-select the same cohort forever —
+    skipping the genuinely stalest proofs; this pin makes the policy
+    mechanical. Retries (never-proven, so absent from the last-green
+    pool) occupy the slots between the veterans and the rotation."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.driver_sim import WINDOW_VETERANS, rotation_segment
+
+    assert tuple(DRIVER_WINDOW[:5]) == WINDOW_VETERANS
+    reg = load_all()
+    n_retries = len(DRIVER_WINDOW) - 5 - 43
+    rotation_slots = list(DRIVER_WINDOW[5 + n_retries :])
+    expected = [n for _r, n in rotation_segment(43)]
+    assert rotation_slots == expected, (
+        f"window rotation drifted from the most-recent-green computation:\n"
+        f"only in window: {sorted(set(rotation_slots) - set(expected))}\n"
+        f"only in computation: {sorted(set(expected) - set(rotation_slots))}"
+    )
+    # and every retry slot is a currently never-proven eligible query
+    from tools.driver_sim import proven_ledger
+
+    led = proven_ledger()
+    for n in DRIVER_WINDOW[5 : 5 + n_retries]:
+        assert n in led["eligible_never_proven"], (
+            f"retry slot {n} is not an eligible never-proven query"
+        )
+    assert reg  # silence unused warning paths
+
+
 # Queries allowed to emit a top-level array/map/struct column. EMPTY by
 # design since r12: the r11 driver round proved the harness
 # canonicalizer (pandas sort_values over all columns) crashes on list

@@ -21,6 +21,11 @@ Usage:
                                                # (no Spark; COVERAGE.md numbers
                                                # must match this output — pinned
                                                # by tests/test_docs_coverage.py)
+    python tools/driver_sim.py --rotation      # next round's 43-slot re-prove
+                                               # window segment (the queries
+                                               # whose MOST RECENT green is
+                                               # oldest; paste into
+                                               # registry.DRIVER_WINDOW)
 """
 import hashlib
 import math
@@ -203,10 +208,67 @@ def print_ledger():
         print(f"  I {n} ({why})")
 
 
+WINDOW_VETERANS = (
+    "fa_ranked_deed",
+    "fa_valhist_cascade",
+    "fa_flagship_merged",
+    "q1_pricing_summary",
+    "corpus_clean_pipeline",
+)
+
+
+def rotation_segment(n_slots: int = 43) -> list[tuple[int, str]]:
+    """The next round's re-prove rotation: the ``n_slots`` ELIGIBLE
+    queries (full value oracle, non-contrast, excluding the pinned
+    veterans) whose MOST RECENT green driver row is oldest — max round
+    per name across CORRECTNESS_r*.json, never first-proven, which is
+    immutable and would re-select the same cohort forever (r12
+    review). Returns (last_green_round, name) pairs, oldest first;
+    tests/test_registry_window.py pins the committed window's rotation
+    slots to this computation."""
+    import glob
+    import json
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for name, row in json.load(open(f)).items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    reg = load_all()
+    pool = sorted(
+        (r, n) for n, r in last.items()
+        if n in reg and n not in WINDOW_VETERANS
+        and reg[n].oracle is not None and "contrast" not in reg[n].tags
+    )
+    return pool[:n_slots]
+
+
+def print_rotation(n_slots: int = 43):
+    cur = None
+    for r, n in rotation_segment(n_slots):
+        if r != cur:
+            print(f"    # last green r{r}:")
+            cur = r
+        print(f'    "{n}",')
+
+
 def main():
     args = sys.argv[1:]
     if "--ledger" in args:
         print_ledger()
+        return
+    if "--rotation" in args:
+        print_rotation()
         return
     only = None
     if "--only" in args:
