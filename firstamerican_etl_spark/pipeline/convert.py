@@ -214,7 +214,9 @@ def clean_valhist(raw: DataFrame) -> DataFrame:
     )
 
 
-def valhist_long(staged: DataFrame, validate: bool = False) -> DataFrame:
+def valhist_long(
+    staged: DataFrame, validate: bool = False, shuffle_hash_builds: bool = True
+) -> DataFrame:
     """Ranked valhist (fa-etl.py:318-419) as ONE plan.
 
     The reference materializes three filtered projections (assd /
@@ -234,6 +236,16 @@ def valhist_long(staged: DataFrame, validate: bool = False) -> DataFrame:
     make sure there are no duplicates', fa-etl.py:348-349) into a real
     assertion: raises if market/appr slices have duplicate
     (PropertyID, Year) keys (which would multiply assd rows).
+
+    ``shuffle_hash_builds`` (default on) hints SHUFFLE_HASH for the
+    market/appr build sides — the same contract-backed strategy as
+    unify(): the slices are (PropertyID, Year)-unique by the validated
+    TODO above, so per-partition hash maps stay bounded at any scale
+    and the SMJ sort materialization (the 100 TB spill surface the r12
+    decade probe caught in the merge) never exists. Measured at 20M on
+    identical staged input: 5.73 s -> 5.48 s steady-state, identical
+    39,354,840 rows; the win is modest here because these sorts fit in
+    memory at 20M — the hint is about what happens when they don't.
     """
     assd = (
         staged.withColumn("Year", F.col("AssdYear"))
@@ -269,6 +281,9 @@ def valhist_long(staged: DataFrame, validate: bool = False) -> DataFrame:
                     f"valhist {name} slice has duplicate (PropertyID, Year) keys"
                 )
 
+    if shuffle_hash_builds:
+        market = market.hint("shuffle_hash")
+        appr = appr.hint("shuffle_hash")
     joined = assd.join(market, on=["PropertyID", "Year"], how="left").join(
         appr, on=["PropertyID", "Year"], how="left"
     )
