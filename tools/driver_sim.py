@@ -268,7 +268,11 @@ def main():
         print_ledger()
         return
     if "--rotation" in args:
-        print_rotation()
+        i = args.index("--rotation")
+        n = 43
+        if i + 1 < len(args) and args[i + 1].isdigit():
+            n = int(args[i + 1])  # e.g. 45 for a retry-free round
+        print_rotation(n)
         return
     only = None
     if "--only" in args:
