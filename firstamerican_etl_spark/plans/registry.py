@@ -63,47 +63,41 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r12 WINDOW — first round of the STANDING RE-PROVE ROTATION.
+    # r13 WINDOW — second round of the STANDING RE-PROVE ROTATION, and
+    # the first PURE steady-state one: zero retries and zero new
+    # queries outstanding (r12 went 50/50 green), so the window is
+    # exactly 5 pinned veterans + the 45 stalest-proven eligible rows.
     #
-    # Rotation policy (VERDICT r11 #4), now the steady-state cadence
-    # since the eligible backlog closed in r11 (247/261 driver-proven;
-    # only the 12 structurally ineligible rows plus this round's 2
-    # retries remain unproven):
+    # Rotation policy (VERDICT r11 #4):
     #
     #   slots  1-5   PINNED VETERANS, never rotated: the three FA
     #                anchors (the reference's own pipeline), the TPC-H
     #                aggregation flagship, and the corpus e2e — proven
     #                fresh EVERY round so the core contract can never
     #                silently drift.
-    #   slots  6-7   RETRIES: queries whose last driver row was red,
-    #                re-windowed in the same round as their fix. This
-    #                round: the two r11 array-output canonicalizer
-    #                crashes (agg_collect_set_sorted,
-    #                inverted_index_postings), now emitting canonical
-    #                sorted STRINGS on both engine and oracle sides.
-    #   slots  8-50  OLDEST-FIRST RE-PROVE: the 43 eligible queries
-    #                whose MOST RECENT green driver row is oldest
-    #                (recompute per round from the CORRECTNESS_r*.json
-    #                union — max green round per name, NOT first-proven,
-    #                which is immutable and would re-select the same
-    #                cohort forever; ties broken alphabetically). Every
-    #                proof thus ages out and gets re-established against
-    #                current code rather than standing as a one-shot
-    #                historical artifact; with ~250 eligible queries
-    #                and 43 slots per round, each proof refreshes at
-    #                least every ~6 rounds. Contrast-tagged rows are
-    #                excluded even when historically proven (r1 proved
-    #                dedup_embedding_cosine_vectorized before the
-    #                contrast policy existed). This round re-proves the
-    #                r2-r6 vintage — many r1 firsts were re-proven by
-    #                later windows, so the stalest greens are the r2-r3
-    #                setop/events/sampling tails and the r4-r6 rows no
-    #                window has touched since.
+    #   slots  6-50  OLDEST-FIRST RE-PROVE: the 45 eligible queries
+    #                (full value oracle, non-contrast, non-veteran)
+    #                whose MOST RECENT green driver row is oldest —
+    #                max green round per name across the GIT-TRACKED
+    #                CORRECTNESS_r*.json (tracked-only since r13: the
+    #                driver's post-round untracked drop must not re-age
+    #                the world mid-judgment — VERDICT r12 #1), NOT
+    #                first-proven, which is immutable and would
+    #                re-select the same cohort forever; ties broken
+    #                alphabetically. With ~249 eligible queries and 45
+    #                slots per round, each proof refreshes at least
+    #                every ~6 rounds. Contrast-tagged rows are excluded
+    #                even when historically proven. This round
+    #                re-proves the r6-r8 vintage.
     #
-    # Any NEW oracled query enters at the top of the rotation segment
-    # (it has no driver row, so it is oldest by definition — and
-    # tests/test_docs_coverage.py asserts every eligible never-proven
-    # query holds a window slot).
+    # Any NEW oracled query (or red-row retry) enters at the top of the
+    # rotation segment — it has no green row, so it is stalest by
+    # definition; `driver_sim --rotation` now prints those first
+    # (ADVICE r12) and tests/test_docs_coverage.py asserts every
+    # eligible never-proven query holds a window slot. Regenerate per
+    # round: `python tools/driver_sim.py --rotation 45` and paste below
+    # the veterans; tests/test_registry_window.py::
+    # test_window_is_veterans_plus_stalest_eligible pins the result.
     # ------------------------------------------------------------------
     # — pinned veterans (5) —
     "fa_ranked_deed",
@@ -111,58 +105,55 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_flagship_merged",
     "q1_pricing_summary",
     "corpus_clean_pipeline",
-    # — r11 red-row retries (2): array outputs stringified both sides —
-    "agg_collect_set_sorted",
-    "inverted_index_postings",
-    # — oldest-first re-prove rotation (43), keyed on MOST RECENT green —
-    # last green r2:
-    "anti_join_not_exists",
-    "cube_agg",
-    "distinct_projection",
-    "events_from_xml",
-    "events_json_extract",
-    "pagination_limit_offset",
-    "semi_join_exists",
-    "setop_except_all",
-    # last green r3:
-    "coalesce_cascade_q",
-    "concat_fallback",
-    "doc_fingerprint",
-    "embedding_norms",
-    "events_multi_resolution_rollup",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "knn_ivf_cells",
-    "multimodal_decode_stats",
-    "rollup_agg",
-    "sample_fixed_k_per_group",
-    "sample_hash_deterministic",
-    "setop_except",
-    "setop_intersect",
-    "window_analytics",
-    # last green r4:
-    "conditional_flags",
-    "pareto_cumulative_share",
-    "q5_region_revenue",
-    "streaming_foreachbatch_ingest",
-    "token_count",
-    "unigram_logprob_score",
-    # last green r5:
-    "asymmetric_key_join",
-    "cosine_topk_bruteforce",
-    "events_from_jsonl",
-    "having_filter",
-    "lang_id_heuristic",
-    "q3_shipping_priority",
-    "setop_union",
-    "sort_limit_topk",
-    "window_topk_per_group",
+    # — oldest-first re-prove rotation (45), keyed on MOST RECENT green —
     # last green r6:
-    "agg_groupby_full",
-    "dim_join_broadcast",
-    "dsir_importance_weights",
-    "duplicate_span_report",
-    "embedding_gram_matrix",
+    "events_session_window",
+    "heavy_hitters_cms",
+    "knn_ivf_recall_eval",
+    "left_join_null_filter",
+    "mixture_temperature_resample",
+    "pagerank_trade_graph",
+    "quantile_bins_scalable",
+    "scan_filter_project",
+    "string_date_funcs",
+    "text_quality",
+    "tfidf_top_terms",
+    "window_dedup_top1",
+    # last green r7:
+    "boilerplate_segment_dedup",
+    "corpus_drift_psi",
+    "dedup_exact_keep_first",
+    "doc_containment_pairs",
+    "geo_knn_grid_bucketed",
+    "q21_waiting_orders",
+    "sql_interface_passthrough",
+    "streaming_interval_join",
+    "vocab_oov_rate",
+    # last green r8:
+    "asof_join_nearest",
+    "association_rules_lift",
+    "audience_overlap_jaccard",
+    "bm25_topk_retrieval",
+    "bootstrap_mean_ci_poisson",
+    "bpe_apply_fertility",
+    "cdc_chunk_dedup",
+    "corpus_pack_contiguous",
+    "dedup_simhash_oracled",
+    "dedup_survivorship_report",
+    "duplicate_span_cut",
+    "event_path_trigrams",
+    "events_variant_shred",
+    "funnel_time_bounded",
+    "geo_point_in_polygon_join",
+    "graph_triangle_count_degree",
+    "incremental_agg_merge",
+    "kcore_peel_unrolled",
+    "khop_neighbor_agg",
+    "kmeans_lloyd_step_oracled",
+    "knn_lsh_bucketed_oracled",
+    "lang_id_confusion",
+    "leakage_safe_split_assign",
+    "lpa_communities_unrolled",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement

@@ -17,14 +17,16 @@ Usage:
     python tools/driver_sim.py --window        # just the driver's 50-slot window
     python tools/driver_sim.py --skip-ansi     # repo-session pass only
     python tools/driver_sim.py --ledger        # recompute the driver-proof
-                                               # ledger from CORRECTNESS_r*.json
-                                               # (no Spark; COVERAGE.md numbers
-                                               # must match this output — pinned
-                                               # by tests/test_docs_coverage.py)
-    python tools/driver_sim.py --rotation      # next round's 43-slot re-prove
-                                               # window segment (the queries
-                                               # whose MOST RECENT green is
-                                               # oldest; paste into
+                                               # ledger from the GIT-TRACKED
+                                               # CORRECTNESS_r*.json (no Spark;
+                                               # COVERAGE.md numbers must match
+                                               # this output — pinned by
+                                               # tests/test_docs_coverage.py)
+    python tools/driver_sim.py --rotation [N]  # next round's N-slot (default
+                                               # 43) non-veteran window segment:
+                                               # eligible never-proven queries
+                                               # first, then stalest MOST-RECENT
+                                               # green; paste into
                                                # registry.DRIVER_WINDOW)
 """
 import hashlib
@@ -134,32 +136,46 @@ def run_pass(spark, con, qs, oracles, label):
     return mismatch + err
 
 
-def proven_ledger(repo_root=None):
-    """The driver-proof ledger, recomputed from first principles: a
-    query is 'driver-proven' iff some CORRECTNESS_r*.json row has
-    err=None, rows_match=True, and neither schema_match nor hash_match
-    False (rows-only checks record None there, which still counts as
-    that weaker green — the artifact says which). Returns a dict with
-    the proven {name: first_round}, the eligible never-proven list
-    (full value oracle, non-contrast), and the ineligible list.
-    COVERAGE.md's ledger section is generated from this; the r10
-    verdict found the hand-maintained counts had drifted (claimed
-    164/209 vs actual 160/204), so the numbers now live here and
-    tests/test_docs_coverage.py pins the prose to this function."""
+def _tracked_artifacts(root):
+    """Git-TRACKED CORRECTNESS_r*.json paths, sorted by round number.
+
+    Tracked-only is the point (VERDICT r12 #1): the round driver drops
+    its new artifact UNTRACKED after the builder's final commit, and
+    any ledger/staleness computation that globs the working tree
+    re-ages the world mid-judgment — both freshness pins
+    (tests/test_docs_coverage.py, tests/test_registry_window.py) went
+    red at handoff two rounds running, by construction. Computing from
+    the committed state makes the untracked drop next-round input
+    instead. Falls back to a directory glob only when git itself is
+    unavailable (e.g. an exported tree)."""
     import glob
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        files = [os.path.join(root, f) for f in out]
+    except Exception:
+        files = []
+    if not files:
+        files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    return sorted(files, key=lambda s: int(s.rsplit("_r", 1)[1].split(".")[0]))
+
+
+def _green_rows(root):
+    """Yield (round, name) for every GREEN row across the tracked
+    CORRECTNESS artifacts. Green = err None, rows_match True, and
+    neither schema_match nor hash_match False (rows-only checks record
+    None there, which still counts as that weaker green — the artifact
+    says which). The single source of the green predicate: both
+    proven_ledger() and rotation_segment() build on this, so the
+    ledger and the rotation can't silently diverge (ADVICE r12)."""
     import json
 
-    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proven = {}
-    latest_round = 0  # newest ARTIFACT round — not max(first-proven):
-    # a round whose window proves no first-timers still advances the
-    # "through rN" label (r11 review)
-    for f in sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-        key=lambda s: int(s.rsplit("_r", 1)[1].split(".")[0]),
-    ):
+    for f in _tracked_artifacts(root):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        latest_round = max(latest_round, rnd)
         for name, row in json.load(open(f)).items():
             green = (
                 row.get("err") is None
@@ -168,7 +184,27 @@ def proven_ledger(repo_root=None):
                 and row.get("hash_match") is not False
             )
             if green:
-                proven.setdefault(name, rnd)
+                yield rnd, name
+
+
+def proven_ledger(repo_root=None):
+    """The driver-proof ledger, recomputed from first principles over
+    the git-tracked CORRECTNESS_r*.json artifacts (_green_rows). Returns
+    a dict with the proven {name: first_round}, the eligible
+    never-proven list (full value oracle, non-contrast), and the
+    ineligible list. COVERAGE.md's ledger section is generated from
+    this; the r10 verdict found the hand-maintained counts had drifted
+    (claimed 164/209 vs actual 160/204), so the numbers now live here
+    and tests/test_docs_coverage.py pins the prose to this function."""
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven = {}
+    latest_round = 0  # newest ARTIFACT round — not max(first-proven):
+    # a round whose window proves no first-timers still advances the
+    # "through rN" label (r11 review)
+    for f in _tracked_artifacts(root):
+        latest_round = max(latest_round, int(f.rsplit("_r", 1)[1].split(".")[0]))
+    for rnd, name in _green_rows(root):
+        proven.setdefault(name, rnd)
     from firstamerican_etl_spark.plans.registry import load_all
 
     reg = load_all()
@@ -221,29 +257,17 @@ def rotation_segment(n_slots: int = 43) -> list[tuple[int, str]]:
     """The next round's re-prove rotation: the ``n_slots`` ELIGIBLE
     queries (full value oracle, non-contrast, excluding the pinned
     veterans) whose MOST RECENT green driver row is oldest — max round
-    per name across CORRECTNESS_r*.json, never first-proven, which is
-    immutable and would re-select the same cohort forever (r12
-    review). Returns (last_green_round, name) pairs, oldest first;
-    tests/test_registry_window.py pins the committed window's rotation
-    slots to this computation."""
-    import glob
-    import json
-
+    per name across the git-tracked CORRECTNESS_r*.json, never
+    first-proven, which is immutable and would re-select the same
+    cohort forever (r12 review). Returns (last_green_round, name)
+    pairs, oldest first; tests/test_registry_window.py pins the
+    committed window's rotation slots to this computation."""
     from firstamerican_etl_spark.plans.registry import load_all
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        for name, row in json.load(open(f)).items():
-            green = (
-                row.get("err") is None
-                and row.get("rows_match") is True
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            )
-            if green:
-                last[name] = max(last.get(name, 0), rnd)
+    for rnd, name in _green_rows(root):
+        last[name] = max(last.get(name, 0), rnd)
     reg = load_all()
     pool = sorted(
         (r, n) for n, r in last.items()
@@ -254,8 +278,22 @@ def rotation_segment(n_slots: int = 43) -> list[tuple[int, str]]:
 
 
 def print_rotation(n_slots: int = 43):
+    """Print the full paste-into-DRIVER_WINDOW rotation segment:
+    eligible NEVER-PROVEN queries first (retries and brand-new queries
+    — no green row, stalest by definition; ADVICE r12 caught the tool
+    omitting them while the window comment promised they 'enter at the
+    top'), then the stalest-proven segment filling the remaining
+    slots. n_slots is the TOTAL non-veteran slot count."""
+    never = [
+        n for n in proven_ledger()["eligible_never_proven"]
+        if n not in WINDOW_VETERANS
+    ]
+    if never:
+        print(f"    # never-proven (retries / new queries), {len(never)}:")
+        for n in never:
+            print(f'    "{n}",')
     cur = None
-    for r, n in rotation_segment(n_slots):
+    for r, n in rotation_segment(max(0, n_slots - len(never))):
         if r != cur:
             print(f"    # last green r{r}:")
             cur = r
