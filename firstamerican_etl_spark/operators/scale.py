@@ -132,63 +132,58 @@ def shared_stage(
             # orphaned leases resolve themselves with no staleness
             # guess and no steal path
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            # Mixed-version overlap guard (r10 review, eighth pass):
-            # an old-protocol process from before a code update only
-            # respects the mkdir lease, so while mutating we hold THAT
-            # too. flock serializes new-version writers, the mkdir
-            # lease excludes old-version ones in BOTH directions (they
-            # block on ours; we block on theirs).
+            # The mkdir lease is held ALONGSIDE the flock while
+            # mutating: flock is the real mutual exclusion, the mkdir
+            # dir is the crash-visible lease other writers can probe
+            # (stamp + mtime) when the flock tells them nothing — e.g.
+            # after mid-hold lock-file loss puts two writers on
+            # different lock inodes.
             #
             # Stale-holder handling (ADVICE r11, refined by two r11
             # review passes): we stamp our pid into every lease we
             # create. A stamped lease whose pid is DEAD is retired
-            # immediately — no 60 s stall after a writer is killed
-            # inside the critical section (normally any stamped lease
-            # observed from inside the flock section is debris, since a
-            # live new-version holder would be holding the flock we now
-            # hold; the probe is the belt to that suspender). EVERY
-            # other state — stamped-but-alive (pid reuse or a zombie
-            # spoofing liveness, or a real holder after lock-file loss),
-            # unstamped (old-protocol holder, or a writer killed the
-            # instant before its stamp landed) — falls through to the
-            # legacy >60 s mtime rule, never an exemption: progress is
-            # guaranteed within a minute no matter how the probe lies
-            # (the first review's deadlock finding against an
-            # alive-waits-forever design), and if the zero-byte .flock
-            # file is ever unlinked mid-hold (tmp cleaner), a live
-            # holder's lease is WAITED on for its microsecond critical
-            # section instead of stolen instantly (the second review's
-            # corruption finding against an always-steal design).
+            # immediately — no stall after a writer is killed inside
+            # the critical section (normally any stamped lease observed
+            # from inside the flock section is debris, since a live
+            # holder would be holding the flock we now hold; the probe
+            # is the belt to that suspender). An UNSTAMPED lease is
+            # retired after a 5 s grace — every writer stamps within
+            # microseconds of mkdir, so past the grace it can only be
+            # crash debris from the mkdir→stamp window. The remaining
+            # state — stamped-but-ALIVE (pid reuse or a zombie spoofing
+            # liveness, or a real holder after lock-file loss) — falls
+            # through to the >60 s mtime rule, never an exemption:
+            # progress is guaranteed within a minute no matter how the
+            # probe lies (the first review's deadlock finding against
+            # an alive-waits-forever design), and if the zero-byte
+            # .flock file is ever unlinked mid-hold (tmp cleaner), a
+            # live holder's lease is WAITED on for its microsecond
+            # critical section instead of stolen instantly (the second
+            # review's corruption finding against an always-steal
+            # design).
             #
             # Steals are an atomic RENAME to a unique trash name, not an
-            # in-place rmtree: concurrent NEW-version stealers race the
-            # rename and exactly one wins (the loser gets ENOENT and
-            # re-enters the loop), so new-version writers never
-            # double-admit. One window remains, inherent to the mkdir
-            # protocol and transitional by construction: a concurrent
-            # OLD-protocol process that mtime-steals and re-acquires
-            # between our probe and our rename would lose its fresh
-            # lease to the rename; it disappears with the last
-            # pre-flock process, as documented for the legacy path.
+            # in-place rmtree: concurrent stealers race the rename and
+            # exactly one wins (the loser gets ENOENT and re-enters the
+            # loop), so writers never double-admit.
             #
-            # Version gate (VERDICT r11 #6, NARROWED by the r12 review):
-            # ``SPARK_GRAFT_LEASE_V2=1`` asserts every concurrent writer
-            # is flock-generation — i.e. stamps its pid within
-            # microseconds of mkdir — so an UNSTAMPED lease older than a
-            # short grace can only be crash debris from the mkdir→stamp
-            # window, and v2 shortens its steal wait from 60 s to 5 s.
-            # That is ALL v2 may assert. The r11 ask wanted the mtime
-            # branch dropped outright one release later; the r12 review
-            # proved that unsafe even in a pure-v2 world: "a live v2
-            # holder would be holding the flock we now hold" is FALSE
-            # after mid-hold lock-file loss (the tmp-cleaner scenario
-            # this docstring already names — the next writer flocks a
-            # NEW inode), and an unconditional v2 steal there admits two
-            # writers to rmtree/rename the same final dir. So
-            # stamped-ALIVE leases keep the full 60 s rule under v2
-            # (pid reuse can also spoof liveness), and the mtime branch
-            # is load-bearing forever, not transitional.
-            lease_v2_only = os.environ.get("SPARK_GRAFT_LEASE_V2") == "1"
+            # Grace policy (VERDICT r11 #6 gate landed r12, retired to
+            # default-on r13 — the ``SPARK_GRAFT_LEASE_V2`` env
+            # conditional is gone): every writer in this codebase is
+            # flock-generation, i.e. stamps its pid within microseconds
+            # of mkdir, so an UNSTAMPED lease older than a 5 s grace can
+            # only be crash debris from the mkdir→stamp window and is
+            # stolen without the 60 s wait. That is ALL the short grace
+            # may assert. The r11 ask wanted the mtime branch dropped
+            # outright; the r12 review proved that unsafe even in a
+            # pure-flock world: "a live holder would be holding the
+            # flock we now hold" is FALSE after mid-hold lock-file loss
+            # (the tmp-cleaner scenario this docstring already names —
+            # the next writer flocks a NEW inode), and an unconditional
+            # steal there admits two writers to rmtree/rename the same
+            # final dir. So stamped-ALIVE leases keep the full 60 s
+            # rule (pid reuse can also spoof liveness), and the mtime
+            # branch is load-bearing forever, not transitional.
 
             # Opportunistic sweep (ADVICE r11): a stealer killed
             # between its atomic rename and the rmtree leaves an
@@ -238,11 +233,7 @@ def shared_stage(
                     if _stamped_holder_dead():
                         _steal()
                         continue
-                    grace = (
-                        5.0
-                        if lease_v2_only and not os.path.exists(pid_stamp)
-                        else 60.0
-                    )
+                    grace = 5.0 if not os.path.exists(pid_stamp) else 60.0
                     try:
                         if time.time() - os.stat(legacy).st_mtime > grace:
                             _steal()

@@ -384,15 +384,17 @@ def test_fresh_stamped_live_lease_blocks_until_release():
             waiter.wait(timeout=10)
 
 
-def test_live_legacy_mkdir_lease_blocks_new_writers():
-    """Mixed-version overlap (r10 eighth review): an old-protocol
-    process started before a code update holds the mkdir lease; a
-    new-version writer must BLOCK on it (not destroy it) until the old
-    holder releases — only a >60s-stale legacy lease may be retired."""
+def test_unstamped_lease_blocks_within_grace_then_releases():
+    """An unstamped lease younger than the 5 s grace is
+    indistinguishable from a writer inside its mkdir→stamp window, so
+    a second writer must BLOCK on it (not destroy it) until the holder
+    releases. (Until r13 this scenario also covered old-protocol
+    mixed-version holders; that transitional role is retired — every
+    writer is flock-generation now.)"""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
-    os.makedirs(legacy)  # fresh mtime — a LIVE old-protocol holder
+    os.makedirs(legacy)  # fresh mtime, no stamp yet
 
     waiter = subprocess.Popen(
         [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
@@ -403,7 +405,7 @@ def test_live_legacy_mkdir_lease_blocks_new_writers():
     try:
         time.sleep(3)  # waiter built its tmp and is parked on the lease
         assert waiter.poll() is None
-        os.rmdir(legacy)  # the old holder releases
+        os.rmdir(legacy)  # the holder releases inside the grace
         out, err = waiter.communicate(timeout=60)
         assert waiter.returncode == 0, err
         assert out.strip() == final
@@ -415,28 +417,28 @@ def test_live_legacy_mkdir_lease_blocks_new_writers():
             waiter.wait(timeout=10)
 
 
-def test_lease_v2_gate_steals_unstamped_debris_fast():
-    """VERDICT r11 #6 version gate, narrowed by the r12 review: under
-    SPARK_GRAFT_LEASE_V2=1 every writer stamps its pid within
-    microseconds of mkdir, so an UNSTAMPED lease past a 5 s grace is
-    crash debris from the mkdir→stamp window and is stolen without
-    the 60 s mtime wait. Fabricate exactly that — a fresh unstamped
-    lease — and require progress well under the legacy window."""
+def test_unstamped_debris_stolen_after_short_grace():
+    """VERDICT r11 #6, default behavior since r13 (the
+    SPARK_GRAFT_LEASE_V2 env gate is retired): every writer stamps its
+    pid within microseconds of mkdir, so an UNSTAMPED lease past a 5 s
+    grace is crash debris from the mkdir→stamp window and is stolen
+    without the 60 s mtime wait. Fabricate exactly that — a fresh
+    unstamped lease — and require progress well under the old
+    window."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
     os.makedirs(legacy)  # fresh mtime, NO pid stamp
 
-    env = dict(os.environ, SPARK_GRAFT_LEASE_V2="1")
     waiter = subprocess.Popen(
         [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
-        env=env,
     )
     try:
-        # far under the 60 s legacy window: only the v2 grace can pass
+        # far under the 60 s stamped-alive window: only the unstamped
+        # grace can pass this
         out, err = waiter.communicate(timeout=30)
         assert waiter.returncode == 0, err
         assert out.strip() == final
@@ -448,29 +450,27 @@ def test_lease_v2_gate_steals_unstamped_debris_fast():
             waiter.wait(timeout=10)
 
 
-def test_lease_v2_still_waits_on_stamped_live_lease():
+def test_stamped_live_lease_waits_past_unstamped_grace():
     """The r12 review's corruption scenario: after mid-hold lock-file
     loss a LIVE holder's stamped lease is visible to a writer holding
-    a flock on a NEW lock inode — v2 must WAIT on it (60 s rule), not
-    steal it, or two writers rmtree/rename the same final dir. A
-    stamped-alive fresh lease must therefore still block a v2 writer
-    until released."""
+    a flock on a NEW lock inode — the writer must WAIT on it (60 s
+    rule), not steal it after the short unstamped grace, or two
+    writers rmtree/rename the same final dir. A stamped-alive fresh
+    lease must therefore still block well past 5 s."""
     key = uuid.uuid4().hex[:12]
     final = _final("sstest_race", key)
     legacy = final + ".lock"
     os.makedirs(legacy)  # fresh mtime
     open(os.path.join(legacy, "pid"), "w").write(str(os.getpid()))  # alive
 
-    env = dict(os.environ, SPARK_GRAFT_LEASE_V2="1")
     waiter = subprocess.Popen(
         [sys.executable, "-c", _RACER.format(repo=_REPO, key=key)],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
-        env=env,
     )
     try:
-        time.sleep(8)  # past the v2 unstamped grace, inside the 60 s rule
+        time.sleep(8)  # past the unstamped grace, inside the 60 s rule
         assert waiter.poll() is None, waiter.communicate()[1]
         shutil.rmtree(legacy)  # the live holder releases
         out, err = waiter.communicate(timeout=60)
