@@ -370,9 +370,15 @@ def run_pipeline(
         ranked_deed=read_stage(ranked_paths["deed"], "ranked_deed"),
         taxhist=read_stage(staged_paths["taxhist"], "taxhist"),
         # SHJ build hints (see unify docstring; r12 20M decade probe)
-        # — except under bucketed staging, whose PropertyID-bucketed,
-        # bucket-SORTED tables make SMJ's sort free on the single-key
-        # join while SHJ would pay hash-map builds for nothing.
+        # — except under bucketed staging. Precisely (ADVICE r12):
+        # staging buckets AND sortBy PropertyID only, so the free-sort
+        # argument holds just for the single-key prop join; the
+        # ranked_deed/taxhist joins are on (PropertyID, Year) and still
+        # insert Sorts under SMJ in bucketed mode — but those are
+        # near-sorted secondary sorts over input already bucket-sorted
+        # on the leading key, not the unbucketed path's 7 GiB spill.
+        # The 20M bucketed-vs-hinted A/B lives in SCALING.md
+        # ("bucketed staging").
         shuffle_hash_builds=not bucket_staging,
     )
     merged_path = os.path.join(unified_dir, "merged.parquet")
