@@ -90,30 +90,90 @@ def _valhist_rows(pid: int) -> list[str]:
     return rows
 
 
-def _write_zip(raw_dir: str, name: str, header: str, rows: list[str]) -> None:
+_HEADERS = {
+    "Deed": DEED_HEADER,
+    "Prop": PROP_HEADER,
+    "TaxHist": TAXHIST_HEADER,
+    "ValHist": VALHIST_HEADER,
+}
+
+_ROW_FNS = {
+    "Deed": _deed_rows,
+    "Prop": lambda pid: [_prop_row(pid)],
+    "TaxHist": _taxhist_rows,
+    "ValHist": _valhist_rows,
+}
+
+_FLUSH_ROWS = 200_000  # ~15 MB of text per deflate chunk
+
+
+def _write_family_zip(args: tuple[str, str, str, int]) -> None:
+    """Stream one (family, county) member into its zip: rows are
+    generated pid-by-pid and deflated in bounded chunks, so RSS stays
+    constant no matter the scale (the r12 in-memory builder peaked at
+    ~15 GB RSS for 20M props and could not reach 200M at all). Member
+    CONTENT is byte-identical to the old header+join build — verified
+    against the preserved 20M fixture when this landed."""
+    raw_dir, fam, county, n_properties = args
+    name = f"{fam}{county.zfill(5)}"
     path = os.path.join(raw_dir, f"{name}.txt.zip")
+    row_fn = _ROW_FNS[fam]
+    parity = _COUNTIES.index(county)
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(f"{name}.txt", header + "\n" + "\n".join(rows) + "\n")
+        with zf.open(f"{name}.txt", "w") as out:
+            buf: list[str] = [_HEADERS[fam]]
+            for pid in range(1 + (parity == 0), n_properties + 1, 2):
+                buf.extend(row_fn(pid))
+                if len(buf) >= _FLUSH_ROWS:
+                    out.write(("\n".join(buf) + "\n").encode())
+                    buf = []
+            if buf:
+                out.write(("\n".join(buf) + "\n").encode())
 
 
 def generate(input_dir: str, n_properties: int) -> str:
     """Write raw/ under ``input_dir`` with the four families split by
-    county (8 zips). Returns the input_dir for chaining."""
+    county (8 zips), one streaming worker process per zip. Returns the
+    input_dir for chaining.
+
+    County parity: ``_COUNTIES[pid % 2]`` ⇒ county "6037" holds the
+    odd pids (index 1), "36061" the even ones, so each worker walks
+    ``range(parity_start, n, 2)`` and the union is exactly the old
+    single loop — same rows in the same order per member.
+
+    Workers are plain ``subprocess`` invocations of THIS FILE (see
+    ``__main__`` below), not a multiprocessing pool: fork is unsafe
+    from a process holding a live JVM (measure_baseline starts Spark
+    before generating), and spawn deadlocks whenever the caller's
+    ``__main__`` is not re-importable (a ``python - <<EOF`` harness, a
+    REPL). A subprocess needs neither."""
+    import subprocess
+    import sys
+
     raw_dir = os.path.join(input_dir, "raw")
     os.makedirs(raw_dir, exist_ok=True)
-    fams: dict[tuple[str, str], list[str]] = {}
-    for pid in range(1, n_properties + 1):
-        county = _COUNTIES[pid % 2]
-        fams.setdefault(("Deed", county), []).extend(_deed_rows(pid))
-        fams.setdefault(("Prop", county), []).append(_prop_row(pid))
-        fams.setdefault(("TaxHist", county), []).extend(_taxhist_rows(pid))
-        fams.setdefault(("ValHist", county), []).extend(_valhist_rows(pid))
-    headers = {
-        "Deed": DEED_HEADER,
-        "Prop": PROP_HEADER,
-        "TaxHist": TAXHIST_HEADER,
-        "ValHist": VALHIST_HEADER,
-    }
-    for (fam, county), rows in fams.items():
-        _write_zip(raw_dir, f"{fam}{county.zfill(5)}", headers[fam], rows)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             raw_dir, fam, county, str(n_properties)]
+        )
+        for fam in ("Deed", "Prop", "TaxHist", "ValHist")
+        for county in _COUNTIES
+    ]
+    failed = [p.args for p in procs if p.wait() != 0]
+    if failed:
+        raise RuntimeError(f"generator workers failed: {failed}")
     return input_dir
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if len(_sys.argv) == 6 and _sys.argv[1] == "--worker":
+        _write_family_zip(
+            (_sys.argv[2], _sys.argv[3], _sys.argv[4], int(_sys.argv[5]))
+        )
+    else:
+        raise SystemExit(
+            "usage: fa_bench_data.py --worker RAW_DIR FAMILY COUNTY N"
+        )
