@@ -291,6 +291,14 @@ def main(argv=None) -> list[dict]:
                    default="fips",
                    help="staging strategy for the Spark side (fips = the "
                         "bench's fa_pipeline_e2e default)")
+    p.add_argument("--input_raw", default=None,
+                   help="path to a pre-generated raw/ dir to reuse: each "
+                        "sample HARDLINKS its zips into a fresh work dir "
+                        "instead of regenerating (the generator is "
+                        "deterministic, so this is the same input; at "
+                        "100M+ props generation is tens of minutes). The "
+                        "dir must have been generated with the SAME "
+                        "--props value — row counts are derived from it")
     p.add_argument("--repeats", type=int, default=1,
                    help="complete fresh setup+run samples per SIDE; the "
                         "recorded wall is the min, applied to BOTH "
@@ -338,7 +346,17 @@ def main(argv=None) -> list[dict]:
             for _ in range(max(1, a.repeats)):
                 work = tempfile.mkdtemp(prefix=f"fa_base_{side}_")
                 try:
-                    generate(work, n_props)
+                    if a.input_raw:
+                        dst = os.path.join(work, "raw")
+                        os.makedirs(dst)
+                        for f in os.listdir(a.input_raw):
+                            src = os.path.join(a.input_raw, f)
+                            try:
+                                os.link(src, os.path.join(dst, f))
+                            except OSError:  # cross-device: fall back
+                                shutil.copy2(src, os.path.join(dst, f))
+                    else:
+                        generate(work, n_props)
                     t0 = time.perf_counter()
                     out = (fn(work) if fn is not None
                            else run_spark_pipeline(spark, work, **spark_kwargs))
