@@ -120,7 +120,10 @@ def _write_family_zip(args: tuple[str, str, str, int]) -> None:
     row_fn = _ROW_FNS[fam]
     parity = _COUNTIES.index(county)
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        with zf.open(f"{name}.txt", "w") as out:
+        # force_zip64: at 100M+ properties a member's uncompressed
+        # text exceeds 4 GiB; the streaming writer can't know the
+        # final size up front the way writestr could
+        with zf.open(f"{name}.txt", "w", force_zip64=True) as out:
             buf: list[str] = [_HEADERS[fam]]
             for pid in range(1 + (parity == 0), n_properties + 1, 2):
                 buf.extend(row_fn(pid))
