@@ -124,7 +124,107 @@ def _bucket_table(fam: str, input_dir: str) -> str:
     return f"fa_bucketed_{fam}_{h.hexdigest()[:12]}"
 
 
+_SHUFFLE_TARGET_BYTES = 256 << 20  # uncompressed input text per partition
+
+
+def _scaled_shuffle_conf(spark: SparkSession, raw_dir: str) -> dict[str, str] | None:
+    """Size ``spark.sql.shuffle.partitions`` from the MEASURED input
+    volume before any pipeline job runs. Returns the conf entries to
+    restore afterwards, or None when nothing changed.
+
+    Why (r13 100M decade probe): the unify/valhist SHUFFLE_HASH safety
+    argument is "each build map is bounded by build_bytes /
+    shuffle_partitions" — true on a cluster where partitions scale
+    with data, FALSE under a pinned local count: at 100M props and 32
+    partitions every build map grew 10× past the 20M-tuned size and
+    the merge died with SparkOutOfMemoryError('not enough memory to
+    build hash map'). SMJ degrades by spilling; SHJ degrades by
+    FAILING, so the partition count must carry the scale. One
+    partition per ~256 MB of uncompressed input text keeps each build
+    map tens of MB (the 20M/2M bench scales stay at the core count —
+    their committed numbers are untouched); AQE's coalescing (
+    parallelism-first) still merges away the excess for the small
+    shuffles, and a 32 MB advisory size keeps the post-coalesce build
+    maps comfortably under the per-task execution-memory share on the
+    scaled path. Zip member sizes come from the central directory —
+    metadata reads, no decompression."""
+    import math
+    import zipfile as _zipfile
+
+    total = 0
+    for f in os.listdir(raw_dir):
+        p = os.path.join(raw_dir, f)
+        if not os.path.isfile(p):
+            continue
+        if f.endswith(".zip"):
+            try:
+                with _zipfile.ZipFile(p) as zf:
+                    total += sum(i.file_size for i in zf.infolist())
+            except _zipfile.BadZipFile:
+                total += os.path.getsize(p)
+        else:
+            total += os.path.getsize(p)
+    cores = spark.sparkContext.defaultParallelism
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = max(cores, current, math.ceil(total / _SHUFFLE_TARGET_BYTES))
+    if target <= current:
+        return None
+    old = {
+        "spark.sql.shuffle.partitions": str(current),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+    log.info(
+        "input volume %.1f GiB uncompressed -> shuffle.partitions %d -> %d",
+        total / 2**30, current, target,
+    )
+    return old
+
+
 def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    annual_file_string: str = "Prop",
+    value_history_file_string: str = "ValHist",
+    partition_staging_by_fips: bool = False,
+    validate: bool = False,
+    use_fazip_source: bool = False,
+    bucket_staging: int = 0,
+    standardize_geo: bool = False,
+    tracts_file: str | None = None,
+) -> DataFrame:
+    """Input-volume-scaled entry: sizes the shuffle partition count
+    from the raw input bytes (see _scaled_shuffle_conf — the r13
+    100M-prop probe's OOM fix), runs the pipeline, restores the
+    session conf. All heavy actions complete inside (the merge is
+    WRITTEN before return), so restoring at exit is safe."""
+    raw_dir = os.path.join(input_dir, "raw")
+    old = (
+        _scaled_shuffle_conf(spark, raw_dir) if os.path.isdir(raw_dir) else None
+    )
+    try:
+        return _run_pipeline_impl(
+            spark,
+            input_dir,
+            annual_file_string=annual_file_string,
+            value_history_file_string=value_history_file_string,
+            partition_staging_by_fips=partition_staging_by_fips,
+            validate=validate,
+            use_fazip_source=use_fazip_source,
+            bucket_staging=bucket_staging,
+            standardize_geo=standardize_geo,
+            tracts_file=tracts_file,
+        )
+    finally:
+        if old:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+
+def _run_pipeline_impl(
     spark: SparkSession,
     input_dir: str,
     annual_file_string: str = "Prop",

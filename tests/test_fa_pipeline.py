@@ -618,3 +618,51 @@ def test_reference_parity_edge_rows(spark):
     )
     with pytest.raises(ValueError, match="assd slice"):
         valhist_long(clean_valhist(vraw), validate=True)
+
+
+def test_scaled_shuffle_conf_sizes_from_input_bytes(spark, tmp_path, monkeypatch):
+    """r13 100M probe regression: a pinned shuffle-partition count let
+    every SHUFFLE_HASH build map grow linearly with input volume until
+    the merge OOMed ('not enough memory to build hash map'). The
+    pipeline entry must size spark.sql.shuffle.partitions from the
+    measured uncompressed input bytes (zip central-directory metadata)
+    and restore the session conf afterwards — including on failure."""
+    from firstamerican_etl_spark.pipeline import run as run_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with zipfile.ZipFile(raw / "Deed1.txt.zip", "w") as zf:
+        zf.writestr("Deed1.txt", "PropertyID|x\n" + "1|y\n" * 1000)
+    member_bytes = sum(
+        i.file_size for i in zipfile.ZipFile(raw / "Deed1.txt.zip").infolist()
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # small inputs: no change, nothing to restore
+    assert run_mod._scaled_shuffle_conf(spark, str(raw)) is None
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # force the target above the current count: 4 bytes per partition
+    monkeypatch.setattr(run_mod, "_SHUFFLE_TARGET_BYTES", 4)
+    old = run_mod._scaled_shuffle_conf(spark, str(raw))
+    try:
+        assert old is not None
+        scaled = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert scaled == -(-member_bytes // 4)  # ceil(bytes / target)
+        assert (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            == "32m"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # run_pipeline restores the conf even when the body raises
+    monkeypatch.setattr(
+        run_mod, "_run_pipeline_impl",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        run_mod.run_pipeline(spark, str(tmp_path))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
