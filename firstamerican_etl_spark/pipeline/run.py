@@ -185,39 +185,21 @@ def _scaled_shuffle_conf(spark: SparkSession, raw_dir: str) -> dict[str, str] | 
 
 
 def run_pipeline(
-    spark: SparkSession,
-    input_dir: str,
-    annual_file_string: str = "Prop",
-    value_history_file_string: str = "ValHist",
-    partition_staging_by_fips: bool = False,
-    validate: bool = False,
-    use_fazip_source: bool = False,
-    bucket_staging: int = 0,
-    standardize_geo: bool = False,
-    tracts_file: str | None = None,
+    spark: SparkSession, input_dir: str, **kwargs
 ) -> DataFrame:
     """Input-volume-scaled entry: sizes the shuffle partition count
     from the raw input bytes (see _scaled_shuffle_conf — the r13
     100M-prop probe's OOM fix), runs the pipeline, restores the
     session conf. All heavy actions complete inside (the merge is
-    WRITTEN before return), so restoring at exit is safe."""
+    WRITTEN before return), so restoring at exit is safe. Keyword
+    surface = _run_pipeline_impl's, forwarded verbatim — a single
+    source of defaults (r13 review)."""
     raw_dir = os.path.join(input_dir, "raw")
     old = (
         _scaled_shuffle_conf(spark, raw_dir) if os.path.isdir(raw_dir) else None
     )
     try:
-        return _run_pipeline_impl(
-            spark,
-            input_dir,
-            annual_file_string=annual_file_string,
-            value_history_file_string=value_history_file_string,
-            partition_staging_by_fips=partition_staging_by_fips,
-            validate=validate,
-            use_fazip_source=use_fazip_source,
-            bucket_staging=bucket_staging,
-            standardize_geo=standardize_geo,
-            tracts_file=tracts_file,
-        )
+        return _run_pipeline_impl(spark, input_dir, **kwargs)
     finally:
         if old:
             for k, v in old.items():
@@ -542,8 +524,8 @@ def main(argv: list[str] | None = None) -> None:
         merged = run_pipeline(
             spark,
             args.input_dir,
-            args.annual_file_string,
-            args.value_history_file_string,
+            annual_file_string=args.annual_file_string,
+            value_history_file_string=args.value_history_file_string,
             partition_staging_by_fips=args.partition_by_fips,
             validate=args.validate,
             bucket_staging=args.bucket_staging,

@@ -22,8 +22,9 @@ Usage:
                                                # COVERAGE.md numbers must match
                                                # this output — pinned by
                                                # tests/test_docs_coverage.py)
-    python tools/driver_sim.py --rotation [N]  # next round's N-slot (default
-                                               # 43) non-veteran window segment:
+    python tools/driver_sim.py --rotation [N]  # next round's N-slot (default:
+                                               # the committed window's
+                                               # non-veteran width) segment:
                                                # eligible never-proven queries
                                                # first, then stalest MOST-RECENT
                                                # green; paste into
@@ -147,7 +148,11 @@ def _tracked_artifacts(root):
     red at handoff two rounds running, by construction. Computing from
     the committed state makes the untracked drop next-round input
     instead. Falls back to a directory glob only when git itself is
-    unavailable (e.g. an exported tree)."""
+    unavailable (e.g. an exported tree). The fallback triggers ONLY
+    when git itself fails — a successful `git ls-files` returning
+    zero artifacts means zero artifacts, and globbing then would
+    resurrect exactly the untracked-drop bug this function exists to
+    prevent (r13 review)."""
     import glob
     import subprocess
 
@@ -158,23 +163,23 @@ def _tracked_artifacts(root):
         ).stdout.split()
         files = [os.path.join(root, f) for f in out]
     except Exception:
-        files = []
-    if not files:
         files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     return sorted(files, key=lambda s: int(s.rsplit("_r", 1)[1].split(".")[0]))
 
 
-def _green_rows(root):
+def _green_rows(root, files=None):
     """Yield (round, name) for every GREEN row across the tracked
     CORRECTNESS artifacts. Green = err None, rows_match True, and
     neither schema_match nor hash_match False (rows-only checks record
     None there, which still counts as that weaker green — the artifact
     says which). The single source of the green predicate: both
     proven_ledger() and rotation_segment() build on this, so the
-    ledger and the rotation can't silently diverge (ADVICE r12)."""
+    ledger and the rotation can't silently diverge (ADVICE r12).
+    ``files`` lets a caller that already listed the tracked artifacts
+    avoid a second `git ls-files` round-trip."""
     import json
 
-    for f in _tracked_artifacts(root):
+    for f in (files if files is not None else _tracked_artifacts(root)):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(f)).items():
             green = (
@@ -198,12 +203,14 @@ def proven_ledger(repo_root=None):
     and tests/test_docs_coverage.py pins the prose to this function."""
     root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proven = {}
-    latest_round = 0  # newest ARTIFACT round — not max(first-proven):
-    # a round whose window proves no first-timers still advances the
-    # "through rN" label (r11 review)
-    for f in _tracked_artifacts(root):
-        latest_round = max(latest_round, int(f.rsplit("_r", 1)[1].split(".")[0]))
-    for rnd, name in _green_rows(root):
+    files = _tracked_artifacts(root)  # listed once, reused below
+    # newest ARTIFACT round — not max(first-proven): a round whose
+    # window proves no first-timers still advances the "through rN"
+    # label (r11 review)
+    latest_round = max(
+        (int(f.rsplit("_r", 1)[1].split(".")[0]) for f in files), default=0
+    )
+    for rnd, name in _green_rows(root, files):
         proven.setdefault(name, rnd)
     from firstamerican_etl_spark.plans.registry import load_all
 
@@ -253,16 +260,30 @@ WINDOW_VETERANS = (
 )
 
 
-def rotation_segment(n_slots: int = 43) -> list[tuple[int, str]]:
-    """The next round's re-prove rotation: the ``n_slots`` ELIGIBLE
-    queries (full value oracle, non-contrast, excluding the pinned
-    veterans) whose MOST RECENT green driver row is oldest — max round
-    per name across the git-tracked CORRECTNESS_r*.json, never
-    first-proven, which is immutable and would re-select the same
-    cohort forever (r12 review). Returns (last_green_round, name)
-    pairs, oldest first; tests/test_registry_window.py pins the
-    committed window's rotation slots to this computation."""
+def _default_slots() -> int:
+    """Non-veteran window width, derived from the committed window —
+    never a hard-coded literal (r13 review: three stale 43s would have
+    produced a 48-slot paste after the window grew to 45 rotation
+    slots)."""
+    from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW
+
+    return len(DRIVER_WINDOW) - len(WINDOW_VETERANS)
+
+
+def rotation_segment(n_slots: int | None = None) -> list[tuple[int, str]]:
+    """The next round's re-prove rotation: the ``n_slots`` (default:
+    the committed window's non-veteran width) ELIGIBLE queries (full
+    value oracle, non-contrast, excluding the pinned veterans) whose
+    MOST RECENT green driver row is oldest — max round per name across
+    the git-tracked CORRECTNESS_r*.json, never first-proven, which is
+    immutable and would re-select the same cohort forever (r12
+    review). Returns (last_green_round, name) pairs, oldest first;
+    tests/test_registry_window.py pins the committed window's rotation
+    slots to this computation."""
     from firstamerican_etl_spark.plans.registry import load_all
+
+    if n_slots is None:
+        n_slots = _default_slots()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
@@ -277,13 +298,16 @@ def rotation_segment(n_slots: int = 43) -> list[tuple[int, str]]:
     return pool[:n_slots]
 
 
-def print_rotation(n_slots: int = 43):
+def print_rotation(n_slots: int | None = None):
     """Print the full paste-into-DRIVER_WINDOW rotation segment:
     eligible NEVER-PROVEN queries first (retries and brand-new queries
     — no green row, stalest by definition; ADVICE r12 caught the tool
     omitting them while the window comment promised they 'enter at the
     top'), then the stalest-proven segment filling the remaining
-    slots. n_slots is the TOTAL non-veteran slot count."""
+    slots. n_slots is the TOTAL non-veteran slot count (default: the
+    committed window's)."""
+    if n_slots is None:
+        n_slots = _default_slots()
     never = [
         n for n in proven_ledger()["eligible_never_proven"]
         if n not in WINDOW_VETERANS
@@ -307,9 +331,9 @@ def main():
         return
     if "--rotation" in args:
         i = args.index("--rotation")
-        n = 43
+        n = None  # default: the committed window's non-veteran width
         if i + 1 < len(args) and args[i + 1].isdigit():
-            n = int(args[i + 1])  # e.g. 45 for a retry-free round
+            n = int(args[i + 1])
         print_rotation(n)
         return
     only = None

@@ -307,6 +307,13 @@ def main(argv=None) -> list[dict]:
                         "min-of-2 discipline; every sample's wall is "
                         "also recorded under *_sec_samples)")
     a = p.parse_args(argv)
+    if a.input_raw and len(a.props) != 1:
+        p.error(
+            "--input_raw holds ONE generated scale; pass exactly one "
+            "--props value matching it (the dir would otherwise be "
+            "reused for every scale and record walls under n_props "
+            "labels the data doesn't match)"
+        )
 
     try:
         import polars  # noqa: F401
@@ -347,14 +354,9 @@ def main(argv=None) -> list[dict]:
                 work = tempfile.mkdtemp(prefix=f"fa_base_{side}_")
                 try:
                     if a.input_raw:
-                        dst = os.path.join(work, "raw")
-                        os.makedirs(dst)
-                        for f in os.listdir(a.input_raw):
-                            src = os.path.join(a.input_raw, f)
-                            try:
-                                os.link(src, os.path.join(dst, f))
-                            except OSError:  # cross-device: fall back
-                                shutil.copy2(src, os.path.join(dst, f))
+                        from tools.fsutil import hardlink_raw
+
+                        hardlink_raw(a.input_raw, work)
                     else:
                         generate(work, n_props)
                     t0 = time.perf_counter()

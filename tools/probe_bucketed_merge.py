@@ -35,16 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _calibrate_host  # noqa: E402
-
-
-def _hardlink_raw(src_raw: str, work: str) -> None:
-    dst = os.path.join(work, "raw")
-    os.makedirs(dst)
-    for f in os.listdir(src_raw):
-        try:
-            os.link(os.path.join(src_raw, f), os.path.join(dst, f))
-        except OSError:
-            shutil.copy2(os.path.join(src_raw, f), os.path.join(dst, f))
+from tools.fsutil import hardlink_raw as _hardlink_raw  # noqa: E402
 
 
 def main(argv=None):

@@ -36,7 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _calibrate_host  # noqa: E402
-from tools.probe_bucketed_merge import _hardlink_raw  # noqa: E402
+from tools.fsutil import hardlink_raw as _hardlink_raw  # noqa: E402
 
 
 def main(argv=None):

@@ -87,7 +87,9 @@ def shard_one_zip(src_zip: str, dst_dir: str, n_shards: int) -> None:
                 written += last_nl
                 pending = data[last_nl:]
             if pending:
-                out_fh.write(pending + b"\n")
+                # a source member not ending in \n keeps its partial
+                # final line byte-identical — never append bytes
+                out_fh.write(pending)
             close_shard()
 
 
