@@ -174,6 +174,19 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    # --only a,b,c : time just the named rows (headline and/or e2e) —
+    # the bisect/iteration path (r13 VERDICT ask #1). A subset run is
+    # marked {"subset": true}, never writes BENCH_FULL.json (that file
+    # is the round artifact; a partial map would silently replace it —
+    # the r11 canary lesson), and its total is not comparable to a
+    # round headline.
+    only: set[str] | None = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: bench.py [--only name1,name2,...]")
+        only = {s for s in argv[i + 1].split(",") if s}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -195,10 +208,11 @@ def main() -> None:
     # numbers are steady-state execution at the target SF, not
     # first-touch compilation. Falls back to the target dir when the
     # warm-up SF is absent.
+    headline = [n for n in HEADLINE if only is None or n in only]
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         try:
             _force(registry[name].spark(spark, warm_dir))
         except Exception:
@@ -206,29 +220,44 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in HEADLINE:
-        # best of 2: this host shares hardware, and a single sample
-        # absorbs whatever the neighbors were doing that second — the
-        # min is the steady-state plan cost, which is the number that
-        # should be compared round-over-round
-        best, n = None, 0
-        try:
-            # the registry lookup belongs INSIDE the try: a stale
-            # HEADLINE name (rename/retag — it has happened twice)
-            # must surface as one per-query failure, not a KeyError
-            # that loses the whole round's bench artifact (r10 review)
-            spec = registry[name]
-            for _ in range(2):
+    rows: dict[str, int] = {}
+    query_samples: dict[str, list[float]] = {}
+    # min-of-2, INTERLEAVED (r13 VERDICT ask #1): two full sweeps over
+    # the headline set rather than back-to-back pairs. Back-to-back
+    # samples land ~1 s apart, inside the same host burst, so a
+    # transient neighbor inflated BOTH and the min still carried the
+    # noise — exactly the 9-query r13 drift pattern. Sweep-separated
+    # samples are ~40 s apart; the per-query min now rides out any
+    # burst shorter than a full sweep. Same total work as before
+    # (2 samples either way), and both samples are recorded in
+    # BENCH_FULL.json so future drift triage can see the spread
+    # without re-running.
+    for sweep in range(2):
+        for name in headline:
+            if name in failures:
+                continue
+            try:
+                # the registry lookup belongs INSIDE the try: a stale
+                # HEADLINE name (rename/retag — it has happened twice)
+                # must surface as one per-query failure, not a KeyError
+                # that loses the whole round's bench artifact (r10 review)
+                spec = registry[name]
                 t0 = time.perf_counter()
-                n = _force(spec.spark(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as exc:  # one bad query must not lose the whole bench
-            failures[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+                rows[name] = _force(spec.spark(spark, sf_dir))
+                query_samples.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            except Exception as exc:  # one bad query must not lose the bench
+                failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+                query_samples.pop(name, None)
+                print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+    for name, samples in query_samples.items():
+        timings[name] = min(samples)
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={rows[name]} "
+            f"samples={samples}",
+            file=sys.stderr,
+        )
 
     # The reference's ACTUAL workload: the full FA ETL (zips → staged
     # parquet → ranked → unified merge → written parquet), end-to-end
@@ -262,6 +291,8 @@ def main() -> None:
         ("fa_pipeline_e2e", {"partition_staging_by_fips": True}),
         ("fa_pipeline_e2e_bucketed", {"bucket_staging": 8}),
     ):
+        if only is not None and bench_name not in only:
+            continue
         try:
             timings[bench_name] = round(_min_of(2, bench_name, _fa_pipeline_e2e, spark, sf, **kwargs), 3)
             print(f"# {bench_name}: {timings[bench_name]:.3f}s", file=sys.stderr)
@@ -269,48 +300,34 @@ def main() -> None:
             failures[bench_name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {bench_name}: FAILED {failures[bench_name]}", file=sys.stderr)
 
-    # The LLM-data twin of the FA pipeline: raw documents → normalize →
-    # exact dedup → MinHash+LSH near-dup clustering → quality gate →
-    # PII redaction → prefix-sum sequence packing → hash-range splits →
-    # partitioned parquet, end-to-end wall time including the write.
-    try:
-        timings["corpus_build_e2e"] = round(_min_of(2, "corpus_build_e2e", _corpus_build_e2e, spark, sf_dir), 3)
-        print(f"# corpus_build_e2e: {timings['corpus_build_e2e']:.3f}s", file=sys.stderr)
-    except Exception as exc:
-        failures["corpus_build_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# corpus_build_e2e: FAILED {failures['corpus_build_e2e']}", file=sys.stderr)
-
-    # Incremental refresh: delta-ingest the second half of the corpus
-    # against a pre-built first-half index (the steady-state nightly
-    # ingest shape — only the delta is timed; the initial build is
-    # setup outside the timed section).
-    try:
-        timings["corpus_build_delta"] = round(_min_of(2, "corpus_build_delta", _corpus_build_delta, spark, sf_dir), 3)
-        print(f"# corpus_build_delta: {timings['corpus_build_delta']:.3f}s", file=sys.stderr)
-    except Exception as exc:
-        failures["corpus_build_delta"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# corpus_build_delta: FAILED {failures['corpus_build_delta']}", file=sys.stderr)
-
-    # Vector serving e2e: train IVF centroids (3 deterministic Lloyd
-    # rounds), write the cell-partitioned index, serve 20 probes with
-    # partition pruning and grade recall — build + query both timed.
-    try:
-        timings["ann_index_pipeline_e2e"] = round(_min_of(2, "ann_index_pipeline_e2e", _ann_pipeline_e2e, spark, sf_dir), 3)
-        print(f"# ann_index_pipeline_e2e: {timings['ann_index_pipeline_e2e']:.3f}s", file=sys.stderr)
-    except Exception as exc:
-        failures["ann_index_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# ann_index_pipeline_e2e: FAILED {failures['ann_index_pipeline_e2e']}", file=sys.stderr)
-
-    # Vector delta ingest: append the odd-id half into a pre-built
-    # even-id index (frozen centroids, FAISS add semantics) and serve —
-    # only append + serve are timed, the initial build is setup. The
-    # vector-side twin of corpus_build_delta.
-    try:
-        timings["ann_index_append_e2e"] = round(_min_of(2, "ann_index_append_e2e", _ann_append_e2e, spark, sf_dir), 3)
-        print(f"# ann_index_append_e2e: {timings['ann_index_append_e2e']:.3f}s", file=sys.stderr)
-    except Exception as exc:
-        failures["ann_index_append_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# ann_index_append_e2e: FAILED {failures['ann_index_append_e2e']}", file=sys.stderr)
+    # The remaining e2e rows, one loop (was four copy-pasted blocks):
+    # - corpus_build_e2e: the LLM-data twin of the FA pipeline — raw
+    #   documents → normalize → exact dedup → MinHash+LSH near-dup
+    #   clustering → quality gate → PII redaction → prefix-sum packing
+    #   → hash-range splits → partitioned parquet, incl. the write.
+    # - corpus_build_delta: delta-ingest the second half against a
+    #   pre-built first-half index (steady-state nightly ingest; only
+    #   the delta is timed, the initial build is untimed setup).
+    # - ann_index_pipeline_e2e: train IVF centroids (3 deterministic
+    #   Lloyd rounds), write the cell-partitioned index, serve 20
+    #   probes with partition pruning and grade recall.
+    # - ann_index_append_e2e: append the odd-id half into a pre-built
+    #   even-id index (frozen centroids, FAISS add semantics) + serve;
+    #   the vector-side twin of corpus_build_delta.
+    for bench_name, fn in (
+        ("corpus_build_e2e", _corpus_build_e2e),
+        ("corpus_build_delta", _corpus_build_delta),
+        ("ann_index_pipeline_e2e", _ann_pipeline_e2e),
+        ("ann_index_append_e2e", _ann_append_e2e),
+    ):
+        if only is not None and bench_name not in only:
+            continue
+        try:
+            timings[bench_name] = round(_min_of(2, bench_name, fn, spark, sf_dir), 3)
+            print(f"# {bench_name}: {timings[bench_name]:.3f}s", file=sys.stderr)
+        except Exception as exc:
+            failures[bench_name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {bench_name}: FAILED {failures[bench_name]}", file=sys.stderr)
 
     # A run with failures must not report a (smaller) partial total as
     # if it were comparable to a complete run: value goes null and the
@@ -350,23 +367,34 @@ def main() -> None:
         # substituted default size — record it so the row is honest
         out["fa_e2e_assumed_sf"] = 0.1
         out["fa_e2e_n_props"] = _fa_n_props(None)
+    if only is not None:
+        # a subset run's total covers only the named rows — label it so
+        # it can never be mistaken for a round headline
+        out["subset"] = sorted(only)
     if failures:
         out["failures"] = {k: v[:120] for k, v in failures.items()}
     print(f"# HEADLINE value={total} complete={not failures}", file=sys.stderr)
     full = dict(out)
     full["queries"] = timings  # full 3-decimal walls, never truncated
+    full["query_samples"] = query_samples  # both sweep samples (r14)
     full["e2e_samples"] = e2e_samples  # first_s + min_s per e2e row (r12)
     if failures:
         full["failures"] = failures
-    try:
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        )
-        with open(full_path, "w") as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:  # a read-only checkout must not fail the bench
-        print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
+    if only is not None:
+        # BENCH_FULL.json is the round artifact; a subset map must not
+        # replace it. Print the full record to stderr instead.
+        print("# subset run: BENCH_FULL.json left untouched", file=sys.stderr)
+        print(f"# {json.dumps(full, sort_keys=True)}", file=sys.stderr)
+    else:
+        try:
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            )
+            with open(full_path, "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:  # a read-only checkout must not fail the bench
+            print(f"# BENCH_FULL.json not written: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

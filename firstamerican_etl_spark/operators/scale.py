@@ -174,7 +174,12 @@ def shared_stage(
             # of mkdir, so an UNSTAMPED lease older than a 5 s grace can
             # only be crash debris from the mkdir→stamp window and is
             # stolen without the 60 s wait. That is ALL the short grace
-            # may assert. The r11 ask wanted the mtime branch dropped
+            # may assert. A live holder whose stamp write FAILS
+            # (ENOSPC/EDQUOT) would break that invariant, so such a
+            # holder retries the stamp and then keeps the lease mtime
+            # fresh from a heartbeat thread while it holds (r13
+            # ADVICE) — an unstamped lease with a moving mtime is a
+            # live holder, and the grace clock never reaches 5 s. The r11 ask wanted the mtime branch dropped
             # outright; the r12 review proved that unsafe even in a
             # pure-flock world: "a live holder would be holding the
             # flock we now hold" is FALSE after mid-hold lock-file loss
@@ -220,14 +225,24 @@ def shared_stage(
                     return  # released, or another stealer won — retry loop
                 shutil.rmtree(trash, ignore_errors=True)
 
+            stamped = False
             while True:
                 try:
                     os.mkdir(legacy)
                     try:
                         with open(pid_stamp, "w") as fh:
                             fh.write(str(os.getpid()))
+                        stamped = True
                     except OSError:
-                        pass  # stamp is an optimization, not a correctness need
+                        # Retry once — a transient failure shouldn't
+                        # demote us to the unstamped regime.
+                        try:
+                            time.sleep(0.05)
+                            with open(pid_stamp, "w") as fh:
+                                fh.write(str(os.getpid()))
+                            stamped = True
+                        except OSError:
+                            pass
                     break
                 except FileExistsError:
                     if _stamped_holder_dead():
@@ -241,6 +256,29 @@ def shared_stage(
                     except OSError:
                         continue  # released between the two calls
                     time.sleep(0.02)
+            heartbeat = None
+            if not stamped:
+                # ENOSPC/EDQUOT left the lease UNSTAMPED, so to other
+                # writers it is indistinguishable from mkdir→stamp
+                # crash debris and stealable after the 5 s grace — even
+                # while we are alive inside a slow pre-protocol-debris
+                # rmtree (r13 ADVICE). Keep the lease mtime fresh from
+                # a daemon thread for as long as we hold it so the
+                # grace clock never fires against a live holder.
+                import threading
+
+                _stop = threading.Event()
+
+                def _keep_fresh():
+                    while not _stop.wait(1.0):
+                        try:
+                            os.utime(legacy)
+                        except OSError:
+                            return  # lease gone (released or stolen)
+
+                _t = threading.Thread(target=_keep_fresh, daemon=True)
+                _t.start()
+                heartbeat = (_stop, _t)
             try:
                 if not _complete(final):
                     if os.path.isdir(final):  # pre-protocol debris
@@ -249,6 +287,9 @@ def shared_stage(
                 # else: another writer committed while we built — adopt
                 # it; same key means same content by contract
             finally:
+                if heartbeat is not None:
+                    heartbeat[0].set()
+                    heartbeat[1].join(timeout=2.0)
                 try:
                     os.unlink(pid_stamp)
                 except OSError:

@@ -184,6 +184,43 @@ def _scaled_shuffle_conf(spark: SparkSession, raw_dir: str) -> dict[str, str] | 
     return old
 
 
+_FAZIP_MEMBERS_PER_CORE = 4  # measured crossover, SCALING.md §ingest-path
+
+
+def _auto_fazip(raw_dir: str, cores: int) -> bool:
+    """Pick the ingest path from the zip member count (r13 VERDICT
+    ask #4). The r13 crossover measurement (SCALING.md): the
+    executor-side ``fazip`` DataSource reads one task per zip MEMBER,
+    so with fewer members than cores it strands executors behind a few
+    fat decompress tasks and LOSES to driver-side extract + parallel
+    text scan (8 members / 32 cores: 120.1 s vs 75.7 s); with members
+    well past the core count it wins outright by skipping the extract
+    barrier and its disk round-trip (128 members: 64.6 s vs 89.4 s —
+    the best 20M wall recorded). The measured break-even sits between
+    those shapes; members ≥ 4× cores is the conservative side of the
+    winning regime (128/32 = exactly 4×). A national run is thousands
+    of county zips ⇒ auto picks fazip; a dev/bench shape with a
+    handful of zips ⇒ extract. Member counts come from zip central
+    directories — metadata only, no decompression (same trick as
+    _scaled_shuffle_conf). Non-zip raw files force the extract path:
+    the fazip reader handles zips only."""
+    import zipfile as _zipfile
+
+    members = 0
+    for f in os.listdir(raw_dir):
+        p = os.path.join(raw_dir, f)
+        if not os.path.isfile(p):
+            continue
+        if not f.endswith(".zip"):
+            return False
+        try:
+            with _zipfile.ZipFile(p) as zf:
+                members += len(zf.infolist())
+        except _zipfile.BadZipFile:
+            return False  # let the extract path surface the error
+    return members >= _FAZIP_MEMBERS_PER_CORE * cores
+
+
 def run_pipeline(
     spark: SparkSession, input_dir: str, **kwargs
 ) -> DataFrame:
@@ -195,6 +232,15 @@ def run_pipeline(
     surface = _run_pipeline_impl's, forwarded verbatim — a single
     source of defaults (r13 review)."""
     raw_dir = os.path.join(input_dir, "raw")
+    if kwargs.get("use_fazip_source") is None and os.path.isdir(raw_dir):
+        # auto-select the ingest path from the zip member count; an
+        # explicit True/False always wins (the override knob)
+        kwargs["use_fazip_source"] = _auto_fazip(
+            raw_dir, spark.sparkContext.defaultParallelism
+        )
+        if kwargs["use_fazip_source"]:
+            log.info("ingest auto-select: fazip (member count >= %dx cores)",
+                     _FAZIP_MEMBERS_PER_CORE)
     old = (
         _scaled_shuffle_conf(spark, raw_dir) if os.path.isdir(raw_dir) else None
     )
@@ -213,7 +259,7 @@ def _run_pipeline_impl(
     value_history_file_string: str = "ValHist",
     partition_staging_by_fips: bool = False,
     validate: bool = False,
-    use_fazip_source: bool = False,
+    use_fazip_source: bool | None = False,
     bucket_staging: int = 0,
     standardize_geo: bool = False,
     tracts_file: str | None = None,
@@ -228,7 +274,10 @@ def _run_pipeline_impl(
     ``fazip`` DataSource (sources/fazip.py): decompression runs on
     executors, one task per zip member — the scale path for a national
     run; the default driver-side unzip mirrors the reference exactly.
-    Both paths produce identical staged output (tested).
+    Both paths produce identical staged output (tested). ``None``
+    (via ``run_pipeline``) auto-selects from the zip member count
+    (_auto_fazip, r13 crossover measurement); here in the impl None
+    just means False.
 
     ``bucket_staging=N`` (the 100 TB join-locality lever,
     operators/scale.write_bucketed): every staged/ranked frame is

@@ -63,9 +63,8 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r13 WINDOW — second round of the STANDING RE-PROVE ROTATION, and
-    # the first PURE steady-state one: zero retries and zero new
-    # queries outstanding (r12 went 50/50 green), so the window is
+    # r14 WINDOW — third round of the STANDING RE-PROVE ROTATION,
+    # steady state (r13 went 50/50 green, zero retries outstanding):
     # exactly 5 pinned veterans + the 45 stalest-proven eligible rows.
     #
     # Rotation policy (VERDICT r11 #4):
@@ -88,15 +87,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #                slots per round, each proof refreshes at least
     #                every ~6 rounds. Contrast-tagged rows are excluded
     #                even when historically proven. This round
-    #                re-proves the r6-r8 vintage.
+    #                re-proves the r8-r9 vintage.
     #
     # Any NEW oracled query (or red-row retry) enters at the top of the
     # rotation segment — it has no green row, so it is stalest by
     # definition; `driver_sim --rotation` now prints those first
     # (ADVICE r12) and tests/test_docs_coverage.py asserts every
     # eligible never-proven query holds a window slot. Regenerate per
-    # round: `python tools/driver_sim.py --rotation 45` and paste below
-    # the veterans; tests/test_registry_window.py::
+    # round: `python tools/driver_sim.py --rotation 45` prints the
+    # COMPLETE 50-line tuple body (veterans included) — paste it
+    # verbatim; tests/test_registry_window.py::
     # test_window_is_veterans_plus_stalest_eligible pins the result.
     # ------------------------------------------------------------------
     # — pinned veterans (5) —
@@ -106,54 +106,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "corpus_clean_pipeline",
     # — oldest-first re-prove rotation (45), keyed on MOST RECENT green —
-    # last green r6:
-    "events_session_window",
-    "heavy_hitters_cms",
-    "knn_ivf_recall_eval",
-    "left_join_null_filter",
-    "mixture_temperature_resample",
-    "pagerank_trade_graph",
-    "quantile_bins_scalable",
-    "scan_filter_project",
-    "string_date_funcs",
-    "text_quality",
-    "tfidf_top_terms",
-    "window_dedup_top1",
-    # last green r7:
-    "boilerplate_segment_dedup",
-    "corpus_drift_psi",
-    "dedup_exact_keep_first",
-    "doc_containment_pairs",
-    "geo_knn_grid_bucketed",
-    "q21_waiting_orders",
-    "sql_interface_passthrough",
-    "streaming_interval_join",
-    "vocab_oov_rate",
     # last green r8:
-    "asof_join_nearest",
-    "association_rules_lift",
-    "audience_overlap_jaccard",
-    "bm25_topk_retrieval",
-    "bootstrap_mean_ci_poisson",
-    "bpe_apply_fertility",
-    "cdc_chunk_dedup",
-    "corpus_pack_contiguous",
-    "dedup_simhash_oracled",
-    "dedup_survivorship_report",
-    "duplicate_span_cut",
-    "event_path_trigrams",
-    "events_variant_shred",
-    "funnel_time_bounded",
-    "geo_point_in_polygon_join",
-    "graph_triangle_count_degree",
-    "incremental_agg_merge",
-    "kcore_peel_unrolled",
-    "khop_neighbor_agg",
-    "kmeans_lloyd_step_oracled",
-    "knn_lsh_bucketed_oracled",
-    "lang_id_confusion",
-    "leakage_safe_split_assign",
-    "lpa_communities_unrolled",
+    "mad_outlier_zscores",
+    "minhash_lsh_recall_eval",
+    "multimodal_wds_roundtrip",
+    "ngram_diversity_ratio",
+    "ols_trend_per_group",
+    "pmi_collocations",
+    "recursive_cte_hierarchy",
+    "rendezvous_shard_assign",
+    "rfm_user_segments",
+    "rolling_7d_median_bucketed",
+    "sample_weighted_maxhash",
+    "semdedup_cluster_prune_sqrtk",
+    "setop_intersect_all",
+    "streaming_outer_interval_join",
+    "streaming_ttl_throttle",
+    "timeseries_gapfill_ffill",
+    "weekday_seasonality_profile",
+    "weighted_median_udaf",
+    "winsorized_robust_mean",
+    # last green r9:
+    "bpe_train_unrolled",
+    "char_entropy_quality",
+    "contamination_ngram_overlap",
+    "count_distinct_two_phase",
+    "dedup_cluster_components",
+    "dedup_image_dhash_distinct",
+    "dedup_minhash_lsh_oracled",
+    "epoch_shuffle_shards",
+    "events_burst_dedup",
+    "events_session_window_native",
+    "fazip_source_roundtrip",
+    "hybrid_rrf_fusion",
+    "jaccard_df_capped_pairs",
+    "jsonlgz_sink_roundtrip",
+    "matryoshka_truncation_recall",
+    "multimodal_knn_bucketed",
+    "ndcg_at_k_eval",
+    "pq_adc_topk",
+    "q10_returned_items",
+    "q11_important_types",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement

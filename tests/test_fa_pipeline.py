@@ -666,3 +666,59 @@ def test_scaled_shuffle_conf_sizes_from_input_bytes(spark, tmp_path, monkeypatch
     with pytest.raises(RuntimeError, match="boom"):
         run_mod.run_pipeline(spark, str(tmp_path))
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_auto_fazip_ingest_selection(spark, tmp_path, monkeypatch):
+    """r13 VERDICT ask #4: run_pipeline auto-selects the ingest path
+    from the zip member count (crossover measured in SCALING.md —
+    fazip wins >=~4x cores members, extract wins below). Pins the
+    decision function on both measured 20M input shapes and the
+    override semantics."""
+    from firstamerican_etl_spark.pipeline import run as run_mod
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+
+    def write_zip(name, n_members):
+        with zipfile.ZipFile(raw / name, "w") as zf:
+            for i in range(n_members):
+                zf.writestr(f"{name}.{i}.txt", "PropertyID|x\n1|y\n")
+
+    # the 8-member shape (one member per zip x 8 zips): extract wins
+    for i in range(8):
+        write_zip(f"Deed{i}.txt.zip", 1)
+    cores = 32
+    assert run_mod._auto_fazip(str(raw), cores) is False
+
+    # the 128-member shape: fazip wins (>= 4 x 32 cores)
+    for i in range(8, 16):
+        write_zip(f"Prop{i}.txt.zip", 15)  # 8 + 120 = 128 members
+    assert run_mod._auto_fazip(str(raw), cores) is True
+
+    # threshold is cores-relative: same 128 members, huge core count
+    assert run_mod._auto_fazip(str(raw), 1024) is False
+
+    # any non-zip raw file forces the extract path (fazip reads zips only)
+    (raw / "Tax99999.txt").write_text("PropertyID|TaxYear|TaxAmt\n")
+    assert run_mod._auto_fazip(str(raw), cores) is False
+    (raw / "Tax99999.txt").unlink()
+
+    # run_pipeline wires the auto decision into the impl kwargs; an
+    # explicit override always wins
+    seen = {}
+
+    def fake_impl(_spark, _input_dir, **kwargs):
+        seen.update(kwargs)
+        return None
+
+    monkeypatch.setattr(run_mod, "_run_pipeline_impl", fake_impl)
+    run_mod.run_pipeline(spark, str(tmp_path))
+    assert seen["use_fazip_source"] is (
+        run_mod._auto_fazip(str(raw), spark.sparkContext.defaultParallelism)
+    )
+    seen.clear()
+    run_mod.run_pipeline(spark, str(tmp_path), use_fazip_source=False)
+    assert seen["use_fazip_source"] is False
+    seen.clear()
+    run_mod.run_pipeline(spark, str(tmp_path), use_fazip_source=True)
+    assert seen["use_fazip_source"] is True

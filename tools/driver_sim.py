@@ -162,7 +162,23 @@ def _tracked_artifacts(root):
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.split()
         files = [os.path.join(root, f) for f in out]
-    except Exception:
+    except (FileNotFoundError, subprocess.CalledProcessError) as exc:
+        # Only two situations legitimately reach the glob: git binary
+        # absent, or the tree is not a repository (exported tarball).
+        # Anything else (transient git failure, timeout) must NOT
+        # silently fall back — that resurrects the untracked-drop
+        # re-aging bug (r13 ADVICE). CalledProcessError other than
+        # not-a-repo re-raises.
+        if isinstance(exc, subprocess.CalledProcessError) and (
+            "not a git repository" not in (exc.stderr or "").lower()
+        ):
+            raise
+        print(
+            "driver_sim: WARNING: git unavailable — falling back to a "
+            "working-tree glob for CORRECTNESS_r*.json (untracked "
+            "artifacts WILL be counted)",
+            file=sys.stderr,
+        )
         files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     return sorted(files, key=lambda s: int(s.rsplit("_r", 1)[1].split(".")[0]))
 
@@ -299,25 +315,44 @@ def rotation_segment(n_slots: int | None = None) -> list[tuple[int, str]]:
 
 
 def print_rotation(n_slots: int | None = None):
-    """Print the full paste-into-DRIVER_WINDOW rotation segment:
-    eligible NEVER-PROVEN queries first (retries and brand-new queries
-    — no green row, stalest by definition; ADVICE r12 caught the tool
-    omitting them while the window comment promised they 'enter at the
-    top'), then the stalest-proven segment filling the remaining
-    slots. n_slots is the TOTAL non-veteran slot count (default: the
-    committed window's)."""
+    """Print the COMPLETE paste-into-DRIVER_WINDOW block: the pinned
+    veterans (with their comment line) followed by eligible
+    NEVER-PROVEN queries (retries and brand-new queries — no green
+    row, stalest by definition; ADVICE r12 caught the tool omitting
+    them while the window comment promised they 'enter at the top'),
+    then the stalest-proven segment filling the remaining slots. The
+    output is byte-pasteable as the tuple body of
+    plans/registry.py DRIVER_WINDOW (r13 VERDICT ask #6). n_slots is
+    the TOTAL non-veteran slot count (default: the committed
+    window's)."""
     if n_slots is None:
         n_slots = _default_slots()
     never = [
         n for n in proven_ledger()["eligible_never_proven"]
         if n not in WINDOW_VETERANS
     ]
+    # Fail loudly at generation time, not later in test_registry_window
+    # (r13 ADVICE): an over-width paste means the backlog needs a plan,
+    # not a silent truncation.
+    if len(never) > n_slots:
+        raise SystemExit(
+            f"rotation backlog overflow: {len(never)} never-proven "
+            f"eligible queries > {n_slots} non-veteran slots — grow the "
+            "window or stage the backlog across rounds"
+        )
+    print(f"    # — pinned veterans ({len(WINDOW_VETERANS)}) —")
+    for n in WINDOW_VETERANS:
+        print(f'    "{n}",')
+    print(
+        "    # — oldest-first re-prove rotation "
+        f"({n_slots}), keyed on MOST RECENT green —"
+    )
     if never:
         print(f"    # never-proven (retries / new queries), {len(never)}:")
         for n in never:
             print(f'    "{n}",')
     cur = None
-    for r, n in rotation_segment(max(0, n_slots - len(never))):
+    for r, n in rotation_segment(n_slots - len(never)):
         if r != cur:
             print(f"    # last green r{r}:")
             cur = r
