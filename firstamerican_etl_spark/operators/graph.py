@@ -221,8 +221,9 @@ def connected_components(
     broadcast-cap pattern): the candidate graph a near-dup pipeline
     feeds here is orders of magnitude smaller than the corpus (it
     holds only banded COLLISIONS), so after the single mandatory
-    action that materializes the edges, a LIMIT-bounded probe (stops
-    scanning at ``driver_max_edges``+1 rows — never a full count)
+    action that materializes the edges, a LIMIT-bounded probe (a
+    ``limit(cap+1).collect()`` that decides AND fetches in one job —
+    stops scanning at ``driver_max_edges``+1 rows, never a full count)
     showing ≤ ``driver_max_edges`` edges routes to an exact driver
     union-find —
     O(E α(E)) with zero further cluster actions, vs 3 fixed-cost
@@ -272,15 +273,22 @@ def connected_components(
     # bookkeeping — metadata-sized against any plausible
     # spark.driver.memory; callers with string ids of unusual width
     # should scale the cap down proportionally.
-    if (
-        strategy == "auto"
-        and dedup_pairs.limit(driver_max_edges + 1).count() <= driver_max_edges
-    ):
-        return _driver_union_find(
-            [(r["src"], r["dst"]) for r in dedup_pairs.collect()],
-            dedup_pairs.sparkSession,
-            dedup_pairs.schema["src"].dataType,
-        )
+    if strategy == "auto":
+        # FUSED probe+fetch (r14): the former shape paid two jobs on
+        # the small route — limit(cap+1).count() to decide, then a
+        # full collect() to fetch. Collecting limit(cap+1) directly
+        # both decides AND fetches in ONE job; the driver holds at
+        # most cap+1 edges (~the same few MB the union-find was about
+        # to hold anyway), and on the big route the extra cost over
+        # the old count is only materializing cap+1 rows driver-side
+        # once — still bounded regardless of graph size.
+        probe = dedup_pairs.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _driver_union_find(
+                [(r["src"], r["dst"]) for r in probe],
+                dedup_pairs.sparkSession,
+                dedup_pairs.schema["src"].dataType,
+            )
     edges = dedup_pairs.union(
         dedup_pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)

@@ -317,27 +317,42 @@ def append_ann_index(
 
     # duplicates WITHIN the batch double-serve exactly like index
     # collisions (the semi-join below can't see them) — one aggregate
-    # catches both counts in a single pass over the batch ids
+    # catches both counts in a single pass over the batch ids.
+    # The three preflight actions (batch-dup aggregate, index-collision
+    # semi-join count, centroid collect) share no ordering — they run
+    # on concurrent driver threads (r14, guide §2.6), folding three
+    # serial job floors into ~one; the guard exceptions are re-raised
+    # in the original order below.
+    from concurrent.futures import ThreadPoolExecutor
+
     ids = new.select("vec_id")
-    n_rows, n_distinct = ids.agg(
-        F.count(F.lit(1)), F.countDistinct("vec_id")
-    ).collect()[0]
+    existing_ids = spark.read.parquet(assign_path).select("vec_id")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_batch = pool.submit(
+            lambda: ids.agg(F.count(F.lit(1)), F.countDistinct("vec_id"))
+            .collect()[0]
+        )
+        f_dup = pool.submit(
+            lambda: ids.join(existing_ids, "vec_id", "semi").count()
+        )
+        f_cent = pool.submit(
+            lambda: spark.read.parquet(cent_path).collect()
+        )
+        n_rows, n_distinct = f_batch.result()
+        n_dup = f_dup.result()
+        cent_rows = f_cent.result()
     if n_rows != n_distinct:
         raise ValueError(
             f"append batch carries {n_rows - n_distinct} duplicated "
             "vec_ids within itself; appending would double-serve them — "
             "deduplicate the batch first"
         )
-    existing_ids = spark.read.parquet(assign_path).select("vec_id")
-    n_dup = ids.join(existing_ids, "vec_id", "semi").count()
     if n_dup:
         raise ValueError(
             f"{n_dup} vec_ids in the append batch already exist in the "
             f"index at {out_dir}; appending them would double-serve — "
             "deduplicate the batch or rebuild the index"
         )
-
-    cent_rows = spark.read.parquet(cent_path).collect()
     centroids = [
         (int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in cent_rows
     ]
@@ -349,15 +364,27 @@ def append_ann_index(
     )
     assigned.write.mode("append").partitionBy("cell_id").parquet(assign_path)
 
-    sizes = (
-        spark.read.parquet(assign_path)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # post-write stats: the on-disk size report and the batch stats are
+    # independent — overlap them (§2.6); appended + touched fuse into
+    # ONE aggregate over the checkpointed batch (two jobs before r14)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sizes = pool.submit(
+            lambda: spark.read.parquet(assign_path)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        f_batch_stats = pool.submit(
+            lambda: assigned.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("cell_id").alias("t"),
+            ).collect()[0]
+        )
+        sizes = f_sizes.result()
+        batch_stats = f_batch_stats.result()
     ns = [int(r["n"]) for r in sizes]
-    appended = assigned.count()
-    touched = assigned.select("cell_id").distinct().count()
+    appended = int(batch_stats["n"])
+    touched = int(batch_stats["t"])
     return AnnAppendStats(
         n_appended=appended,
         n_cells_touched=touched,
@@ -571,18 +598,29 @@ def query_ann_index(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
         probe_src = emb
-    probes = (
-        probe_src.select(
-            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+    # probe selection and centroid fetch are independent driver jobs —
+    # overlap them (r14, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_probes = pool.submit(
+            lambda: probe_src.select(
+                "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+            )
+            .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
+            .limit(n_probes)
+            .collect()
         )
-        .orderBy(F.col("h").desc(), "vec_id")  # disjoint from the seed end
-        .limit(n_probes)
-        .collect()
-    )
-    cents = {
-        r["cell_id"]: [float(x) for x in r["centroid"]]
-        for r in spark.read.parquet(os.path.join(out_dir, "centroids.parquet")).collect()
-    }
+        f_cents = pool.submit(
+            lambda: spark.read.parquet(
+                os.path.join(out_dir, "centroids.parquet")
+            ).collect()
+        )
+        probes = f_probes.result()
+        cents = {
+            r["cell_id"]: [float(x) for x in r["centroid"]]
+            for r in f_cents.result()
+        }
 
     def _near_cells(pv: list[float]) -> list[int]:
         d = sorted(

@@ -214,12 +214,18 @@ def build_corpus(
         F.col("node").alias("doc_id")
     )
     obs_near = Observation("corpus_near")
-    near = (
-        exact.join(losers, "doc_id", "left_anti")
-        .observe(obs_near, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    # NO checkpoint on the near-survivor frame in the default path
+    # (r14): its one consumer is the quality→redact→pack chain, whose
+    # prefix-sum STAGING WRITE (global_running_sum materializes its
+    # input to temp parquet) is already the materialization — the
+    # eager checkpoint here was a second full pass + job for a frame
+    # read once. The count observation fires on that staging write;
+    # it is read below only after packing has executed. The span_cut
+    # branch re-adds a checkpoint because it genuinely reads the
+    # frame twice (marking pass + join-back).
+    near = exact.join(losers, "doc_id", "left_anti").observe(
+        obs_near, F.count(F.lit(1)).alias("n")
     )
-    n_after_near = int(obs_near.get["n"])
 
     # 3.5 (optional): duplicate-SPAN removal (arXiv:2107.06499 §3.1) on
     # the whole-doc survivors — excises duplicated 8-token runs that
@@ -231,6 +237,7 @@ def build_corpus(
     if span_cut:
         from firstamerican_etl_spark.plans.dedupplans import span_cut_clean
 
+        near = near.localCheckpoint(eager=True)  # two consumers below
         cleaned = span_cut_clean(near).select(
             "doc_id", F.col("text_clean").alias("_text_clean")
         )
@@ -294,6 +301,9 @@ def build_corpus(
         "bin_id",
         F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget)),
     ).drop("_run_tok")
+    # the prefix sum's staging write just executed the near→quality
+    # chain — the near-count observation has fired and can be read
+    n_after_near = int(obs_near.get["n"])
 
     # 7: deterministic hash-range split (90/5/5 by md5 prefix)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -337,18 +347,41 @@ def build_corpus(
     # intra-corpus graph does, or transitive chains through dropped
     # docs get lost). Written AFTER the corpus (the overwrite above
     # would clobber it); both frames are narrow (2-3 int/str columns).
-    if write_index:
-        idx = _index_dir(out_dir)
-        exact_fp.select(
-            "_fp", "doc_id"
-        ).write.mode("overwrite").parquet(os.path.join(idx, "fingerprints"))
-        bands.write.mode("overwrite").parquet(os.path.join(idx, "bands"))
-        _write_scheme_stamp(spark, idx)
+    # Tail sinks run on CONCURRENT driver threads (r14, guide §2.6):
+    # the two index-sidecar writes read already-checkpointed frames,
+    # the scheme stamp is a one-row write, and the n_bins count reads
+    # the just-written output — four independent jobs that were four
+    # serial job floors. They all must START after the corpus write
+    # above (overwrite would clobber _index inside out_dir), but
+    # nothing orders them against each other.
+    # (n_bins needs a DISTINCT count, which observed metrics disallow —
+    # a column-pruned scan of just the written bin_id column is the
+    # remaining read.)
+    from concurrent.futures import ThreadPoolExecutor
 
-    # n_bins needs a DISTINCT count, which observed metrics disallow —
-    # a column-pruned scan of just the written bin_id column (a single
-    # int column under parquet) is the remaining read
-    n_bins = out.select("bin_id").distinct().count()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        sinks = []
+        if write_index:
+            idx = _index_dir(out_dir)
+            sinks.append(
+                pool.submit(
+                    lambda: exact_fp.select("_fp", "doc_id")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(idx, "fingerprints"))
+                )
+            )
+            sinks.append(
+                pool.submit(
+                    lambda: bands.write.mode("overwrite").parquet(
+                        os.path.join(idx, "bands")
+                    )
+                )
+            )
+            sinks.append(pool.submit(_write_scheme_stamp, spark, idx))
+        f_bins = pool.submit(lambda: out.select("bin_id").distinct().count())
+        for f in sinks:
+            f.result()
+        n_bins = f_bins.result()
     split_row = obs_split.get
     return CorpusBuildStats(
         n_raw=int(obs_raw.get["n"]),
@@ -587,12 +620,15 @@ def _delta_tail(
         F.col("node").alias("doc_id")
     )
     obs_near = Observation("delta_near")
-    near = (
-        exact.join(losers, "doc_id", "left_anti")
-        .observe(obs_near, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    # near/redacted carry NO checkpoints (r14, same reasoning as the
+    # full build): each has exactly one consumer — the chain into the
+    # prefix sum — and global_running_sum's staging write materializes
+    # the whole chain once. Both count observations fire on that
+    # staging write and are read after packing below; the old shape
+    # paid two extra materialization jobs for frames read once.
+    near = exact.join(losers, "doc_id", "left_anti").observe(
+        obs_near, F.count(F.lit(1)).alias("n")
     )
-    n_after_near = int(obs_near.get["n"])
 
     # quality gate + redaction: same expressions as the full build
     toks = F.split(F.col("text"), " ", -1)
@@ -606,19 +642,14 @@ def _delta_tail(
         & (alpha_frac >= min_alpha_frac)
     )
     obs_quality = Observation("delta_quality")
-    redacted = (
-        quality.withColumn(
-            "text",
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-                _URL_RE,
-                "<URL>",
-            ),
-        )
-        .observe(obs_quality, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    n_after_quality = int(obs_quality.get["n"])
+    redacted = quality.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+    ).observe(obs_quality, F.count(F.lit(1)).alias("n"))
 
     # pack into fresh bins after the existing corpus's max bin_id
     # (bin_base came from the concurrent preflight aggregate — a
@@ -631,6 +662,10 @@ def _delta_tail(
         F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget))
         + F.lit(bin_base),
     ).drop("_run_tok")
+    # the staging write inside global_running_sum executed the
+    # near→quality→redact chain — both observations have fired
+    n_after_near = int(obs_near.get["n"])
+    n_after_quality = int(obs_quality.get["n"])
 
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     packed = packed.withColumn(

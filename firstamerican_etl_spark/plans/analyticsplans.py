@@ -631,14 +631,29 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = quartile_cutpoints(u, [col, "user_id"])
         return None if vals is None else tuple(int(v) for v in vals)
 
-    rcuts = cuts("recency_d")
+    # The three dimensions' cutpoint passes are INDEPENDENT reads of
+    # the checkpointed per-user frame (each: one percentile_approx
+    # aggregate, one per-shard count, one windowed rank probe — 9
+    # sequential driver jobs total). Submitting them from a small
+    # thread pool overlaps the three job chains (guide §2.6 — Spark's
+    # scheduler runs concurrent jobs fine; each pass's tasks back-fill
+    # the others' tails), folding three job floors into ~one at every
+    # scale. Results are unchanged: the passes share no state beyond
+    # the materialized checkpoint.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_r = pool.submit(cuts, "recency_d")
+        f_f = pool.submit(cuts, "freq")
+        f_m = pool.submit(cuts, "money")
+        rcuts, fcuts, mcuts = f_r.result(), f_f.result(), f_m.result()
     if rcuts is None:  # zero users: empty report, stable schema
         return spark.createDataFrame(
             [], "segment int, n_users bigint, avg_money_cents double"
         )
     r1, r2, r3 = rcuts
-    f1, f2, f3 = cuts("freq")
-    m1, m2, m3 = cuts("money")
+    f1, f2, f3 = fcuts
+    m1, m2, m3 = mcuts
 
     def code(col: str, c1: int, c2: int, c3: int) -> F.Column:
         return (

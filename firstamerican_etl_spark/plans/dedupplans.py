@@ -1690,40 +1690,59 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    rows = w.select(
-        "doc_id", F.posexplode(F.arrays_zip(wa, flags.alias("fl"))).alias("pos", "z")
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("i"),
-        F.col("z.words").alias("word"),
-        F.col("z.fl").alias("is_boundary"),
+    # DOC-LOCAL chunk assembly (r14, guide §2.4): chunk boundaries,
+    # membership and hashes are pure functions of one document, but
+    # the previous plan exploded every WORD to a row, ran a doc-keyed
+    # running-sum window, then re-assembled chunks with a doc-keyed
+    # collect_list groupBy — two full word-granular Exchanges before
+    # the actual cross-doc report (plans/r14/cdc_chunk_dedup_
+    # before.txt). Here chunks are cut and hashed inside the row with
+    # array functions (boundary positions → [start, end) slices →
+    # md5 per chunk), so the ONLY exchange left is the final
+    # (chunk_hash, n_words) report aggregate — chunk hashes on the
+    # wire, never words. Byte-identical chunks: same boundary rule,
+    # same position-ordered reassembly, same report columns.
+    # bind the md5 boundary-flag array behind a 1:1 Generate barrier
+    # FIRST (exploded_words' trick): the position filter below indexes
+    # into it per element, and an unbound `flags` expression would be
+    # re-evaluated for every index probed — O(n) md5 per position =
+    # O(n²) md5 per document (measured: 1.6 s → 28 s at sf0.1 before
+    # this barrier). Bound as an attribute it is computed once per row.
+    wf = w.select(
+        "doc_id", "words", F.explode(F.array(flags)).alias("fl")
     )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # and the boundary-position array behind a second barrier: starts
+    # AND ends both read it
+    bpos_expr = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.element_at(F.col("fl"), i) == 1,
     )
-    tagged = rows.select(
-        "doc_id",
-        "i",
-        "word",
-        F.coalesce(F.sum("is_boundary").over(w_cum), F.lit(0).cast("long")).alias(
-            "chunk_id"
+    wb = wf.select(
+        "doc_id", "words", F.explode(F.array(bpos_expr)).alias("bpos")
+    )
+    bpos = F.col("bpos")
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    chunk_structs = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                F.md5(F.concat_ws(" ", F.slice(wa, s, e - s + 1))).alias(
+                    "chunk_hash"
+                ),
+                (e - s + 1).cast("long").alias("n_words"),
+            ),
         ),
+        # a boundary on the LAST word would open an empty trailing
+        # chunk (start = n+1); the word-row formulation never created
+        # it, so drop it here too
+        lambda c: c["n_words"] > 0,
     )
-    chunks = (
-        tagged.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("i", "word"))).alias("ws"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            F.md5(
-                F.array_join(F.transform("ws", lambda s: s["word"]), " ")
-            ).alias("chunk_hash"),
-        )
+    chunks = wb.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_hash").alias("chunk_hash"),
+        F.col("c.n_words").alias("n_words"),
     )
     return (
         chunks.groupBy("chunk_hash", "n_words")

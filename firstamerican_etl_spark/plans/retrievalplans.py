@@ -327,7 +327,14 @@ def _ranked(top: DataFrame, score: str, rank_name: str) -> DataFrame:
     no global-ORDER-BY WindowExec (whose single-partition alarm the
     bench contract treats as a plan regression); the self-join is a
     bounded broadcast nested loop, and the total order (rounded score
-    desc, doc_id) makes it row_number-exact."""
+    desc, doc_id) makes it row_number-exact.
+
+    The ≤k-row ``top`` frame is localCheckpoint-ed first (r14): both
+    self-join sides replanned the WHOLE leg upstream (BM25 scoring /
+    corpus cosine) — the before-plan ran each leg twice
+    (plans/r14/hybrid_rrf_fusion_before.txt, 4 doc scans). One
+    bounded materialization (k rows) halves every leg at any scale."""
+    top = top.localCheckpoint(eager=True)
     a, b = top.alias("a"), top.alias("b")
     better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
         (F.col(f"b.{score}") == F.col(f"a.{score}"))

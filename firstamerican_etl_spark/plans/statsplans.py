@@ -907,18 +907,43 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
     )
+    # LAYERED projections (r14, guide §1/§4.4 analysis): building every
+    # k{b} directly over substring(md5(...)) plans ONE Project whose
+    # CASE chains repeat each md5 7× — 224 md5/row in the physical plan
+    # (plans/r14/bootstrap_mean_ci_poisson_before.txt), and per-row md5
+    # was ~90% of the query's CPU. Materializing the 8 hashes and the
+    # 32 substrings as NAMED COLUMNS in their own selects pins them to
+    # one evaluation each: CollapseProject refuses to inline an alias
+    # that a consumer references more than once unless it is cheap
+    # (attribute/literal), and md5/substring are neither — so the three
+    # Projects survive optimization and the plan computes 8 md5 + 32
+    # substrings per row. Bit-identical draws, same aggregate.
+    h = e.select(
+        "event_type",
+        "cents",
+        *[
+            F.md5(
+                F.concat(F.col("event_id").cast("string"), F.lit(f":{g}"))
+            ).alias(f"h{g}")
+            for g in range(_BOOT_B // 4)
+        ],
+    )
+    u_cols = h.select(
+        "event_type",
+        "cents",
+        *[
+            F.substring(F.col(f"h{b // 4}"), 1 + 8 * (b % 4), 8).alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
     ks = []
     for b in range(_BOOT_B):
-        u = F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
-            1 + 8 * (b % 4),
-            8,
-        )
+        u = F.col(f"u{b}")
         c = F.when(u < _POIS_T_HEX[0], F.lit(0))
         for i in range(1, 7):
             c = c.when(u < _POIS_T_HEX[i], F.lit(i))
         ks.append(c.otherwise(F.lit(7)).alias(f"k{b}"))
-    k = e.select("event_type", "cents", *ks)
+    k = u_cols.select("event_type", "cents", *ks)
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sy"),

@@ -375,59 +375,90 @@ def repetition_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     doc_id — a 100 TB corpus spreads by document and no stage ever
     holds cross-document state. Coverage positions explode only from
     DUPLICATED grams (rare in clean text), not the whole corpus."""
+    # DOC-LOCAL rewrite (r14, guide §2.4 "remove shuffles outright"):
+    # every output column is a pure function of ONE document, but the
+    # previous plan expressed it as a (doc_id, gram) groupBy + a
+    # position-explode + distinct + two doc-keyed joins — 3 Exchanges
+    # carrying every 5-gram STRING of the corpus, for state that never
+    # crosses documents (plans/r14/repetition_dup_ngram_coverage_
+    # before.txt). This plan computes the duplicated-gram set per doc
+    # with a sorted-adjacency scan over an in-row array (O(m log m)
+    # per doc, the same asymptotics the hash aggregate paid) and emits
+    # the report straight off the scan: ZERO Exchanges, no joins, no
+    # gram bytes on the wire at any scale. Results are bit-identical
+    # (integer counts; the oracle is unchanged).
     from firstamerican_etl_spark.plans.dedupplans import exploded_words
 
     w = exploded_words(load_table(spark, sf_dir, "documents"))
     n = F.size("words")
-    grams = (
-        w.filter(n >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n - 4),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.concat_ws(
-                            " ", F.slice(F.col("words"), i, 5)
-                        ).alias("gram"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    # 5-gram structs (gram, start): built over a ≥1-length sequence so
+    # sequence() never sees stop < start (it would count DOWN), then
+    # sliced back to the true m = n-4 (empty for n < 5).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(F.col("words"), i, 5)).alias("g"),
+            i.alias("i"),
+        ),
     )
-    counts = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("n"), F.collect_list("i").alias("starts")
-    )
-    dups = counts.filter(F.col("n") >= 2)
-    cov = (
-        dups.select("doc_id", F.explode("starts").alias("s"))
-        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + 4)).alias("pos"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered"))
-    )
-    dup_tot = dups.groupBy("doc_id").agg(F.sum("n").alias("n_dup_5grams"))
-    tot = w.select(
+    # array_sort orders by (g, i); duplicated grams become adjacent
+    # runs. explode(array(...)) is the 1:1 Generate barrier that binds
+    # the sorted array as a real attribute (exploded_words' trick), so
+    # the adjacency probes below reference it instead of re-sorting
+    # per element.
+    g = w.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.greatest(n - 4, F.lit(0)).cast("long").alias("n_5grams"),
+        F.explode(
+            F.array(F.array_sort(F.slice(grams, 1, F.greatest(n - 4, F.lit(0)))))
+        ).alias("srt"),
     )
-    return (
-        tot.join(dup_tot, "doc_id", "left")
-        .join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_5grams",
-            F.coalesce(F.col("n_dup_5grams"), F.lit(0).cast("long")).alias(
-                "n_dup_5grams"
+    m = F.size("srt")
+    srt = F.col("srt")
+
+    def _is_dup(j):
+        prev_eq = F.when(
+            j > 1, F.element_at(srt, j - 1)["g"] == F.element_at(srt, j)["g"]
+        ).otherwise(F.lit(False))
+        next_eq = F.when(
+            j < m, F.element_at(srt, j + 1)["g"] == F.element_at(srt, j)["g"]
+        ).otherwise(F.lit(False))
+        return prev_eq | next_eq
+
+    # start positions of every duplicated-gram occurrence (sorted-run
+    # adjacency: an element is duplicated iff it equals a neighbor)
+    starts = F.transform(
+        F.filter(
+            F.slice(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                1,
+                F.greatest(m, F.lit(0)),
             ),
-            F.coalesce(F.col("covered").cast("long"), F.lit(0).cast("long")).alias(
-                "covered_tokens"
-            ),
+            _is_dup,
+        ),
+        lambda j: F.element_at(srt, j)["i"],
+    )
+    s = g.select(
+        "doc_id",
+        "n_tokens",
+        "n_5grams",
+        F.explode(F.array(starts)).alias("starts"),
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(F.transform("starts", lambda st: F.sequence(st, st + 4)))
         )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_5grams",
+        F.size("starts").cast("long").alias("n_dup_5grams"),
+        F.when(F.size("starts") > 0, covered)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
     )
 
 

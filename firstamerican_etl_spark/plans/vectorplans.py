@@ -623,6 +623,14 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
+    # localCheckpoint (r14): FOUR consumers read this frame (probes,
+    # the IVF candidate join's both-use, and the exact brute-force
+    # side) and Catalyst replans the crossJoin+top-1-window subtree
+    # per branch — the before-plan shows the assignment computed 4×
+    # (8 parquet scans, plans/r14/knn_ivf_recall_eval_before.txt).
+    # One materialization serves all branches (9→5 Exchanges). At
+    # production scale the assignment is STAGED (ann_build writes it
+    # cell-partitioned); this is the in-query analogue.
     assigned = top_k_per_group(
         e.crossJoin(F.broadcast(cents)).select(
             "vec_id", "v", "cent_id", l2.alias("d")
@@ -631,7 +639,9 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("d"), F.col("cent_id")],
         k=1,
         rank_col="__rn",
-    ).select("vec_id", "v", F.col("cent_id").alias("cell"))
+    ).select(
+        "vec_id", "v", F.col("cent_id").alias("cell")
+    ).localCheckpoint(eager=True)
     probes = assigned.filter(
         (F.col("vec_id") >= 8) & (F.col("vec_id") < 18)
     ).select(

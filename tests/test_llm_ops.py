@@ -130,8 +130,9 @@ def test_connected_components_gate_is_bounded_and_routes_distributed(
     """VERDICT r12 #7: the auto-route gate must (a) send a graph past
     ``driver_max_edges`` down the DISTRIBUTED path — the driver
     union-find must never see it — and (b) decide that with a
-    LIMIT-bounded probe (``limit(cap+1).count()``), never a full count
-    job over the edge set."""
+    LIMIT-bounded probe (``limit(cap+1)`` collected in one fused
+    decide+fetch job since r14), never a full count/collect over the
+    edge set."""
     from firstamerican_etl_spark.operators import graph
 
     pairs = spark.createDataFrame(
