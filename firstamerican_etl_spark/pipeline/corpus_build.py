@@ -214,18 +214,18 @@ def build_corpus(
         F.col("node").alias("doc_id")
     )
     obs_near = Observation("corpus_near")
-    # NO checkpoint on the near-survivor frame in the default path
-    # (r14): its one consumer is the quality→redact→pack chain, whose
-    # prefix-sum STAGING WRITE (global_running_sum materializes its
-    # input to temp parquet) is already the materialization — the
-    # eager checkpoint here was a second full pass + job for a frame
-    # read once. The count observation fires on that staging write;
-    # it is read below only after packing has executed. The span_cut
-    # branch re-adds a checkpoint because it genuinely reads the
-    # frame twice (marking pass + join-back).
-    near = exact.join(losers, "doc_id", "left_anti").observe(
-        obs_near, F.count(F.lit(1)).alias("n")
+    # The near-survivor checkpoint STAYS (r14 note): an elision variant
+    # (observation riding the prefix-sum staging write) was measured
+    # slightly SLOWER at sf0.1 (build min 4.49 → 4.84 s in-process,
+    # confirmed by a bench --only A/B) — the saved materialization pass
+    # did not pay for the wider staging-write plan. Kept as the r13
+    # shape; the threaded tail sinks below are the r14 win here.
+    near = (
+        exact.join(losers, "doc_id", "left_anti")
+        .observe(obs_near, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_after_near = int(obs_near.get["n"])
 
     # 3.5 (optional): duplicate-SPAN removal (arXiv:2107.06499 §3.1) on
     # the whole-doc survivors — excises duplicated 8-token runs that
@@ -237,7 +237,6 @@ def build_corpus(
     if span_cut:
         from firstamerican_etl_spark.plans.dedupplans import span_cut_clean
 
-        near = near.localCheckpoint(eager=True)  # two consumers below
         cleaned = span_cut_clean(near).select(
             "doc_id", F.col("text_clean").alias("_text_clean")
         )
@@ -301,9 +300,6 @@ def build_corpus(
         "bin_id",
         F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget)),
     ).drop("_run_tok")
-    # the prefix sum's staging write just executed the near→quality
-    # chain — the near-count observation has fired and can be read
-    n_after_near = int(obs_near.get["n"])
 
     # 7: deterministic hash-range split (90/5/5 by md5 prefix)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -620,15 +616,15 @@ def _delta_tail(
         F.col("node").alias("doc_id")
     )
     obs_near = Observation("delta_near")
-    # near/redacted carry NO checkpoints (r14, same reasoning as the
-    # full build): each has exactly one consumer — the chain into the
-    # prefix sum — and global_running_sum's staging write materializes
-    # the whole chain once. Both count observations fire on that
-    # staging write and are read after packing below; the old shape
-    # paid two extra materialization jobs for frames read once.
-    near = exact.join(losers, "doc_id", "left_anti").observe(
-        obs_near, F.count(F.lit(1)).alias("n")
+    # checkpoints kept (r14 note): the elision variant (observations
+    # riding the prefix-sum staging write) measured slightly slower at
+    # sf0.1 — see the full build's near-checkpoint comment.
+    near = (
+        exact.join(losers, "doc_id", "left_anti")
+        .observe(obs_near, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_after_near = int(obs_near.get["n"])
 
     # quality gate + redaction: same expressions as the full build
     toks = F.split(F.col("text"), " ", -1)
@@ -642,14 +638,19 @@ def _delta_tail(
         & (alpha_frac >= min_alpha_frac)
     )
     obs_quality = Observation("delta_quality")
-    redacted = quality.withColumn(
-        "text",
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _URL_RE,
-            "<URL>",
-        ),
-    ).observe(obs_quality, F.count(F.lit(1)).alias("n"))
+    redacted = (
+        quality.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _URL_RE,
+                "<URL>",
+            ),
+        )
+        .observe(obs_quality, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_after_quality = int(obs_quality.get["n"])
 
     # pack into fresh bins after the existing corpus's max bin_id
     # (bin_base came from the concurrent preflight aggregate — a
@@ -662,10 +663,6 @@ def _delta_tail(
         F.floor((F.col("_run_tok") - F.col("n_tokens")) / float(token_budget))
         + F.lit(bin_base),
     ).drop("_run_tok")
-    # the staging write inside global_running_sum executed the
-    # near→quality→redact chain — both observations have fired
-    n_after_near = int(obs_near.get["n"])
-    n_after_quality = int(obs_quality.get["n"])
 
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     packed = packed.withColumn(

@@ -236,7 +236,31 @@ def _coshipment_backbone(
     ≤M rows, and every consumer references it from multiple join
     branches (Catalyst has no cross-branch CSE — uncheckpointed, the
     corpus-sized build re-ran once per branch, measured 6.0 s → 1.3 s
-    on the k-core peel)."""
+    on the k-core peel).
+
+    The WEIGHT table (u, v, weight — everything upstream of the top-M
+    cut, i.e. all the corpus-sized work) is staged once per process
+    via the shared content-keyed bucketed-staging protocol (r14, the
+    ``pagerank_trade_graph`` pattern): SIX registered queries build
+    the identical weight table (triangle id/degree/50k, k-core, LPA,
+    k-hop), and before staging each invocation re-ran the
+    collect_list + pair-explode + count chain from scratch (measured:
+    ~2.2 s of each triangle query's 2.5 s wall was this rebuild; the
+    wedge joins on the ≤M-row cut run in 0.3 s). The top-M cut is
+    staged too, keyed (tag, m) — callers with different ``m`` (the 50k
+    scale probe) share the weights and stage their own cut — so a
+    repeat invocation runs ZERO driver jobs at build time and the
+    returned frame is a plain ≤M-row parquet scan, which every
+    consumer branch re-reads for less than the old per-invocation
+    TakeOrdered + eager localCheckpoint cost (measured 1.3 s/call on
+    the reuse path). A changed source rolls the tag and restages
+    both."""
+    from firstamerican_etl_spark.operators.scale import (
+        stage_bucketed_tables,
+        write_bucketed,
+    )
+    from firstamerican_etl_spark.sources.io import staging_tag
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_suppkey")).alias("sups")
@@ -252,16 +276,58 @@ def _coshipment_backbone(
             ),
         )
     )
-    return (
+    weights = (
         per_order.select(F.explode(pair_structs).alias("p"))
         .filter(F.col("p.u") != F.col("p.v"))
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("weight"))
-        .orderBy(F.col("weight").desc(), "u", "v")
-        .limit(m if m is not None else _BACKBONE_M)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
     )
+    tag = staging_tag(sf_dir, "lineitem")
+    w_table = "fa_coshipment_weights"
+    stage_bucketed_tables(
+        spark,
+        "coshipment_weights",
+        tag,
+        [
+            (
+                w_table,
+                lambda path: write_bucketed(
+                    weights,
+                    w_table,
+                    bucket_by=["u"],
+                    num_buckets=int(
+                        spark.conf.get("spark.sql.shuffle.partitions", "32")
+                    ),
+                    path=path,
+                ),
+            )
+        ],
+    )
+    mm = m if m is not None else _BACKBONE_M
+    cut_table = f"fa_coshipment_backbone_{mm}"
+    stage_bucketed_tables(
+        spark,
+        f"coshipment_backbone_{mm}",
+        tag,
+        [
+            (
+                cut_table,
+                # single bucket: ≤M rows, consumers full-scan it from
+                # several join branches — one file, one task per scan
+                lambda path: write_bucketed(
+                    spark.table(w_table)
+                    .orderBy(F.col("weight").desc(), "u", "v")
+                    .limit(mm)
+                    .select("u", "v"),
+                    cut_table,
+                    bucket_by=["u"],
+                    num_buckets=1,
+                    path=path,
+                ),
+            )
+        ],
+    )
+    return spark.table(cut_table)
 
 
 def _triangle_oracle(m: int) -> str:
@@ -404,10 +470,14 @@ def _degree_oriented_triangles(edges: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # no checkpoint (r14): the backbone is a staged ≤M-row parquet
+    # scan, so the three wedge/closure branches re-deriving this frame
+    # (two broadcast joins over ≤M rows each) cost less than the eager
+    # localCheckpoint job the old shape paid per invocation
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     o3 = oriented.alias("o3")
