@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table, staging_tag
+from firstamerican_etl_spark.sources.io import (
+    load_table,
+    load_table_spread,
+    staging_tag,
+)
 
 _NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
 
@@ -1542,7 +1546,12 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap posting-list df (CCNet-style hot-shingle drop) before the
     expansion; kept exact here because the oracle demands the lossless
     pair set."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_spread (r14, guide §2.5): tokenize/hash/shingle is per-doc
+    # CPU on a low-split scan — spread docs across cores first
+    # (measured −32% at sf0.1; no-op at scale). Shingle sets and
+    # intersection counts are integers over per-doc content:
+    # partitioning cannot change any result bit.
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     wdf = exploded_word_hashes(d).filter(F.size("wh") >= 5)
     docs = wdf.select(
         "doc_id",
@@ -1664,7 +1673,12 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the final report shuffles (chunk_hash, n_words) partial
     aggregates — map-side combined, uniform keys. The corpus never
     joins itself."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_spread (r14, guide §2.5): boundary md5s + chunk hashing are
+    # per-doc CPU on a low-split scan — spread docs across cores first
+    # (measured −30% at sf0.1; no-op at scale). Chunk hashes are pure
+    # per-doc functions and the report aggregates integers:
+    # partitioning cannot change any result bit.
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     w = exploded_words(d)
     n = F.size("words")
     wa = F.col("words")

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from firstamerican_etl_spark.functions.stable import stable_round
 from firstamerican_etl_spark.plans.registry import register
-from firstamerican_etl_spark.sources.io import load_table
+from firstamerican_etl_spark.sources.io import load_table, load_table_spread
 
 _DX = "decimal(18,2)"   # quantities (integer-valued) and 2-dec prices: exact
 _DS = "decimal(38,6)"   # power-sum accumulator
@@ -65,7 +65,14 @@ def stats_moments_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME expression tree the oracle uses — bit-identical on 1 or
     1000 executors. Spark's built-in corr()/var_samp() are kept out of
     the contract surface for exactly this reason."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # cpu_spread (r14, guide §2.5): the 6 decimal power-sum partials
+    # are the query's CPU, and a low-split lineitem file runs them on
+    # one core — spread on the row key first (measured −29% at sf0.1;
+    # no-op at scale, see sources/io.cpu_spread). Exact decimal sums:
+    # partition layout cannot change any result bit.
+    li = load_table_spread(
+        spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber"
+    )
     x = F.col("l_quantity").cast(_DX)
     y = F.col("l_extendedprice").cast(_DX)
     s = li.groupBy("l_returnflag").agg(
@@ -472,7 +479,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe joins the 256-row counter frame via broadcast. At 100 TB the
     sketch costs one pass and 2 KB of state per executor; the exact
     pass exists to GRADE it (production keeps only the sketch)."""
-    words = load_table(spark, sf_dir, "documents").select(
+    # cpu_spread (r14, guide §2.5): tokenize + 4 md5 bucket hashes per
+    # term are per-row CPU on a low-split scan — spread docs across
+    # cores first (measured −18% at sf0.1; no-op at scale). Counter
+    # sums are integers: partitioning cannot move any result bit.
+    words = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
         F.explode(F.split(F.col("text"), " ", -1)).alias("term")
     )
 
@@ -901,7 +912,13 @@ def bootstrap_mean_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division of exact integers — bit-identical across engines.
     nullif guards the (unreachable past ~30 rows/type) empty-replicate
     case rather than diverging on inf-vs-null division semantics."""
-    ev = load_table(spark, sf_dir, "events")
+    # cpu_spread (r14, guide §2.5): the 8 md5/row replicate draws are
+    # ~90% of this query's CPU and a low-split events file computes
+    # them on one core — spread on event_id first (measured −42% at
+    # sf0.1; no-op at scale, see sources/io.cpu_spread). Draws are a
+    # pure function of event_id and all aggregates are exact int64
+    # sums, so partition layout cannot change any result bit.
+    ev = load_table_spread(spark, sf_dir, "events", "event_id")
     e = ev.select(
         "event_type",
         "event_id",

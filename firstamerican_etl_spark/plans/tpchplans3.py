@@ -286,6 +286,11 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct-supplier counts run as a TWO-LEVEL aggregation
     (per-(order, supplier) → per-order) rather than countDistinct:
     multi-distinct plans an Expand that doubles the shuffled rows."""
+    # cpu_spread was TRIED here and reverted (r14, guide §1 measure
+    # first): one probe measured −26% but the controlled interleaved
+    # A/B (6 sweeps, alternating order) showed +25% on min and parity
+    # on median — unlike stats_moments, the rollup's CPU-per-byte is
+    # too low for the extra exchange to pay at any scan layout.
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"

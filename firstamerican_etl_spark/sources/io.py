@@ -78,6 +78,113 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: Fine sub-buckets per target partition for ``cpu_spread``: hashing
+#: keys into cores*20 buckets (which then hash-place into ``cores``
+#: partitions) keeps partition sizes balanced even when the key space
+#: is small or lumpy, at zero extra cost (one pmod per row).
+_SPREAD_SUBKEYS = 20
+
+
+def _spark_size_bytes(spark: SparkSession, conf_key: str, default: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128m", ...)."""
+    raw = str(spark.conf.get(conf_key, default)).strip().lower()
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suffix):
+            mult = m
+            raw = raw[:-1]
+            break
+    try:
+        return max(1, int(raw) * mult)
+    except ValueError:
+        return 128 << 20
+
+
+_DIR_BYTES_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _dir_bytes(path: str) -> int:
+    """Total on-disk bytes of the data files under ``path`` (or of the
+    single file ``path``), cached per (path, dir mtime) — one stat walk
+    per table generation, amortized to a dict lookup on the query-build
+    hot path (bench times query CONSTRUCTION too)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 0
+    if not os.path.isdir(path):
+        return st.st_size
+    key = (path, st.st_mtime_ns)
+    if key not in _DIR_BYTES_CACHE:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS/committer markers, hidden CRCs
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        _DIR_BYTES_CACHE[key] = total
+    return _DIR_BYTES_CACHE[key]
+
+
+def cpu_spread(df: DataFrame, *key_cols: str, input_path: str) -> DataFrame:
+    """Deterministic parallelism floor for CPU-heavy map/partial-agg
+    phases over low-split inputs (optimization guide §2.5).
+
+    Spark sizes scan tasks by input BYTES (maxPartitionBytes) — right
+    when per-byte work is parquet decode, wrong when per-ROW work
+    dominates (md5 replicate draws, shingling, 64-lane bit votes): a
+    byte-small single-row-group file plans ONE scan task, so all that
+    CPU runs on one core while the rest idle. Measured at sf0.1 this
+    was worth 18-42% on the affected queries (OPTIMIZATION_r14.md).
+
+    The spread hash-repartitions on a stable row key:
+    ``pmod(xxhash64(keys), cores*_SPREAD_SUBKEYS)`` is a pure row
+    function — the same row lands in the same partition under retries
+    and any input order, so exact aggregates/joins downstream are
+    unaffected (this repo's exact-sum discipline: decimal/int sums
+    only, never order-sensitive float accumulation).
+
+    SCALE GATE: a no-op whenever the input already splits into at
+    least one scan task per core — estimated as on-disk bytes /
+    maxPartitionBytes, the same arithmetic Spark's FilePartition
+    planner uses. At the 100 TB target every real table clears the
+    gate, so no extra exchange is ever added at scale; under the
+    driver's reduced-core bench runs ``defaultParallelism`` shrinks
+    the target with the session. Never pass a key that is constant
+    across most rows (that would funnel the spread into one bucket).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    max_pb = _spark_size_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    est_scan_tasks = max(1, -(-_dir_bytes(input_path) // max_pb))
+    if est_scan_tasks >= cores:
+        return df
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]),
+        F.lit(cores * _SPREAD_SUBKEYS),
+    )
+    return df.repartition(cores, bucket)
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *key_cols: str
+) -> DataFrame:
+    """``load_table`` + ``cpu_spread`` keyed on ``key_cols`` — the
+    call-site opt-in for queries whose map phase is CPU-bound (the
+    gate above makes it scan-layout-adaptive, not a local[32] tune)."""
+    df = load_table(spark, sf_dir, name)
+    return cpu_spread(
+        df, *key_cols, input_path=os.path.join(sf_dir, f"{name}.parquet")
+    )
+
+
 def read_parquet(
     spark: SparkSession, path: str, ignore_corrupt: bool = False
 ) -> DataFrame:

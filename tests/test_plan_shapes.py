@@ -496,12 +496,18 @@ def test_rendezvous_single_metadata_exchange(spark, sf_dir):
 
 def test_bootstrap_single_aggregate_pass(spark, sf_dir):
     """All 32 replicates ride ONE partial-aggregate exchange (2+2B
-    sums) — a second hash exchange would mean the replicates exploded
-    into rows instead of columns."""
+    sums) — a second ENSURE_REQUIREMENTS hash exchange would mean the
+    replicates exploded into rows instead of columns. The deliberate
+    cpu_spread repartition (r14, sources/io.cpu_spread — present only
+    on low-split inputs) is REPARTITION_BY_NUM, not an aggregate
+    exchange, and is allowed at most once."""
     df = REGISTRY["bootstrap_mean_ci_poisson"].spark(spark, sf_dir)
     df.collect()
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    n_spread = plan.count("REPARTITION_BY_NUM")
+    assert n_spread <= 1
+    assert n_exchanges - n_spread == 1
     assert "Generate" not in plan
 
 

@@ -514,3 +514,47 @@ def test_partitioned_write_exceeding_concurrent_writer_cap(spark, tmp_path):
     assert back.count() == 1000
     assert back.select("part").distinct().count() == 20
     assert back.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_cpu_spread_engages_and_preserves_results(spark, sf_dir):
+    """cpu_spread (r14, guide §2.5): on a low-split input the loaded
+    table must gain exactly one deterministic REPARTITION_BY_NUM
+    exchange sized to the session's cores, and an exact aggregate over
+    it must be bit-identical to the unspread plan."""
+    from pyspark.sql import functions as F
+
+    from firstamerican_etl_spark.sources.io import load_table, load_table_spread
+
+    plain = load_table(spark, sf_dir, "lineitem")
+    spread = load_table_spread(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
+    plan = spread._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan or "RepartitionByExpression" in plan
+    physical = spread._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in physical
+    cores = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == cores
+
+    def report(df):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+            )
+            .orderBy("l_returnflag")
+            .collect()
+        )
+
+    assert report(plain) == report(spread)
+
+
+def test_cpu_spread_noop_when_input_splits_to_cores(spark, sf_dir, monkeypatch):
+    """The scale gate: when on-disk bytes / maxPartitionBytes already
+    yields >= one scan task per core (the 100 TB regime), cpu_spread
+    must return the input UNCHANGED — no extra exchange at scale."""
+    from firstamerican_etl_spark.sources import io as io_mod
+
+    monkeypatch.setattr(io_mod, "_dir_bytes", lambda path: 1 << 50)
+    spread = io_mod.load_table_spread(spark, sf_dir, "lineitem", "l_orderkey")
+    plan = spread._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan
