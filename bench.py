@@ -222,6 +222,14 @@ def main() -> None:
     failures: dict[str, str] = {}
     rows: dict[str, int] = {}
     query_samples: dict[str, list[float]] = {}
+    # Host-regime tracking WITHIN the run (VERDICT r14 #6): one calib
+    # sample immediately before each sweep and one before the e2e
+    # block, all outside any timed region. The r14 round proved the
+    # host has multi-minute frequency windows a single pre-JVM calib
+    # cannot see (six same-code runs spanned 78-105 s); recording the
+    # regime per sweep lets PERF quote a calib-normalized value and a
+    # future drift triage see WHICH sweep a slow window hit.
+    calib_per_sweep: list[float] = []
     # min-of-2, INTERLEAVED (r13 VERDICT ask #1): two full sweeps over
     # the headline set rather than back-to-back pairs. Back-to-back
     # samples land ~1 s apart, inside the same host burst, so a
@@ -233,6 +241,7 @@ def main() -> None:
     # BENCH_FULL.json so future drift triage can see the spread
     # without re-running.
     for sweep in range(2):
+        calib_per_sweep.append(_calibrate_host())
         for name in headline:
             if name in failures:
                 continue
@@ -278,6 +287,7 @@ def main() -> None:
     # BENCH_FULL.json ({"first_s": sample 1 ~ the old single-sample
     # methodology, "min_s": the headline value}).
     e2e_samples: dict[str, dict[str, float]] = {}
+    calib_per_sweep.append(_calibrate_host())  # regime at the e2e block
 
     def _min_of(n: int, name: str, fn, *args, **kwargs) -> float:
         samples = [fn(*args, **kwargs) for _ in range(n)]
@@ -354,13 +364,31 @@ def main() -> None:
         # numbers were taken on a contended host and round-over-round
         # comparison should discount them
         "contended": load_before > 0.5 * n_cpus,
+        # in-run regime samples: one calib before each sweep + one
+        # before the e2e block (VERDICT r14 #6). value_calib_normalized
+        # divides the headline total by the mean in-run calib — a
+        # regime-robust companion number; `value` itself is unchanged
+        # so the cross-round series stays comparable.
+        "calib_per_sweep": calib_per_sweep,
         "metric": "headline_query_wall_seconds",
         "unit": "sec",
         "n_queries": len(timings),
         "n_failures": len(failures),
+        # Per-query min-seconds map IN the printed line (VERDICT r14
+        # #1/#2: PERF's per_query/geomean/scaling came back empty for
+        # two rounds because the map lived only in BENCH_FULL.json).
+        # ~70 entries at 3 decimals is ~2 KB — well inside the driver's
+        # tail capture; BENCH_FULL.json keeps the verbose copy (both
+        # sweep samples, e2e first/min splits).
+        "queries": timings,
         "per_query_map": "BENCH_FULL.json",
         "complete": not failures,
         "value": total,
+        "value_calib_normalized": (
+            round(total / (sum(calib_per_sweep) / len(calib_per_sweep)), 2)
+            if total is not None and calib_per_sweep
+            else None
+        ),
     }
     if sf is None:
         # ADVICE r10: custom-named SF dirs time the FA e2e rows at the

@@ -63,40 +63,40 @@ def register(
 # the window's size, existence, and ordering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # r14 WINDOW — third round of the STANDING RE-PROVE ROTATION,
-    # steady state (r13 went 50/50 green, zero retries outstanding):
-    # exactly 5 pinned veterans + the 45 stalest-proven eligible rows.
+    # r15 WINDOW — fourth round of the STANDING RE-PROVE ROTATION,
+    # first round of the CODE-TOUCHED-FIRST extension (VERDICT r14 #1):
+    # exactly 5 pinned veterans + 45 rotation slots.
     #
-    # Rotation policy (VERDICT r11 #4):
+    # Rotation policy (VERDICT r11 #4, extended r15):
     #
     #   slots  1-5   PINNED VETERANS, never rotated: the three FA
     #                anchors (the reference's own pipeline), the TPC-H
     #                aggregation flagship, and the corpus e2e — proven
     #                fresh EVERY round so the core contract can never
     #                silently drift.
-    #   slots  6-50  OLDEST-FIRST RE-PROVE: the 45 eligible queries
-    #                (full value oracle, non-contrast, non-veteran)
-    #                whose MOST RECENT green driver row is oldest —
-    #                max green round per name across the GIT-TRACKED
-    #                CORRECTNESS_r*.json (tracked-only since r13: the
-    #                driver's post-round untracked drop must not re-age
-    #                the world mid-judgment — VERDICT r12 #1), NOT
-    #                first-proven, which is immutable and would
-    #                re-select the same cohort forever; ties broken
-    #                alphabetically. With ~249 eligible queries and 45
-    #                slots per round, each proof refreshes at least
-    #                every ~6 rounds. Contrast-tagged rows are excluded
-    #                even when historically proven. This round
-    #                re-proves the r8-r9 vintage.
+    #   slots  6-50  (a) eligible NEVER-PROVEN queries first (none this
+    #                round), then (b) CODE-TOUCHED since last green:
+    #                any query whose registered function's same-module
+    #                AST-closure fingerprint changed between its last
+    #                green round's artifact commit and the latest round
+    #                boundary (driver_sim.code_touched_since_green) —
+    #                a rewritten query re-proves NEXT round instead of
+    #                waiting ~6 rounds for its staleness slot (this
+    #                round: the 14 r14-rewritten paths — repetition,
+    #                cdc, both triangles + 50k, kcore/lpa/khop,
+    #                knn_ivf, bootstrap, stats_moments, containment,
+    #                heavy_hitters, retrieval_ndcg); then (c) the
+    #                stalest PROVEN eligible queries by MOST RECENT
+    #                green driver row across the GIT-TRACKED
+    #                CORRECTNESS_r*.json, ties alphabetical — this
+    #                round the r9-r10 vintage fills the remainder.
     #
-    # Any NEW oracled query (or red-row retry) enters at the top of the
-    # rotation segment — it has no green row, so it is stalest by
-    # definition; `driver_sim --rotation` now prints those first
-    # (ADVICE r12) and tests/test_docs_coverage.py asserts every
-    # eligible never-proven query holds a window slot. Regenerate per
-    # round: `python tools/driver_sim.py --rotation 45` prints the
-    # COMPLETE 50-line tuple body (veterans included) — paste it
-    # verbatim; tests/test_registry_window.py::
+    # Regenerate per round: `python tools/driver_sim.py --rotation`
+    # prints the COMPLETE 50-line tuple body (veterans included) —
+    # paste it verbatim, then `--rotation-note` writes the
+    # ROTATION_r{N}.json provenance artifact (VERDICT r14 #9) so the
+    # driver's window diff is never read as dropped queries.
+    # tests/test_registry_window.py::
     # test_window_is_veterans_plus_stalest_eligible pins the result.
     # ------------------------------------------------------------------
     # — pinned veterans (5) —
@@ -105,54 +105,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fa_flagship_merged",
     "q1_pricing_summary",
     "corpus_clean_pipeline",
-    # — oldest-first re-prove rotation (45), keyed on MOST RECENT green —
-    # last green r8:
-    "mad_outlier_zscores",
-    "minhash_lsh_recall_eval",
-    "multimodal_wds_roundtrip",
-    "ngram_diversity_ratio",
-    "ols_trend_per_group",
-    "pmi_collocations",
-    "recursive_cte_hierarchy",
-    "rendezvous_shard_assign",
-    "rfm_user_segments",
-    "rolling_7d_median_bucketed",
-    "sample_weighted_maxhash",
-    "semdedup_cluster_prune_sqrtk",
-    "setop_intersect_all",
-    "streaming_outer_interval_join",
-    "streaming_ttl_throttle",
-    "timeseries_gapfill_ffill",
-    "weekday_seasonality_profile",
-    "weighted_median_udaf",
-    "winsorized_robust_mean",
+    # — rotation (45): code-touched first, then oldest MOST RECENT green —
+    # code-touched since last green (r10):
+    "graph_triangle_count",
+    "graph_triangle_degree_50k",
+    # code-touched since last green (r11):
+    "repetition_dup_ngram_coverage",
+    "retrieval_eval_ndcg",
+    "stats_moments_stable",
+    # code-touched since last green (r13):
+    "bootstrap_mean_ci_poisson",
+    "cdc_chunk_dedup",
+    "doc_containment_pairs",
+    "graph_triangle_count_degree",
+    "heavy_hitters_cms",
+    "kcore_peel_unrolled",
+    "khop_neighbor_agg",
+    "knn_ivf_recall_eval",
+    "lpa_communities_unrolled",
     # last green r9:
-    "bpe_train_unrolled",
-    "char_entropy_quality",
-    "contamination_ngram_overlap",
-    "count_distinct_two_phase",
-    "dedup_cluster_components",
-    "dedup_image_dhash_distinct",
-    "dedup_minhash_lsh_oracled",
-    "epoch_shuffle_shards",
-    "events_burst_dedup",
-    "events_session_window_native",
-    "fazip_source_roundtrip",
-    "hybrid_rrf_fusion",
-    "jaccard_df_capped_pairs",
-    "jsonlgz_sink_roundtrip",
-    "matryoshka_truncation_recall",
-    "multimodal_knn_bucketed",
-    "ndcg_at_k_eval",
-    "pq_adc_topk",
-    "q10_returned_items",
-    "q11_important_types",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_gopher_rules",
+    "salted_skew_join",
+    "semdedup_threshold_sweep",
+    "streaming_custom_source_agg",
+    "streaming_dedup_exactly_once",
+    "streaming_dedup_within_watermark",
+    "streaming_sessionize_stateful",
+    "streaming_tumbling_window",
+    "text_redact_pii",
+    # last green r10:
+    "asof_join_events_orders",
+    "asof_join_forward",
+    "bucketed_join_colocated",
+    "dedup_exact",
+    "dedup_incremental_ingest",
+    "domain_registrable_profile",
+    "events_from_orc",
+    "exact_percentiles",
+    "full_outer_reconcile",
+    "geo_haversine_knn",
+    "geo_morton_bucket",
+    "global_row_index_scalable",
 )
 
 # (The retired r8/r9 window generations and their per-slot retirement

@@ -479,11 +479,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe joins the 256-row counter frame via broadcast. At 100 TB the
     sketch costs one pass and 2 KB of state per executor; the exact
     pass exists to GRADE it (production keeps only the sketch)."""
-    # cpu_spread (r14, guide §2.5): tokenize + 4 md5 bucket hashes per
-    # term are per-row CPU on a low-split scan — spread docs across
-    # cores first (measured −18% at sf0.1; no-op at scale). Counter
-    # sums are integers: partitioning cannot move any result bit.
-    words = load_table_spread(spark, sf_dir, "documents", "doc_id").select(
+    # cpu_spread REVERTED here (r15, VERDICT r14 #3 + guide §1): the
+    # r14 probe's −18%/−14% did not reproduce — a clean interleaved
+    # 6-sweep A/B at parity calib measured spread min 1.045 / med 1.133
+    # vs no-spread min 1.031 / med 1.162 (flat both ways; results
+    # verified identical). An exchange that buys nothing reproducible
+    # is not kept. The other four r14 spread sites keep their
+    # reproduced wins (bootstrap/stats_moments/containment/cdc).
+    words = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.col("text"), " ", -1)).alias("term")
     )
 

@@ -310,6 +310,61 @@ def test_simhash_pairs_consistent_with_fingerprints(spark, sf_dir):
         assert bands_equal, (p, hex(a), hex(b))
 
 
+def test_simhash_numpy_votes_equal_aggregate_form(spark, sf_dir):
+    """r15 rewrite pin (guide §4.2): dedup_simhash's vectorized numpy
+    vote pass must be BIT-IDENTICAL to the r14 formulation it replaced
+    (explode tokens → 64 sum(getbit) aggregates + majority), and the
+    fingerprint subplan must stay a pure map — zero exchanges before
+    banding (the old groupBy(doc_id) counter shuffle is gone)."""
+    from pyspark.sql import functions as SF
+
+    from firstamerican_etl_spark.plans.dedupplans import _NORM
+    from firstamerican_etl_spark.plans.registry import load_all
+    from firstamerican_etl_spark.sources.io import load_table
+
+    reg = load_all()
+    new = sorted(
+        (r["doc_id"], r["simhash"], r["bucket16"])
+        for r in reg["dedup_simhash"].spark(spark, sf_dir).collect()
+    )
+    # the r14 aggregate formulation, inlined as the reference
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", _NORM(SF.col("text")).alias("ntext"))
+        .select("doc_id", SF.explode(SF.split("ntext", " ", -1)).alias("w"))
+        .select("doc_id", SF.xxhash64("w").alias("h"))
+    )
+    aggs = [
+        SF.sum(SF.getbit("h", SF.lit(b))).alias(f"c{b}") for b in range(64)
+    ] + [SF.count(SF.lit(1)).alias("n_tok")]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    sim = None
+    for b in range(64):
+        term = SF.when(
+            SF.col(f"c{b}") * 2 > SF.col("n_tok"), SF.lit(bit_vals[b])
+        ).otherwise(SF.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    old = sorted(
+        (r["doc_id"], r["simhash"], r["bucket16"])
+        for r in per_doc.select(
+            "doc_id",
+            sim.alias("simhash"),
+            SF.shiftrightunsigned(sim, 48).alias("bucket16"),
+        ).collect()
+    )
+    assert new == old
+    plan = (
+        reg["dedup_simhash"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan  # fingerprint is shuffle-free
+    assert "MapInPandas" in plan
+
+
 def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
     """The third scale lever next to bucketing and runtime bloom
     filters: AQE's OptimizeSkewedJoin must split a pathologically hot

@@ -68,6 +68,12 @@ ARROW_PYTHON_OK = {
     # C-skiplist sliding median per (user, week-bucket) — the exact
     # rolling-median state machine Catalyst has no operator for
     "rolling_7d_median_bucketed",
+    # r15: SimHash 64-lane bit votes as one vectorized numpy pass
+    # (unpackbits + add.reduceat) — the r14 65-aggregate JVM form was
+    # the slowest non-e2e bench row and every JVM reformulation
+    # measured flat (OPTIMIZATION_r15.md); bit-identical by test
+    "dedup_simhash",
+    "dedup_simhash_pairs",  # consumes the fingerprint pass above
 }
 
 

@@ -5,6 +5,7 @@ schema), and partitioned parquet re-read."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from firstamerican_etl_spark.sources.io import (
@@ -558,3 +559,71 @@ def test_cpu_spread_noop_when_input_splits_to_cores(spark, sf_dir, monkeypatch):
     spread = io_mod.load_table_spread(spark, sf_dir, "lineitem", "l_orderkey")
     plan = spread._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" not in plan
+
+
+# Every registered query that opts into cpu_spread (the r14 batch-3
+# sites, minus heavy_hitters_cms whose spread was reverted in r15 after
+# the win failed to reproduce). A new spread call site must be added
+# here so the scale gate is audited on the REAL query plan, not just
+# the load_table_spread fixture (VERDICT r14 #8).
+_CPU_SPREAD_SITES = [
+    "stats_moments_stable",
+    "bootstrap_mean_ci_poisson",
+    "doc_containment_pairs",
+    "cdc_chunk_dedup",
+]
+
+
+@pytest.mark.parametrize("name", _CPU_SPREAD_SITES)
+def test_cpu_spread_gate_disengages_per_site_at_scale(
+    spark, sf_dir, monkeypatch, name
+):
+    """VERDICT r14 #8: the gate must disengage on EVERY applied call
+    site when the input is big enough to split into >= cores scan
+    tasks — asserted on each query's actual executed plan, with the
+    input-size estimate forced to the 100 TB regime."""
+    from firstamerican_etl_spark.plans.registry import load_all
+    from firstamerican_etl_spark.sources import io as io_mod
+
+    monkeypatch.setattr(io_mod, "_dir_bytes", lambda path: 1 << 50)
+    df = load_all()[name].spark(spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in physical, (
+        f"{name}: cpu_spread exchange present despite scale-sized input"
+    )
+
+
+def test_cpu_spread_gate_disengages_on_real_multifile_layout(
+    spark, sf_dir, tmp_path
+):
+    """The same disengagement WITHOUT monkeypatching the size probe:
+    a real on-disk parquet dir whose genuine bytes exceed
+    cores × maxPartitionBytes (maxPartitionBytes is dropped to 2 KB
+    for the check — runtime conf, restored in finally) must pass the
+    gate arithmetic end-to-end (_dir_bytes walk + conf parse) and add
+    no exchange; the same dir under the default 128 MB split must
+    spread. Mirrors a multi-row-group sf>=1 layout at test cost."""
+    from firstamerican_etl_spark.sources import io as io_mod
+
+    src = io_mod.load_table(spark, sf_dir, "documents").limit(500)
+    path = str(tmp_path / "documents.parquet")
+    src.write.mode("overwrite").parquet(path)
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "2k")
+        df = io_mod.cpu_spread(
+            spark.read.parquet(path), "doc_id", input_path=path
+        )
+        assert "Repartition" not in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+    # sanity: under the default split size the same small dir spreads
+    df2 = io_mod.cpu_spread(
+        spark.read.parquet(path), "doc_id", input_path=path
+    )
+    assert "Repartition" in (
+        df2._jdf.queryExecution().optimizedPlan().toString()
+    )

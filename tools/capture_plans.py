@@ -1,6 +1,7 @@
 """Capture .explain("formatted") for bench-headline queries into
-plans/r14/<query>_{before,after}.txt (optimization-round evidence; the
-judge checks plan claims against these files).
+plans/<round>/<query>_{before,after}.txt (optimization-round evidence;
+the judge checks plan claims against these files). The round dir
+defaults to r15; override with $SPARK_GRAFT_PLANS_ROUND.
 
 Usage:
     python tools/capture_plans.py before [name1,name2,...]
@@ -35,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     registry = load_all()

@@ -26,9 +26,17 @@ Usage:
                                                # the committed window's
                                                # non-veteran width) segment:
                                                # eligible never-proven queries
-                                               # first, then stalest MOST-RECENT
+                                               # first, then CODE-TOUCHED since
+                                               # last green (r15, VERDICT r14
+                                               # #1), then stalest MOST-RECENT
                                                # green; paste into
                                                # registry.DRIVER_WINDOW)
+    python tools/driver_sim.py --rotation-note # write ROTATION_r{N}.json —
+                                               # machine-readable provenance of
+                                               # this round's window (what
+                                               # rotated in/out and why), so
+                                               # PERF's window diff is never
+                                               # mistaken for dropped queries
 """
 import hashlib
 import math
@@ -286,16 +294,156 @@ def _default_slots() -> int:
     return len(DRIVER_WINDOW) - len(WINDOW_VETERANS)
 
 
+def _artifact_commit(root: str, rnd: int) -> str | None:
+    """Commit hash that last touched CORRECTNESS_r{rnd}.json — the
+    round-close boundary for that round's proofs. None when git can't
+    answer (exported tree): touched-detection then degrades to 'not
+    touched', i.e. the pre-r15 pure-staleness ordering."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "-n1", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd}.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        return out or None
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        return None
+
+
+def _module_fingerprints(src: str) -> dict[str, str]:
+    """{top-level name: fingerprint} for one module source: the sha1
+    of the name's own AST dump plus the dumps of every same-module
+    top-level definition it (transitively) references. Function-level
+    precision with helper awareness: a rewrite of a shared helper
+    (_coshipment_backbone, a bucket() closure) changes the fingerprint
+    of every query function that reaches it, while an unrelated
+    query's edit in the same module does not. Decorators are part of
+    the FunctionDef node, so an oracle-SQL change in @register(...)
+    also rolls the fingerprint (an oracle change warrants re-proof as
+    much as a code change). Cross-MODULE helpers are out of scope by
+    design — every r14 cross-module optimization also edited its call
+    sites, and module-wide granularity was measured to flood the
+    45-slot window with unrelated same-file queries."""
+    import ast
+    import hashlib
+
+    tree = ast.parse(src)
+    defs: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[node.name] = node
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    defs[t.id] = node
+    refs: dict[str, set[str]] = {}
+    for name, node in defs.items():
+        used = {m.id for m in ast.walk(node) if isinstance(m, ast.Name)}
+        refs[name] = {u for u in used if u in defs and u != name}
+    dumps = {name: ast.dump(node) for name, node in defs.items()}
+    fps: dict[str, str] = {}
+    for name in defs:
+        closure, stack = {name}, [name]
+        while stack:
+            for dep in refs[stack.pop()]:
+                if dep not in closure:
+                    closure.add(dep)
+                    stack.append(dep)
+        h = hashlib.sha1()
+        for member in sorted(closure):
+            h.update(dumps[member].encode())
+        fps[name] = h.hexdigest()
+    return fps
+
+
+def code_touched_since_green(
+    root: str, last_green: dict[str, int]
+) -> set[str]:
+    """Names whose IMPLEMENTING CODE changed between the commit that
+    recorded their most recent green driver row and the latest
+    committed round boundary (VERDICT r14 #1: the r14 rewrites dodged
+    the independent sf0.01 oracle for ~6 rounds because the rotation
+    keyed on proof staleness alone — a rewritten query must re-prove
+    NEXT round, not when its slot comes up).
+
+    "Changed" = the registered function's same-module AST-closure
+    fingerprint (_module_fingerprints) differs between the two
+    commits; a file that didn't exist at the base, or a function
+    absent from it, counts as touched (rename/move ⇒ re-prove).
+
+    Determinism within a round: both endpoints are COMMITTED history
+    (the per-round artifact commits), never the working tree or HEAD —
+    so edits made DURING a round do not move this round's window (they
+    enter the computation when the round's own artifact lands, i.e.
+    next round), and tests/test_registry_window.py stays green from
+    round start to round close."""
+    import subprocess
+
+    from firstamerican_etl_spark.plans.registry import load_all
+
+    files = _tracked_artifacts(root)
+    latest = max(
+        (int(f.rsplit("_r", 1)[1].split(".")[0]) for f in files), default=0
+    )
+    boundary = _artifact_commit(root, latest)
+    if boundary is None:
+        return set()
+    reg = load_all()
+
+    def _fps_at(commit: str, rel: str) -> dict[str, str] | None:
+        try:
+            src = subprocess.run(
+                ["git", "-C", root, "show", f"{commit}:{rel}"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+            return _module_fingerprints(src)
+        except (FileNotFoundError, subprocess.CalledProcessError, SyntaxError):
+            return None
+
+    commit_by_round: dict[int, str | None] = {}
+    fp_cache: dict[tuple[str, str], dict[str, str] | None] = {}
+    touched: set[str] = set()
+    for n, r in last_green.items():
+        if n not in reg:
+            continue
+        try:
+            code = reg[n].spark.__code__
+        except AttributeError:
+            continue
+        rel = os.path.relpath(os.path.abspath(code.co_filename), root)
+        fn_name = reg[n].spark.__name__
+        if r not in commit_by_round:
+            commit_by_round[r] = _artifact_commit(root, r)
+        base = commit_by_round[r]
+        if base is None or base == boundary:
+            continue
+        for commit in (base, boundary):
+            if (commit, rel) not in fp_cache:
+                fp_cache[(commit, rel)] = _fps_at(commit, rel)
+        fp_base, fp_now = fp_cache[(base, rel)], fp_cache[(boundary, rel)]
+        if fp_now is None:
+            continue  # file unreadable at the boundary: no claim either way
+        if fp_base is None or fp_base.get(fn_name) != fp_now.get(fn_name):
+            touched.add(n)
+    return touched
+
+
 def rotation_segment(n_slots: int | None = None) -> list[tuple[int, str]]:
     """The next round's re-prove rotation: the ``n_slots`` (default:
     the committed window's non-veteran width) ELIGIBLE queries (full
-    value oracle, non-contrast, excluding the pinned veterans) whose
-    MOST RECENT green driver row is oldest — max round per name across
-    the git-tracked CORRECTNESS_r*.json, never first-proven, which is
-    immutable and would re-select the same cohort forever (r12
-    review). Returns (last_green_round, name) pairs, oldest first;
-    tests/test_registry_window.py pins the committed window's rotation
-    slots to this computation."""
+    value oracle, non-contrast, excluding the pinned veterans),
+    ordered CODE-TOUCHED-FIRST (r15, VERDICT r14 #1: any query whose
+    implementing module changed since its last green row jumps to the
+    head of the stalest segment), then by oldest MOST RECENT green
+    driver row — max round per name across the git-tracked
+    CORRECTNESS_r*.json, never first-proven, which is immutable and
+    would re-select the same cohort forever (r12 review). Within each
+    group: stalest first, ties alphabetical. Returns
+    (last_green_round, name) pairs; tests/test_registry_window.py pins
+    the committed window's rotation slots to this computation."""
     from firstamerican_etl_spark.plans.registry import load_all
 
     if n_slots is None:
@@ -306,10 +454,12 @@ def rotation_segment(n_slots: int | None = None) -> list[tuple[int, str]]:
     for rnd, name in _green_rows(root):
         last[name] = max(last.get(name, 0), rnd)
     reg = load_all()
+    touched = code_touched_since_green(root, last)
     pool = sorted(
-        (r, n) for n, r in last.items()
-        if n in reg and n not in WINDOW_VETERANS
-        and reg[n].oracle is not None and "contrast" not in reg[n].tags
+        ((r, n) for n, r in last.items()
+         if n in reg and n not in WINDOW_VETERANS
+         and reg[n].oracle is not None and "contrast" not in reg[n].tags),
+        key=lambda rn: (rn[1] not in touched, rn[0], rn[1]),
     )
     return pool[:n_slots]
 
@@ -351,18 +501,113 @@ def print_rotation(n_slots: int | None = None):
         print(f"    # never-proven (retries / new queries), {len(never)}:")
         for n in never:
             print(f'    "{n}",')
-    cur = None
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for rnd, name in _green_rows(root):
+        last[name] = max(last.get(name, 0), rnd)
+    touched = code_touched_since_green(root, last)
+    cur: object = object()
     for r, n in rotation_segment(n_slots - len(never)):
-        if r != cur:
-            print(f"    # last green r{r}:")
-            cur = r
+        grp = f"code-touched since last green (r{r})" if n in touched \
+            else f"last green r{r}:"
+        if grp != cur:
+            print(f"    # {grp}")
+            cur = grp
         print(f'    "{n}",')
+
+
+def write_rotation_note(path: str | None = None) -> str:
+    """Emit the machine-readable rotation provenance artifact
+    (VERDICT r14 #9): PERF diffs two rounds' CORRECTNESS windows and
+    lists rotation churn as ``queries_dropped`` — 44 phantom drops the
+    last two judges each had to re-derive as window rotation. This
+    records, per round, exactly which names rotated out (still
+    registered, still locally oracled, still benched) and why each
+    slot holds what it holds. Written as ROTATION_r{N}.json next to
+    the repo root where the driver/judge can quote it."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from firstamerican_etl_spark.plans.registry import DRIVER_WINDOW, load_all
+
+    files = _tracked_artifacts(root)
+    latest = max(
+        (int(f.rsplit("_r", 1)[1].split(".")[0]) for f in files), default=0
+    )
+    this_round = latest + 1
+    boundary = _artifact_commit(root, latest)
+    prev_window: list[str] = []
+    if boundary is not None:
+        # the previous round's committed window, parsed from the
+        # registry as of the boundary commit (no import side effects)
+        import ast
+
+        try:
+            src = subprocess.run(
+                ["git", "-C", root, "show",
+                 f"{boundary}:firstamerican_etl_spark/plans/registry.py"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+            for node in ast.walk(ast.parse(src)):
+                if not isinstance(node, (ast.Assign, ast.AnnAssign)):
+                    continue
+                targets = (
+                    node.targets if isinstance(node, ast.Assign)
+                    else [node.target]
+                )
+                if node.value is not None and any(
+                    isinstance(t, ast.Name) and t.id == "DRIVER_WINDOW"
+                    for t in targets
+                ):
+                    prev_window = list(ast.literal_eval(node.value))
+        except (subprocess.CalledProcessError, FileNotFoundError, ValueError):
+            prev_window = []
+    last: dict[str, int] = {}
+    for rnd, name in _green_rows(root, files):
+        last[name] = max(last.get(name, 0), rnd)
+    touched = code_touched_since_green(root, last)
+    reg = load_all()
+    note = {
+        "round": this_round,
+        "window": list(DRIVER_WINDOW),
+        "veterans": list(WINDOW_VETERANS),
+        "policy": (
+            "5 pinned veterans + eligible never-proven + CODE-TOUCHED "
+            "since last green (stalest first) + stalest most-recent-"
+            "green fill; regenerate with `driver_sim --rotation`"
+        ),
+        "code_touched_in_window": sorted(
+            n for n in DRIVER_WINDOW if n in touched
+        ),
+        "last_green_round": {n: last.get(n) for n in DRIVER_WINDOW},
+        "rotated_out": sorted(set(prev_window) - set(DRIVER_WINDOW)),
+        "rotated_in": sorted(set(DRIVER_WINDOW) - set(prev_window)),
+        "rotated_out_all_still_registered": all(
+            n in reg for n in set(prev_window) - set(DRIVER_WINDOW)
+        ),
+        "note": (
+            "names in rotated_out are NOT dropped queries: every "
+            "registered query keeps full local oracle coverage "
+            "(tests/test_oracle.py) and the bench HEADLINE list is "
+            "append-only; the window only chooses which 50 get this "
+            "round's independent driver proof"
+        ),
+    }
+    out_path = path or os.path.join(root, f"ROTATION_r{this_round}.json")
+    with open(out_path, "w") as fh:
+        json.dump(note, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return out_path
 
 
 def main():
     args = sys.argv[1:]
     if "--ledger" in args:
         print_ledger()
+        return
+    if "--rotation-note" in args:
+        print(f"wrote {write_rotation_note()}")
         return
     if "--rotation" in args:
         i = args.index("--rotation")
