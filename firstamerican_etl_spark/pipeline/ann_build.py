@@ -192,7 +192,8 @@ def _train_index(
             os.path.join(out_dir, "assignments.parquet")
         )
         sizes.extend(
-            spark.read.parquet(os.path.join(out_dir, "assignments.parquet"))
+            spark.read.schema("vec_id bigint, v array<double>, cell_id int")
+            .parquet(os.path.join(out_dir, "assignments.parquet"))
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -316,30 +317,45 @@ def append_ann_index(
             new = new.filter(where)
 
     # duplicates WITHIN the batch double-serve exactly like index
-    # collisions (the semi-join below can't see them) — one aggregate
-    # catches both counts in a single pass over the batch ids.
-    # The three preflight actions (batch-dup aggregate, index-collision
-    # semi-join count, centroid collect) share no ordering — they run
-    # on concurrent driver threads (r14, guide §2.6), folding three
-    # serial job floors into ~one; the guard exceptions are re-raised
-    # in the original order below.
+    # collisions — ONE fused aggregate catches batch count, batch
+    # distinct count AND index collisions in a single pass (r15,
+    # VERDICT r14 #7: the r14 shape ran batch-dup and the collision
+    # semi-join as two jobs on threads; the left join folds them into
+    # one scan of the batch). The left join cannot multiply rows: a
+    # COMMITTED index never carries duplicate vec_ids — the build
+    # assigns from a unique-keyed source and every append runs this
+    # very guard before writing. Explicit schemas on both index reads
+    # skip the footer-inference driver jobs (guide §2.6 job floors).
+    # The remaining two preflight actions (fused guard, centroid
+    # collect) share no ordering — concurrent driver threads; the
+    # guard exceptions are re-raised in the original order below.
     from concurrent.futures import ThreadPoolExecutor
 
     ids = new.select("vec_id")
-    existing_ids = spark.read.parquet(assign_path).select("vec_id")
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_batch = pool.submit(
-            lambda: ids.agg(F.count(F.lit(1)), F.countDistinct("vec_id"))
+    existing_ids = spark.read.schema(
+        "vec_id bigint, v array<double>, cell_id int"
+    ).parquet(assign_path).select("vec_id")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_guard = pool.submit(
+            lambda: ids.join(
+                existing_ids.withColumn("_hit", F.lit(1)), "vec_id", "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("vec_id").alias("nd"),
+                F.count("_hit").alias("ndup"),
+            )
             .collect()[0]
         )
-        f_dup = pool.submit(
-            lambda: ids.join(existing_ids, "vec_id", "semi").count()
-        )
         f_cent = pool.submit(
-            lambda: spark.read.parquet(cent_path).collect()
+            lambda: spark.read.schema(
+                "cell_id int, centroid array<double>"
+            ).parquet(cent_path).collect()
         )
-        n_rows, n_distinct = f_batch.result()
-        n_dup = f_dup.result()
+        guard = f_guard.result()
+        n_rows, n_distinct, n_dup = (
+            int(guard["n"]), int(guard["nd"]), int(guard["ndup"])
+        )
         cent_rows = f_cent.result()
     if n_rows != n_distinct:
         raise ValueError(
@@ -369,7 +385,7 @@ def append_ann_index(
     # ONE aggregate over the checkpointed batch (two jobs before r14)
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_sizes = pool.submit(
-            lambda: spark.read.parquet(assign_path)
+            lambda: spark.read.schema("vec_id bigint, v array<double>, cell_id int").parquet(assign_path)
             .groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -589,7 +605,7 @@ def query_ann_index(
     return), not the source table."""
     if probes_df is not None:
         # ground truth = what serving can actually return
-        emb = spark.read.parquet(
+        emb = spark.read.schema("vec_id bigint, v array<double>, cell_id int").parquet(
             os.path.join(out_dir, "assignments.parquet")
         ).select("vec_id", "v")
         probe_src = probes_df.select("vec_id", "v")
@@ -612,7 +628,7 @@ def query_ann_index(
             .collect()
         )
         f_cents = pool.submit(
-            lambda: spark.read.parquet(
+            lambda: spark.read.schema("cell_id int, centroid array<double>").parquet(
                 os.path.join(out_dir, "centroids.parquet")
             ).collect()
         )
@@ -650,7 +666,9 @@ def query_ann_index(
     )
 
     # candidate side: partition-pruned scan of ONLY the probed cells
-    cand = spark.read.parquet(os.path.join(out_dir, "assignments.parquet")).filter(
+    cand = spark.read.schema("vec_id bigint, v array<double>, cell_id int").parquet(
+        os.path.join(out_dir, "assignments.parquet")
+    ).filter(
         F.col("cell_id").isin(wanted)
     )
     dot = F.aggregate(

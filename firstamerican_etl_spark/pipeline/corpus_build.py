@@ -87,7 +87,12 @@ def _check_scheme_stamp(spark: SparkSession, idx: str) -> None:
     exists to prevent. Recovery is always a full rebuild."""
     path = os.path.join(idx, "scheme")
     try:
-        rows = spark.read.parquet(path).collect()
+        # explicit one-column schema: without it the read runs a
+        # footer-inference job before the collect — two driver round
+        # trips for a one-row stamp (r15, guide §2.6 job floors)
+        rows = spark.read.schema("minhash_scheme_version int").parquet(
+            path
+        ).collect()
         got = int(rows[0]["minhash_scheme_version"]) if rows else None
     except FileNotFoundError:
         got = None  # stamp genuinely absent -> pre-versioning index
@@ -464,8 +469,15 @@ def build_corpus_delta(
             "rebuild full with parquet output (or refresh full in jsonl)"
         )
     _check_scheme_stamp(spark, idx)
-    idx_fp = spark.read.parquet(fp_path)
-    idx_bands = spark.read.parquet(bands_path)
+    # Explicit schemas for the index sidecar frames (r15, guide §2.6):
+    # these layouts are fixed by the writers in this module, and the
+    # scheme stamp above already fail-louds any cross-version index —
+    # schema inference here only added one footer-read driver job per
+    # frame at the head of every delta (measured in the job trace).
+    idx_fp = spark.read.schema("_fp string, doc_id bigint").parquet(fp_path)
+    idx_bands = spark.read.schema(
+        "doc_id bigint, band_id int, band_hash bigint"
+    ).parquet(bands_path)
 
     # the equivalence contract above needs monotone ids; a violation
     # would silently flip keep-the-min decisions, so fail loud

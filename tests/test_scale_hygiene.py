@@ -74,6 +74,10 @@ ARROW_PYTHON_OK = {
     # measured flat (OPTIMIZATION_r15.md); bit-identical by test
     "dedup_simhash",
     "dedup_simhash_pairs",  # consumes the fingerprint pass above
+    # r15: MinHash signatures via the numpy permutation-min path
+    # (bit-identical to the JVM aggregates — parity pinned by
+    # test_multimodal/test_ansi_parity; −24% on the LSH pipeline)
+    "dedup_minhash_lsh",
 }
 
 
