@@ -400,7 +400,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_spread (r15, guide §2.5): normalize+tokenize+hash AND the
+    # numpy vote pass all run on the scan partitioning, and the
+    # driver's single-row-group tables plan ONE scan task — measured
+    # pathological under ambient load (interleaved 6-sweep A/B:
+    # no-spread med 5.86 s with 1.8-7.3 s swings vs spread med 1.58 s
+    # steady; results verified identical). Scale-gated: a no-op when
+    # the input splits to >= one task per core.
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     hs = d.select(
         "doc_id",
         F.transform(

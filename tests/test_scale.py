@@ -361,7 +361,13 @@ def test_simhash_numpy_votes_equal_aggregate_form(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, plan  # fingerprint is shuffle-free
+    # fingerprint is aggregation-shuffle-free: the ONLY permissible
+    # exchange is the deliberate scale-gated cpu_spread repartition
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert not bad, bad
     assert "MapInPandas" in plan
 
 

@@ -571,6 +571,10 @@ _CPU_SPREAD_SITES = [
     "bootstrap_mean_ci_poisson",
     "doc_containment_pairs",
     "cdc_chunk_dedup",
+    # r15: the numpy SimHash vote pass rides the scan partitioning —
+    # single-task without the spread (measured pathological under load)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 
 
